@@ -1,0 +1,336 @@
+"""N-linear grid interpolation, Spark-first.
+
+The reference's flagship capability: materialize a dense 4-D grid and expose
+each measure as a callable multilinear interpolator
+(``RegularGridInterpolator(axes, data, bounds_error=False, fill_value=0)``,
+kamodo_dask/kamodo_dask.py:335-341). Two Spark strategies:
+
+1. :func:`interpolate_points` — **corner join** (relational, fully
+   distributed): snap each query coordinate to its bracketing grid values per
+   axis (J1), explode each point into its 2^d surrounding corners with
+   multilinear weights, equi-join the (possibly huge) grid on the corner
+   keys, and ``groupBy(point).sum(weight*value)`` (J2). The grid never leaves
+   the executors — this is the 100 TB path. AQE picks broadcast vs shuffle
+   join at runtime from the actual slab size.
+
+2. :func:`interpolate_points_broadcast` — **broadcast slab** (exact parity
+   with the reference's execution): collect the ordered slab to a dense
+   ndarray, broadcast it, and evaluate a vectorized NumPy kernel per Arrow
+   batch of query points via ``mapInPandas``. Right when the slab is small
+   (the reference's canonical 13×17×10×7 workload is ~15k rows) and the
+   point set is large.
+
+Both return ``fill_value`` for out-of-bounds points without error
+(kamodo_dask.py:337-338) and treat grid-edge coordinates as in-bounds,
+matching SciPy semantics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from itertools import product
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from kamodo_dask_spark.grid.model import DEFAULT_AXES, grid_axes
+
+#: Above this per-axis cardinality the O(n)-per-row literal-array snap would
+#: dominate; switch to an Arrow-batched binary-search snap.
+_LITERAL_AXIS_MAX = 2048
+
+
+def nlinear_interp(
+    axes: list[np.ndarray],
+    values: np.ndarray,
+    pts: np.ndarray,
+    fill_value: float = 0.0,
+) -> np.ndarray:
+    """Vectorized d-linear interpolation on a regular (rectilinear) grid.
+
+    NumPy re-implementation of SciPy's ``RegularGridInterpolator`` linear
+    method with ``bounds_error=False`` (kamodo_dask.py:335-338): grid edges
+    inclusive, strictly-outside points → ``fill_value``. Doubles as the
+    test oracle for the relational path.
+    """
+    d = len(axes)
+    m = len(pts)
+    idxs, fracs = [], []
+    oob = np.zeros(m, dtype=bool)
+    for k, ax in enumerate(axes):
+        x = pts[:, k]
+        oob |= (x < ax[0]) | (x > ax[-1]) | np.isnan(x)
+        i = np.clip(np.searchsorted(ax, x, side="right") - 1, 0, len(ax) - 2)
+        denom = ax[i + 1] - ax[i]
+        fracs.append((x - ax[i]) / denom)
+        idxs.append(i)
+    out = np.zeros(m, dtype=np.float64)
+    for bits in product((0, 1), repeat=d):
+        w = np.ones(m, dtype=np.float64)
+        corner = []
+        for k, b in enumerate(bits):
+            w *= fracs[k] if b else (1.0 - fracs[k])
+            corner.append(idxs[k] + b)
+        out += w * values[tuple(corner)]
+    out[oob] = fill_value
+    return out
+
+
+def _axis_arrays(grid_df: DataFrame, axes: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """Distinct sorted per-axis values as float64 (timestamps → epoch secs)."""
+    vals = grid_axes(grid_df, axes)
+    out = {}
+    for ax, vs in vals.items():
+        if len(vs) < 2:
+            raise ValueError(f"axis {ax!r} needs >= 2 grid values, got {len(vs)}")
+        out[ax] = np.asarray(
+            [v.timestamp() if hasattr(v, "timestamp") else float(v) for v in vs],
+            dtype=np.float64,
+        )
+    return out
+
+
+def _as_double(ax: str, df: DataFrame) -> F.Column:
+    """Axis coordinate as float64; timestamps become epoch seconds (the
+    reference's ``v.value/1e9``, kamodo_dask.py:309)."""
+    if dict(df.dtypes).get(ax) == "timestamp":
+        return F.col(ax).cast("double")
+    return F.col(ax).cast("double")
+
+
+def _snap_columns(points: DataFrame, axes: tuple[str, ...], arrays: dict[str, np.ndarray]) -> DataFrame:
+    """Append ``_lo/_hi/_frac`` per axis and an ``_oob`` flag to the points.
+
+    Small axes (the normal dense-grid case) snap JVM-side against a literal
+    sorted array — stays inside whole-stage codegen, zero joins, zero
+    shuffles. Oversized axes fall back to an Arrow-batched
+    ``np.searchsorted`` (O(log n) per point).
+    """
+    big = [ax for ax in axes if len(arrays[ax]) > _LITERAL_AXIS_MAX]
+    oob = F.lit(False)
+    df = points
+    for ax in axes:
+        arr = arrays[ax]
+        x = _as_double(ax, points)
+        oob = oob | (x < float(arr[0])) | (x > float(arr[-1])) | x.isNull()
+        if ax not in big:
+            n = len(arr)
+            lit_arr = F.lit([float(v) for v in arr])
+            cnt = F.aggregate(
+                lit_arr,
+                F.lit(0),
+                lambda acc, v: acc + F.when(v <= x, F.lit(1)).otherwise(F.lit(0)),
+            )
+            idx = F.least(F.greatest(cnt - F.lit(1), F.lit(0)), F.lit(n - 2))
+            lo = F.element_at(lit_arr, idx + F.lit(1))
+            hi = F.element_at(lit_arr, idx + F.lit(2))
+            frac = (x - lo) / (hi - lo)
+            df = df.withColumns({f"_lo_{ax}": lo, f"_hi_{ax}": hi, f"_frac_{ax}": frac})
+    if big:
+        df = _snap_udf(df, big, arrays)
+    return df.withColumn("_oob", oob)
+
+
+def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarray]) -> DataFrame:
+    """Arrow-batched searchsorted snap for large axes (broadcast axis arrays)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast({ax: arrays[ax] for ax in axes_subset})
+
+    import pandas as pd
+
+    fields = [
+        T.StructField(f"_{part}_{ax}", T.DoubleType())
+        for ax in axes_subset
+        for part in ("lo", "hi", "frac")
+    ]
+    out_type = T.StructType(fields)
+
+    @F.pandas_udf(out_type)
+    def snap(*cols: pd.Series) -> pd.DataFrame:
+        data = {}
+        local = bc.value
+        for series, ax in zip(cols, axes_subset):
+            ax_arr = local[ax]
+            x = series.to_numpy(dtype=np.float64)
+            i = np.clip(np.searchsorted(ax_arr, x, side="right") - 1, 0, len(ax_arr) - 2)
+            lo, hi = ax_arr[i], ax_arr[i + 1]
+            data[f"_lo_{ax}"] = lo
+            data[f"_hi_{ax}"] = hi
+            data[f"_frac_{ax}"] = (x - lo) / (hi - lo)
+        return pd.DataFrame(data)
+
+    packed = df.withColumn("_snap", snap(*[_as_double(ax, df) for ax in axes_subset]))
+    for ax in axes_subset:
+        for part in ("lo", "hi", "frac"):
+            packed = packed.withColumn(f"_{part}_{ax}", F.col(f"_snap._{part}_{ax}"))
+    return packed.drop("_snap")
+
+
+def interpolate_points(
+    grid_df: DataFrame,
+    points_df: DataFrame,
+    axes: tuple[str, ...] = DEFAULT_AXES,
+    measures: list[str] | None = None,
+    fill_value: float = 0.0,
+    axis_arrays: dict[str, np.ndarray] | None = None,
+) -> DataFrame:
+    """Multilinear interpolation as relational algebra (J1 + J2).
+
+    Output: the original point columns plus one double column per measure.
+    Duplicate point rows merge in the final group-by — include a unique
+    ``point_id`` column when duplicates are possible.
+    """
+    measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
+    arrays = axis_arrays or _axis_arrays(grid_df, axes)
+    d = len(axes)
+
+    point_cols = points_df.columns
+    pts = _snap_columns(points_df, axes, arrays)
+
+    # Explode each point into its 2^d corners with multilinear weights.
+    corners = []
+    for bits in product((0, 1), repeat=d):
+        fields, w = [], F.lit(1.0)
+        for k, b in enumerate(bits):
+            ax = axes[k]
+            fields.append((F.col(f"_hi_{ax}") if b else F.col(f"_lo_{ax}")).alias(f"_k_{ax}"))
+            fr = F.col(f"_frac_{ax}")
+            w = w * (fr if b else (F.lit(1.0) - fr))
+        corners.append(F.struct(*fields, w.alias("_w")))
+    exploded = pts.withColumn("_c", F.explode(F.array(*corners)))
+    exploded = exploded.select(
+        *point_cols,
+        "_oob",
+        *[F.col(f"_c._k_{ax}").alias(f"_k_{ax}") for ax in axes],
+        F.col("_c._w").alias("_w"),
+    )
+
+    # Grid keyed by float64 corner coordinates (exact values — they came from
+    # the grid itself, so float equality is safe).
+    grid_keyed = grid_df.select(
+        *[_as_double(ax, grid_df).alias(f"_k_{ax}") for ax in axes],
+        *measures,
+    )
+
+    joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
+
+    aggs = []
+    for m in measures:
+        aggs.append(F.sum(F.col("_w") * F.col(m)).alias(f"_v_{m}"))
+        aggs.append(F.sum(F.when(F.col(m).isNotNull(), F.col("_w"))).alias(f"_cov_{m}"))
+    grouped = joined.groupBy(*point_cols, "_oob").agg(*aggs)
+
+    # fill_value for out-of-bounds points AND for points whose corner support
+    # is incomplete (non-dense slab) — the latter turns the reference's
+    # silent reshape corruption into defined behavior.
+    out_cols = list(point_cols)
+    for m in measures:
+        covered = F.abs(F.col(f"_cov_{m}") - F.lit(1.0)) < F.lit(1e-9)
+        out_cols.append(
+            F.when(F.col("_oob") | ~covered, F.lit(float(fill_value)))
+            .otherwise(F.col(f"_v_{m}"))
+            .alias(m)
+        )
+    return grouped.select(*out_cols)
+
+
+def interpolate_points_broadcast(
+    grid_df: DataFrame,
+    points_df: DataFrame,
+    axes: tuple[str, ...] = DEFAULT_AXES,
+    measures: list[str] | None = None,
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Broadcast-slab strategy: dense ndarray on every executor, NumPy kernel
+    over Arrow batches of points (I3a). Collect is ordered + cardinality
+    checked — the explicit version of the reference's trusted reshape
+    (kamodo_dask.py:325,334)."""
+    measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
+    arrays = _axis_arrays(grid_df, axes)
+    shape = tuple(len(arrays[ax]) for ax in axes)
+    expected = int(np.prod(shape))
+
+    ordered = (
+        grid_df.select(
+            *[_as_double(ax, grid_df).alias(ax) for ax in axes],
+            *[F.col(m).cast("double").alias(m) for m in measures],
+        )
+        .orderBy(*axes)
+        .toPandas()
+    )
+    if len(ordered) != expected:
+        raise ValueError(
+            f"grid is not dense: {len(ordered)} rows != {expected} "
+            f"(= {' * '.join(map(str, shape))})"
+        )
+    # NaN → fill_value before interpolation (kamodo_dask.py:334).
+    slabs = {
+        m: np.nan_to_num(ordered[m].to_numpy(np.float64), nan=fill_value).reshape(shape)
+        for m in measures
+    }
+    axis_list = [arrays[ax] for ax in axes]
+    spark = grid_df.sparkSession
+    bc = spark.sparkContext.broadcast((axis_list, slabs))
+
+    axes_l = list(axes)
+    fv = float(fill_value)
+
+    # Timestamps in point columns need epoch-seconds before the kernel.
+    pts_df = points_df
+    for ax in axes_l:
+        if dict(points_df.dtypes).get(ax) == "timestamp":
+            pts_df = pts_df.withColumn(ax, F.col(ax).cast("double"))
+    out_schema = T.StructType(
+        list(pts_df.schema.fields) + [T.StructField(m, T.DoubleType()) for m in measures]
+    )
+
+    def eval_batches(batches):
+        ax_arrs, slab_map = bc.value
+        for pdf in batches:
+            pts = pdf[axes_l].astype("float64").to_numpy()
+            res = pdf.copy()
+            for m, slab in slab_map.items():
+                res[m] = nlinear_interp(ax_arrs, slab, pts, fv)
+            yield res
+
+    return pts_df.mapInPandas(eval_batches, out_schema)
+
+
+def gridded_eval(
+    grid_df: DataFrame,
+    coords: dict[str, list | float] | None = None,
+    axes: tuple[str, ...] = DEFAULT_AXES,
+    measures: list[str] | None = None,
+    fill_value: float = 0.0,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Gridded (meshgrid) evaluation — the reference's ``@gridify`` functions
+    ``var_ijkl(time=…, lon=…, lat=…, h=…)`` (kamodo_dask.py:343-348).
+
+    Unspecified axes default to the full grid axis; supplied axes may be a
+    scalar or list. The query-point relation is the cross join of per-axis
+    value sets (tiny inputs → cheap ``explode`` + ``crossJoin``), then point
+    interpolation. Result stays a DataFrame: one row per mesh point.
+    """
+    coords = coords or {}
+    arrays = _axis_arrays(grid_df, axes)
+    spark = grid_df.sparkSession
+
+    mesh = None
+    n_points = 1
+    for ax in axes:
+        vals = coords.get(ax)
+        if vals is None:
+            vals_list = [float(v) for v in arrays[ax]]
+        elif np.isscalar(vals):
+            vals_list = [float(vals)]
+        else:
+            vals_list = [float(v) for v in vals]
+        n_points *= len(vals_list)
+        ax_df = spark.range(1).select(F.explode(F.lit(vals_list)).alias(ax))
+        mesh = ax_df if mesh is None else mesh.crossJoin(ax_df)
+
+    if strategy == "broadcast":
+        return interpolate_points_broadcast(grid_df, mesh, axes, measures, fill_value)
+    return interpolate_points(grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays)

@@ -1,0 +1,118 @@
+"""Function / interpolator registry.
+
+The reference registers one point interpolator and one gridded interpolator
+per measure on a dict-like ``Kamodo`` object with units metadata
+(``KamodoDask``, kamodo_dask/kamodo_dask.py:301-357).
+
+[REF-BUG] parity note: the reference's registration loop captures the loop
+variable ``rgi`` by reference (kamodo_dask.py:328-351), so every registered
+interpolator silently evaluates the *last* measure's grid. This registry
+binds per-measure state at registration time — each measure interpolates its
+own data (the intended semantics; guarded by a test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kamodo_dask_spark.grid.model import (
+    DEFAULT_AXES,
+    grid_axes,
+    grid_bounds,
+    grid_midpoint,
+    normalize_measure_columns,
+    units_of,
+    validate_dense,
+)
+from kamodo_dask_spark.grid.interpolate import (
+    _axis_arrays,
+    gridded_eval,
+    interpolate_points,
+    interpolate_points_broadcast,
+)
+
+#: Slabs at or below this many rows broadcast comfortably; larger slabs use
+#: the distributed corner join.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+class KamodoSpark(dict):
+    """Dict-like registry mapping measure names to interpolator callables.
+
+    ``reg['rho'](points_df)`` → point interpolation (I3);
+    ``reg['rho_ijkl'](time=…, lon=…)`` → gridded evaluation (I4, unspecified
+    axes default to the full grid). Units parsed from ``name[units]`` column
+    spellings ride along as ``StructField`` metadata (I5) and in ``.units``.
+    """
+
+    def __init__(
+        self,
+        grid_df: DataFrame,
+        axes: tuple[str, ...] = DEFAULT_AXES,
+        fill_value: float = 0.0,
+        strategy: str = "auto",
+    ):
+        super().__init__()
+        self.axes = tuple(axes)
+        self.fill_value = float(fill_value)
+        self.df = normalize_measure_columns(grid_df)
+        self.measures = [c for c in self.df.columns if c not in self.axes]
+        self.units = {m: units_of(self.df, m) for m in self.measures}
+
+        sizes = validate_dense(self.df, self.axes)
+        self.shape = tuple(sizes[ax] for ax in self.axes)
+        self.levels = grid_axes(self.df, self.axes)
+        self._axis_arrays = _axis_arrays(self.df, self.axes)
+
+        n_rows = 1
+        for n in self.shape:
+            n_rows *= n
+        if strategy == "auto":
+            strategy = "broadcast" if n_rows <= BROADCAST_MAX_ROWS else "corner"
+        self.strategy = strategy
+
+        for m in self.measures:
+            # bind `m` at definition time (default-arg binding) — the fix for
+            # the reference's late-binding closure bug.
+            def point_fn(points_df: DataFrame, _m: str = m) -> DataFrame:
+                if self.strategy == "broadcast":
+                    return interpolate_points_broadcast(
+                        self.df, points_df, self.axes, [_m], self.fill_value
+                    )
+                return interpolate_points(
+                    self.df,
+                    points_df,
+                    self.axes,
+                    [_m],
+                    self.fill_value,
+                    axis_arrays=self._axis_arrays,
+                )
+
+            def gridded_fn(_m: str = m, **coords) -> DataFrame:
+                return gridded_eval(
+                    self.df,
+                    coords,
+                    self.axes,
+                    [_m],
+                    self.fill_value,
+                    strategy="broadcast" if self.strategy == "broadcast" else "auto",
+                )
+
+            point_fn.units = self.units[m]
+            gridded_fn.units = self.units[m]
+            self[m] = point_fn
+            self[f"{m}_ijkl"] = gridded_fn
+
+    def get_bounds(self) -> dict:
+        """Per-axis (min, max) — ``get_bounds``, kamodo_dask.py:353-354."""
+        return grid_bounds(self.df, self.axes)
+
+    def get_midpoint(self) -> dict:
+        """Per-axis mean of distinct values — ``get_midpoint``, kamodo_dask.py:356-357."""
+        return grid_midpoint(self.df, self.axes)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        entries = ", ".join(
+            f"{m}[{self.units[m]}]" if self.units[m] else m for m in self.measures
+        )
+        return f"KamodoSpark({entries}; shape={self.shape}, strategy={self.strategy})"

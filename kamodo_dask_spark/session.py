@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Replaces the reference's dask client bootstrap
+(``kamodo_dask/dask_config.py:12-39`` — env-driven scheduler address, local
+fallback, worker-liveness guard): in Spark the driver/executor topology is
+handled by the cluster manager, so all that remains is session configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for correctness-at-scale first: AQE on (runtime re-plan, skew-join
+# splitting, partition coalescing — subsumes the reference's manual
+# repartition(partition_size='200MB'), kamodo_dask.py:239-244), UTC session tz
+# (the reference pins tz='UTC', kamodo_dask.py:82), Arrow for any
+# pandas-boundary transfer, and nanos-as-long so nanosecond-precision Parquet
+# timestamps (unsupported by Spark's reader) are readable and normalizable.
+DEFAULT_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "kamodo_dask_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` with a pre-set master or let spark-submit supply it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Best-effort apply engine-critical runtime confs to a foreign session.
+
+    The verification driver owns its own SparkSession; runtime-settable confs
+    (nanosAsLong, session timezone) are applied here so our sources behave
+    identically under it.
+    """
+    for key in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+    ):
+        try:
+            spark.conf.set(key, DEFAULT_CONF.get(key, "true"))
+        except Exception:
+            # Static / non-settable in this deployment — reads that need it
+            # will fall back (see sources.parquet.read_events).
+            pass

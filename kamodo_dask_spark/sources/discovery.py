@@ -1,0 +1,108 @@
+"""Time-range file discovery (driver-side, cheap metadata only).
+
+Reference parity: ``fetch_file_range`` (kamodo_dask.py:63-86) generates
+candidate filenames for every 10-minute step in ``[start, end]`` and keeps the
+ones that exist (20-thread S3 HEAD fan-out, ``check_file_existence``,
+kamodo_dask.py:31-60). Missing files are tolerated with a warning
+(kamodo_dask.py:72-76); an empty result is the caller's error.
+
+At scale the preferred layout is a time-partitioned table where Catalyst's
+partition pruning replaces manifest construction entirely; this module covers
+the reference's flat filename-encoded layout. Listing is a pure metadata
+operation against the filesystem (local, HDFS, or s3a — same ``glob`` API),
+so no executor work is involved.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import warnings
+from datetime import datetime, timedelta
+
+#: Reference filename format (kamodo_dask.py:66) — fine on object stores.
+TS_FORMAT = "%Y-%m-%dT%H:%M:%S"
+#: Hadoop `Path` rejects colons in file names → colon-free variant for
+#: local/HDFS layouts.
+SAFE_TS_FORMAT = "%Y-%m-%dT%H-%M-%S"
+DEFAULT_FREQ = timedelta(minutes=10)
+
+
+def filename_for_timestamp(
+    ts: datetime, prefix: str = "", postfix: str = ".parquet", fmt: str = TS_FORMAT
+) -> str:
+    """``{prefix}YYYY-MM-DDTHH:MM:SS{postfix}`` — kamodo_dask.py:66-67."""
+    return f"{prefix}{ts.strftime(fmt)}{postfix}"
+
+
+def extract_timestamp_from_filename(
+    filename: str, prefix: str = "", postfix: str = ".parquet", fmt: str = TS_FORMAT
+) -> datetime:
+    """Inverse of :func:`filename_for_timestamp` — kamodo_dask.py:97-101."""
+    base = posixpath.basename(filename)
+    pre = posixpath.basename(prefix) if prefix else ""
+    if pre and base.startswith(pre):
+        base = base[len(pre):]
+    if postfix and base.endswith(postfix):
+        base = base[: len(base) - len(postfix)]
+    return datetime.strptime(base, fmt)
+
+
+def time_range(start: datetime, end: datetime, freq: timedelta = DEFAULT_FREQ) -> list[datetime]:
+    """Inclusive datetime range at fixed frequency (pd.date_range equivalent)."""
+    out, t = [], start
+    while t <= end:
+        out.append(t)
+        t = t + freq
+    return out
+
+
+def fetch_file_range(
+    start: datetime,
+    end: datetime,
+    prefix: str,
+    postfix: str = ".parquet",
+    freq: timedelta = DEFAULT_FREQ,
+    spark=None,
+    fmt: str = TS_FORMAT,
+) -> tuple[list[str], list[datetime]]:
+    """Candidate filenames for each step in [start, end]; keep those that exist.
+
+    Returns ``(existing_paths, their_timestamps)``. Warns when some requested
+    timestamps have no file (kamodo_dask.py:72-76). Existence checks run
+    through the Hadoop FileSystem API when a SparkSession is supplied (works
+    for s3a/hdfs/local uniformly, connection pooling handled by the FS client
+    — replacing the reference's 20-thread boto HEAD pool), else local os.path.
+    """
+    stamps = time_range(start, end, freq)
+    candidates = [prefix + ts.strftime(fmt) + postfix for ts in stamps]
+
+    if spark is not None:
+        existing = _hadoop_exists(spark, candidates)
+    else:
+        import os
+
+        existing = [os.path.exists(p) for p in candidates]
+
+    found = [(p, ts) for p, ts, ok in zip(candidates, stamps, existing) if ok]
+    if len(found) < len(candidates):
+        missing = len(candidates) - len(found)
+        warnings.warn(
+            f"{missing}/{len(candidates)} requested grid files are missing; "
+            "proceeding with the found subset",
+            stacklevel=2,
+        )
+    return [p for p, _ in found], [ts for _, ts in found]
+
+
+def _hadoop_exists(spark, paths: list[str]) -> list[bool]:
+    """Existence probe through the JVM Hadoop FileSystem (s3a/hdfs/file)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    fs = None
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        if fs is None:
+            fs = jpath.getFileSystem(hconf)
+        out.append(bool(fs.exists(jpath)))
+    return out

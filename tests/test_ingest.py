@@ -1,0 +1,96 @@
+"""Grid ingestion lifecycle (df_from_dask parity, kamodo_dask.py:185-298)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from kamodo_dask_spark.grid.ingest import load_grid_range
+from kamodo_dask_spark.grid.model import validate_dense
+from kamodo_dask_spark.grid.registry import KamodoSpark
+from kamodo_dask_spark.sources.discovery import (
+    SAFE_TS_FORMAT,
+    extract_timestamp_from_filename,
+    fetch_file_range,
+    filename_for_timestamp,
+)
+
+from tests.conftest import GRID_START, MISSING_INDEX, N_FILES, LON, LAT, H
+
+
+def test_filename_roundtrip():
+    ts = datetime(2024, 3, 1, 12, 30, 0)
+    name = filename_for_timestamp(ts, prefix="/data/", postfix=".parquet")
+    assert name == "/data/2024-03-01T12:30:00.parquet"
+    assert extract_timestamp_from_filename(name, "/data/", ".parquet") == ts
+
+
+def test_discovery_tolerates_missing_files(spark, grid_dir):
+    start = GRID_START
+    end = GRID_START + timedelta(minutes=10 * (N_FILES - 1))
+    with pytest.warns(UserWarning, match="missing"):
+        paths, stamps = fetch_file_range(
+            start, end, f"{grid_dir}/", spark=spark, fmt=SAFE_TS_FORMAT
+        )
+    assert len(paths) == N_FILES - 1  # one deliberately missing
+    assert GRID_START + timedelta(minutes=10 * MISSING_INDEX) not in stamps
+
+
+def test_load_grid_range_end_to_end(spark, grid_dir):
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=95)
+    with pytest.warns(UserWarning):
+        df = load_grid_range(
+            spark, f"{grid_dir}/", start, end, h_range=(292500.0, 357500.0)
+        )
+    # units normalized
+    assert set(df.columns) == {"time", "lon", "lat", "h", "rho", "T"}
+    # snap widened [292500, 357500] to exact grid nodes (they ARE nodes here)
+    hs = sorted(r[0] for r in df.select("h").distinct().collect())
+    assert hs == [292500.0, 325000.0, 357500.0]
+    # 10 files cover the aligned window [00:00, 01:40] (one missing mid-range)
+    n_times = df.select("time").distinct().count()
+    assert n_times == 10
+    validate_dense(df, ("time", "lon", "lat", "h"))
+
+
+def test_load_grid_range_snap_widens(spark, grid_dir):
+    # aligned window [00:00, 00:20] — all three files present, no warning
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=15)
+    df = load_grid_range(
+        spark, f"{grid_dir}/", start, end, h_range=(300000.0, 330000.0)
+    )
+    hs = sorted(r[0] for r in df.select("h").distinct().collect())
+    # [300000, 330000] falls between nodes → widened outward to bracket it
+    assert hs == [292500.0, 325000.0, 357500.0]
+
+
+def test_load_grid_range_no_files_raises(spark, grid_dir):
+    with pytest.raises(IOError, match="no grid files"):
+        load_grid_range(
+            spark,
+            f"{grid_dir}/",
+            datetime(2030, 1, 1),
+            datetime(2030, 1, 2),
+        )
+
+
+def test_load_grid_range_unbracketed_raises(spark, grid_dir):
+    # window extends past the last available file → would extrapolate
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=10 * (N_FILES + 5))
+    with pytest.raises(IOError, match="bracketed"), pytest.warns(UserWarning):
+        load_grid_range(spark, f"{grid_dir}/", start, end)
+
+
+def test_h_filter_pushed_down_to_scan(spark, grid_dir):
+    """The slab BETWEEN must reach the Parquet scan as a pushed filter."""
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=95)
+    with pytest.warns(UserWarning):
+        df = load_grid_range(spark, f"{grid_dir}/", start, end, h_range=(292500.0, 357500.0))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(h," in plan or "IsNotNull(h)" in plan

@@ -1,0 +1,157 @@
+"""Interpolation engine: corner-join and broadcast strategies vs NumPy oracle.
+
+Oracle semantics = the reference's ``RegularGridInterpolator(..., method=
+'linear', bounds_error=False, fill_value=0)`` (kamodo_dask.py:335-338):
+edges inclusive, strictly-outside → fill_value.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kamodo_dask_spark.grid.interpolate import (
+    interpolate_points,
+    interpolate_points_broadcast,
+    gridded_eval,
+    nlinear_interp,
+)
+
+AXES = ("time", "lon", "lat", "h")
+TIME_V = np.array([0.0, 600.0, 1200.0, 1800.0])
+LON_V = np.array([0.0, 90.0, 180.0, 270.0, 360.0])
+LAT_V = np.array([-90.0, -30.0, 30.0, 90.0])
+H_V = np.array([100.0, 200.0, 300.0])
+
+
+def measure(t, lon, lat, h):
+    # multilinear in each variable + cross terms → exactly representable by
+    # a trilinear interpolant within a cell only for the linear part; still a
+    # valid oracle because oracle and engine interpolate the SAME samples.
+    return 1.0 + 0.001 * t + 0.5 * lon - 2.0 * lat + 0.01 * h + 1e-4 * lon * lat
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    rows = [
+        (float(t), float(lo), float(la), float(hh), float(measure(t, lo, la, hh)))
+        for t, lo, la, hh in product(TIME_V, LON_V, LAT_V, H_V)
+    ]
+    return spark.createDataFrame(rows, "time double, lon double, lat double, h double, v double")
+
+
+@pytest.fixture(scope="module")
+def values_nd():
+    grid = np.empty((len(TIME_V), len(LON_V), len(LAT_V), len(H_V)))
+    for i, t in enumerate(TIME_V):
+        for j, lo in enumerate(LON_V):
+            for k, la in enumerate(LAT_V):
+                for l, hh in enumerate(H_V):
+                    grid[i, j, k, l] = measure(t, lo, la, hh)
+    return grid
+
+
+def query_points():
+    rng = np.random.default_rng(7)
+    pts = []
+    # interior
+    for _ in range(40):
+        pts.append(
+            (
+                rng.uniform(0, 1800),
+                rng.uniform(0, 360),
+                rng.uniform(-90, 90),
+                rng.uniform(100, 300),
+            )
+        )
+    # exactly on grid nodes
+    pts += [(600.0, 90.0, 30.0, 200.0), (0.0, 0.0, -90.0, 100.0), (1800.0, 360.0, 90.0, 300.0)]
+    # on faces/edges
+    pts += [(600.0, 45.0, 30.0, 250.0), (0.0, 360.0, 0.0, 100.0)]
+    # out of bounds → fill_value
+    pts += [(-1.0, 10.0, 0.0, 150.0), (600.0, 10.0, 0.0, 301.0), (5000.0, 400.0, 100.0, 50.0)]
+    return [(i, *map(float, p)) for i, p in enumerate(pts)]
+
+
+def oracle(pts):
+    arr = np.array([p[1:] for p in pts])
+    vals_nd = np.empty((len(TIME_V), len(LON_V), len(LAT_V), len(H_V)))
+    for i, t in enumerate(TIME_V):
+        for j, lo in enumerate(LON_V):
+            for k, la in enumerate(LAT_V):
+                for l, hh in enumerate(H_V):
+                    vals_nd[i, j, k, l] = measure(t, lo, la, hh)
+    return nlinear_interp([TIME_V, LON_V, LAT_V, H_V], vals_nd, arr, fill_value=0.0)
+
+
+def _points_df(spark):
+    return spark.createDataFrame(
+        query_points(), "point_id long, time double, lon double, lat double, h double"
+    )
+
+
+def test_corner_join_matches_oracle(spark, grid_df):
+    pts = query_points()
+    got = {
+        r["point_id"]: r["v"]
+        for r in interpolate_points(grid_df, _points_df(spark), AXES, ["v"]).collect()
+    }
+    exp = oracle(pts)
+    assert len(got) == len(pts)
+    for p, e in zip(pts, exp):
+        assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12), f"point {p}"
+
+
+def test_broadcast_matches_oracle(spark, grid_df):
+    pts = query_points()
+    got = {
+        r["point_id"]: r["v"]
+        for r in interpolate_points_broadcast(grid_df, _points_df(spark), AXES, ["v"]).collect()
+    }
+    exp = oracle(pts)
+    for p, e in zip(pts, exp):
+        assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12), f"point {p}"
+
+
+def test_fill_value_for_out_of_bounds(spark, grid_df):
+    pts_df = spark.createDataFrame(
+        [(0, -5.0, 10.0, 0.0, 150.0)], "point_id long, time double, lon double, lat double, h double"
+    )
+    for fn in (interpolate_points, interpolate_points_broadcast):
+        row = fn(grid_df, pts_df, AXES, ["v"], fill_value=-123.5).collect()[0]
+        assert row["v"] == -123.5
+
+
+def test_nan_grid_values_filled_before_interp(spark):
+    """NaN measures → fill_value pre-interpolation (kamodo_dask.py:334)."""
+    rows = [
+        (float(t), float(x), 1.0 if (t, x) != (0.0, 0.0) else float("nan"))
+        for t, x in product([0.0, 1.0], [0.0, 1.0])
+    ]
+    g = spark.createDataFrame(rows, "time double, lon double, v double")
+    p = spark.createDataFrame([(0, 0.0, 0.0)], "point_id long, time double, lon double")
+    row = interpolate_points_broadcast(g, p, ("time", "lon"), ["v"], fill_value=0.0).collect()[0]
+    assert row["v"] == 0.0  # the NaN node was replaced by fill_value
+
+
+def test_gridded_eval_full_mesh(spark, grid_df):
+    out = gridded_eval(grid_df, {"time": 600.0, "lat": [30.0]}, AXES, ["v"])
+    rows = out.collect()
+    # time and lat pinned → lon × h mesh
+    assert len(rows) == len(LON_V) * len(H_V)
+    for r in rows:
+        assert r["v"] == pytest.approx(measure(600.0, r["lon"], 30.0, r["h"]), rel=1e-9)
+
+
+def test_nlinear_edge_semantics():
+    """Edge coordinates are in-bounds; strictly outside is filled."""
+    ax = [np.array([0.0, 1.0, 2.0])]
+    vals = np.array([10.0, 20.0, 30.0])
+    pts = np.array([[0.0], [2.0], [2.0000001], [-0.0000001], [1.5]])
+    out = nlinear_interp(ax, vals, pts, fill_value=-1.0)
+    assert out[0] == 10.0 and out[1] == 30.0
+    assert out[2] == -1.0 and out[3] == -1.0
+    assert out[4] == pytest.approx(25.0)

@@ -1,0 +1,65 @@
+"""KamodoSpark registry: per-measure interpolators, units, late-binding guard."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+
+from kamodo_dask_spark.grid.ingest import load_grid_range
+from kamodo_dask_spark.grid.registry import KamodoSpark
+
+from tests.conftest import GRID_START, rho_fn, temp_fn
+
+
+@pytest.fixture(scope="module")
+def registry(spark, grid_dir):
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=95)
+    with pytest.warns(UserWarning):
+        df = load_grid_range(spark, f"{grid_dir}/", start, end, h_range=(292500.0, 357500.0))
+    return KamodoSpark(df)
+
+
+def test_registry_entries_and_units(registry):
+    assert set(registry.measures) == {"rho", "T"}
+    assert registry.units["rho"] == "kg/m^3"
+    assert registry.units["T"] == "K"
+    for key in ("rho", "rho_ijkl", "T", "T_ijkl"):
+        assert key in registry
+
+
+def test_each_measure_interpolates_its_own_data(spark, registry):
+    """Guard against the reference's late-binding closure bug
+    (kamodo_dask.py:328-351): every registered interpolator there evaluates
+    the LAST measure's grid. Here rho and T must differ at a shared point."""
+    t_mid = (GRID_START + timedelta(minutes=40)).timestamp()
+    pts = spark.createDataFrame(
+        [(0, t_mid, 90.0, 0.0, 325000.0)],
+        "point_id long, time double, lon double, lat double, h double",
+    )
+    rho_val = registry["rho"](pts).collect()[0]["rho"]
+    t_val = registry["T"](pts).collect()[0]["T"]
+    assert rho_val != t_val
+    # rho is ~1e-9-scale, T is ~800-scale — each hit its own field
+    assert rho_val < 1e-6
+    assert t_val > 100.0
+    assert t_val == pytest.approx(temp_fn(t_mid, 90.0, 0.0, 325000.0), rel=1e-6)
+
+
+def test_gridded_eval_from_registry(registry):
+    t_mid = (GRID_START + timedelta(minutes=40)).timestamp()
+    out = registry["T_ijkl"](time=t_mid, lat=0.0).collect()
+    # time/lat pinned → lon(17) × h(3) mesh
+    assert len(out) == 17 * 3
+    for r in out:
+        assert r["T"] == pytest.approx(temp_fn(t_mid, r["lon"], 0.0, r["h"]), rel=1e-6)
+
+
+def test_bounds_and_midpoint(registry):
+    b = registry.get_bounds()
+    assert b["h"] == (292500.0, 357500.0)
+    assert b["lat"] == (-90.0, 90.0)
+    m = registry.get_midpoint()
+    assert m["lat"] == pytest.approx(0.0)
+    assert m["h"] == pytest.approx(325000.0)
