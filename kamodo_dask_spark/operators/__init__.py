@@ -1,0 +1,45 @@
+from kamodo_dask_spark.operators.asof import asof_join
+from kamodo_dask_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    minhash_signatures,
+    simhash,
+    simhash_fingerprints_agg,
+    simhash_hamming_candidates,
+)
+from kamodo_dask_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from kamodo_dask_spark.operators.text import (
+    add_text_features,
+    detect_language,
+    fingerprint,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+)
+from kamodo_dask_spark.operators.multimodal import attach_media, extract_media_features
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "exact_dup_groups",
+    "jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_signature",
+    "minhash_signatures",
+    "simhash_fingerprints_agg",
+    "simhash",
+    "simhash_hamming_candidates",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "add_text_features",
+    "detect_language",
+    "fingerprint",
+    "quality_score",
+    "regex_token_count",
+    "whitespace_token_count",
+    "attach_media",
+    "extract_media_features",
+]

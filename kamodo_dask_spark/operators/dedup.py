@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+- every stage is a shuffle on a *hash* key (uniform by construction — no
+  skew salting needed);
+- candidate generation is band-bucket equi-join (LSH), never an all-pairs
+  comparison; the exact-verify stage only touches candidate pairs;
+- hashes are ``md5``-derived so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kamodo_dask_spark.operators.text import words
+
+#: 48-bit hash budget: fits exact integer arithmetic everywhere (bigint,
+#: float64, DuckDB) while keeping collision odds negligible at corpus scale.
+_HASH_HEX_DIGITS = 12
+
+#: Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
+#: 40-bit base hash. a_i < 2^20 keeps a·x < 2^60 — exact int64 in every
+#: engine. Constants from a fixed LCG so Spark and the SQL oracle share them.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _lcg_constants(k: int) -> list[tuple[int, int]]:
+    state, out = 88172645463325252, []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 20) % ((1 << 20) - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % (1 << 40)
+        out.append((a, b))
+    return out
+
+
+def hash48(col, seed: int = 0, digits: int = _HASH_HEX_DIGITS) -> Column:
+    """Deterministic integer hash of a string (md5 hex prefix, portable)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    seeded = F.concat(F.lit(f"{seed}|"), c) if seed else c
+    return F.conv(F.substring(F.md5(seeded), 1, digits), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per exact text; hash-groupBy, no sort.
+
+    ``md5(text)`` as the shuffle key keeps wide text out of the exchange.
+    """
+    h = F.md5(F.col(text_col)).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: (text_hash, canonical_id, n_copies) for groups > 1."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    ws = words(col)
+    if n == 1:
+        return F.array_distinct(ws)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))
+    )
+    # guard: texts shorter than n words produce one undersized gram; keep it
+    return F.array_distinct(grams)
+
+
+def minhash_signature(col, k: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as a single Column expression (array<bigint>, len k).
+
+    NOTE: inside one projection Catalyst re-inlines the shingle construction
+    per hash function (projection collapse defeats subexpression reuse), so
+    prefer :func:`minhash_signatures` (explode + groupBy — one md5 per
+    shingle) for anything beyond small inputs.
+    """
+    sh = shingles(col, shingle_n)
+    base = F.transform(sh, lambda s: hash48(s, digits=10))
+    consts = _lcg_constants(k)
+    sigs = [
+        F.array_min(
+            F.transform(base, (lambda a, b: lambda h: (a * h + b) % MINHASH_PRIME)(a, b))
+        )
+        for a, b in consts
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + partial-aggregated groupBy.
+
+    One md5 per shingle (the universal-hash family ``(a·h+b) mod P`` derives
+    all k functions from that one base hash); the k mins map-side combine,
+    so the shuffle carries k longs per document. This is the 100 TB shape.
+    Output: (id_col, m0..m{k-1}). Docs with no shingles drop out.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
+    ).withColumn("_h", hash48(F.col("_s"), digits=10))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_lcg_constants(k))
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via MinHash + LSH.
+
+    shingle → k-minhash → band → self-equi-join on (band, band_hash).
+    The join key is a uniform hash → no skew; at 100 TB this is the only
+    subquadratic route to near-dup detection.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * r + j}") for j in range(r)]
+        band_hash = F.md5(F.concat_ws(",", *cols))
+        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash")))
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted-index formulation: explode shingles, self-join on the shingle
+    hash (uniform key), count common shingles, then
+    ``J = common / (|A| + |B| - common)``. Optional ``group_col`` restricts
+    pairs to equal groups (e.g. same language) — both a semantic guard and a
+    join-key extension that shrinks the shuffle.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).withColumn("_size", F.size("_sh"))
+    tokens = sh.select(
+        id_col,
+        "_size",
+        *([group_col] if group_col else []),
+        F.explode("_sh").alias("_s"),
+    ).withColumn("_s", hash48(F.col("_s")))
+
+    a, b = tokens.alias("a"), tokens.alias("b")
+    join_cond = (F.col("a._s") == F.col("b._s")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if group_col:
+        join_cond = join_cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    common = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._size").alias("size_a"),
+            F.col("b._size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col, bits: int = 48, shingle_n: int = 1) -> Column:
+    """SimHash: sign-aggregate each bit of the shingle hashes into a single
+    ``bits``-wide integer fingerprint. Hamming-close fingerprints ⇒ similar
+    docs. Computed within one projection via higher-order functions."""
+    sh = shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: hash48(s))
+
+    def voter(bit: int):
+        mask = 1 << bit
+        return lambda a, h: a + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), voter(b))
+        acc = acc + F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_fingerprints_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash via explode + groupBy (one md5 per shingle; ``bits`` partial-
+    aggregated sums per doc). Use this over the :func:`simhash` expression
+    for real workloads — Catalyst re-inlines the per-bit ``aggregate`` in the
+    expression form, recomputing every shingle hash ``bits`` times.
+    Docs with no shingles drop out (mirrors the SQL oracle's unnest)."""
+    tok = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
+    ).withColumn("_h", hash48(F.col("_s")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash within Hamming distance, using the
+    pigeonhole block trick: split the fingerprint into ``blocks`` chunks —
+    any pair within ``max_hamming < blocks`` distance shares at least one
+    exact chunk → equi-join per chunk, then verify true Hamming distance."""
+    assert bits % blocks == 0
+    width = bits // blocks
+    fp = simhash_fingerprints_agg(df, text_col, id_col, bits).withColumnRenamed(
+        "simhash", "_fp"
+    )
+    chunks = fp.select(
+        id_col,
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("_fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "_fp", F.col("_c.blk").alias("blk"), F.col("_c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._fp").alias("fp_a"),
+            F.col("b._fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

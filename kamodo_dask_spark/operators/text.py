@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7 phase 5).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Hash-based operators use ``md5`` so
+results are engine-portable (the DuckDB oracle computes identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"],
+}
+
+#: BPE-ish tokenizer: alphanumeric runs or single non-space symbols. The
+#: pattern is intentionally RE2/Java-portable for oracle parity.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+
+
+def whitespace_token_count(col) -> Column:
+    return F.size(words(col))
+
+
+def regex_token_count(col) -> Column:
+    """Count of BPE-ish tokens (alnum runs + individual symbols)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(col, stopwords: list[str]) -> Column:
+    ws = words(col)
+    lit_stops = F.lit(list(stopwords))
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(lit_stops, w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Deterministic document quality heuristic in [0, 1]:
+    length sweet-spot, word-length sanity, alphabetic density, stopword hit.
+
+    Classic pre-training quality gates (length / punctuation / stopword
+    ratios) composed from built-ins only.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    n_chars = F.length(c)
+    ws = words(c)
+    n_words = F.size(ws)
+    avg_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_hit = stopword_ratio(c, LANG_STOPWORDS["en"])
+
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.5))
+    wlen_ok = F.when((avg_word_len >= 3.0) & (avg_word_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(
+        0.25 * len_ok + 0.25 * wlen_ok + 0.25 * alpha_ratio + 0.25 * F.least(stop_hit * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def detect_language(col) -> Column:
+    """Stopword-vote language ID: the language with the most stopword hits
+    wins; ties break by language code order; no hits → 'und'."""
+    ws = words(col)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        lit_stops = F.lit(LANG_STOPWORDS[lang])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lit_stops, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct: compares by first field (hits) then lang; to break
+    # ties by FIRST lang code, invert: take max of (hits, reversed-rank) —
+    # simpler: greatest over structs with negated tie key is messy, so pick
+    # max hits then the first lang achieving it.
+    arr = F.array(*scores)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    winner = F.filter(arr, lambda s: s["hits"] == max_hits)[0]["lang"]
+    return F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    word set. Near-identical docs that only permute/duplicate words collide
+    — the cheap first-stage signature for dedup cascades."""
+    ws = F.array_sort(F.array_distinct(words(col)))
+    return F.md5(F.concat_ws(" ", ws))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass feature stamp used by pipelines and the bench."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens_ws": whitespace_token_count(c),
+            "n_tokens_re": regex_token_count(c),
+            "quality": quality_score(c),
+            "pred_lang": detect_language(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

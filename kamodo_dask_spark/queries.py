@@ -1,0 +1,813 @@
+"""Query catalog: every SURVEY §2 operator as a (Spark callable, DuckDB oracle) pair.
+
+Each entry returns a DataFrame whose column names AND values must match the
+oracle SQL exactly (the verification driver hashes values after sorting
+columns by name). Conventions for cross-engine determinism:
+
+- every computed float column is ``round(x, N)`` in BOTH engines;
+- computed integers are cast to ``bigint`` in Spark (DuckDB counts/lens are
+  BIGINT);
+- hashes are md5-derived (identical hex in both engines); 48-bit integer
+  hashes via hex-prefix parse (``conv(hex,16,10)`` / ``('0x'||hex)::BIGINT``);
+- nanosecond event timestamps are truncated to µs in both engines;
+- rankings order by the ROUNDED score with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kamodo_dask_spark.functions.time import floor_timestamp, time_slots
+from kamodo_dask_spark.grid.interpolate import interpolate_points
+from kamodo_dask_spark.operators.asof import asof_join
+from kamodo_dask_spark.operators.dedup import (
+    MINHASH_PRIME,
+    _lcg_constants,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_fingerprints_agg,
+)
+from kamodo_dask_spark.operators.multimodal import extract_media_features
+from kamodo_dask_spark.operators.similarity import cosine_topk
+from kamodo_dask_spark.operators.text import (
+    LANG_STOPWORDS,
+    TOKEN_PATTERN,
+    detect_language,
+    fingerprint,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+    words,
+)
+from kamodo_dask_spark.sources.parquet import read_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-2.6 on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "slab_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+)
+def slab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate slab scan (F1/F2) — the h-range filter shape; both
+    predicates push to Parquet row-group stats."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "snap_to_grid",
+    """
+    SELECT max(CASE WHEN p_retailprice <= 1200.0 THEN p_retailprice END) AS lo,
+           min(CASE WHEN p_retailprice >= 1500.0 THEN p_retailprice END) AS hi
+    FROM part
+    """,
+)
+def snap_to_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional extrema (A4) — the reference's snap-to-grid widening (F5,
+    kamodo_dask.py:194-206) as one aggregation pass."""
+    part = read_table(spark, sf_dir, "part")
+    return part.agg(
+        F.max(F.when(F.col("p_retailprice") <= 1200.0, F.col("p_retailprice"))).alias("lo"),
+        F.min(F.when(F.col("p_retailprice") >= 1500.0, F.col("p_retailprice"))).alias("hi"),
+    )
+
+
+@register(
+    "bounds",
+    """
+    SELECT min(ts::TIMESTAMP) AS ts_min, max(ts::TIMESTAMP) AS ts_max,
+           round(min(value), 6) AS value_min, round(max(value), 6) AS value_max,
+           count(*) AS n
+    FROM events
+    """,
+)
+def bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-axis bounds in one pass (A1; get_bounds, kamodo_dask.py:353-354)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "midpoint",
+    """
+    SELECT round(avg(q), 6) AS midpoint
+    FROM (SELECT DISTINCT l_quantity AS q FROM lineitem)
+    """,
+)
+def midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean over DISTINCT values (A2; get_midpoint, kamodo_dask.py:356-357)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_quantity").alias("q"))
+        .distinct()
+        .agg(F.round(F.avg("q"), 6).alias("midpoint"))
+    )
+
+
+@register(
+    "axis_values",
+    "SELECT DISTINCT l_linenumber FROM lineitem ORDER BY l_linenumber",
+)
+def axis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sorted axis extraction (A3; df.index.levels, kamodo_dask.py:316-317)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_linenumber").distinct().orderBy("l_linenumber")
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact shuffle join + broadcast dimension joins.
+    nation/region are broadcast explicitly; customer is small enough for AQE
+    to decide at runtime."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no full sort. Deterministic via orderkey tie-break."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-customer top-3 orders (one shuffle on custkey)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "semi_join",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "rollup_totals",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "union_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'lo'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'hi' END AS bucket,
+           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "lo")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("hi")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT (props->>'$.k')::BIGINT AS k, count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators (SURVEY §2.6 C4-C9, §2.9) on events
+# ---------------------------------------------------------------------------
+
+@register(
+    "floor_10min",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS slot,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def floor_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: Timestamp.floor('10T') (kamodo_dask.py:191-192) as a bucketed agg."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(floor_timestamp("ts", 600).alias("slot")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@register(
+    "tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS slot, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation — same operator Structured Streaming uses."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "dense_time_grid",
+    """
+    WITH slots AS (
+      SELECT gs AS slot FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                             TIMESTAMP '2024-01-06 00:00:00',
+                                             INTERVAL 10 MINUTE) g(gs)),
+    ev AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS slot, count(*) AS cnt
+      FROM events GROUP BY 1)
+    SELECT s.slot AS slot, coalesce(e.cnt, 0) AS n
+    FROM slots s LEFT JOIN ev e USING (slot)
+    """,
+)
+def dense_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 (pd.date_range → sequence/explode) + zero-filled left join: the
+    dense-axis construction the reference's grid model relies on."""
+    slots = time_slots(spark, "2024-01-05 00:00:00", "2024-01-06 00:00:00", 10)
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(floor_timestamp("ts", 600).alias("slot")).agg(F.count("*").alias("cnt"))
+    return (
+        slots.join(counts, on="slot", how="left")
+        .select(F.col("slot"), F.coalesce(F.col("cnt"), F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "asof_purchase_view",
+    """
+    WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+               WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, round(v.value, 6) AS view_value, v.ts AS view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J1): latest at-or-before 'view' per user for each
+    'purchase'. Union+window formulation — one shuffle on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, on="user_id", left_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("view_value"),
+        F.col("ts_matched").alias("view_ts"),
+    )
+
+
+@register(
+    "interp_1d",
+    """
+    WITH ev AS (SELECT ts::TIMESTAMP AS ts, avg(value) AS value FROM events GROUP BY 1),
+    slots AS (SELECT gs AS slot FROM generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                                     TIMESTAMP '2024-01-29 00:00:00',
+                                                     INTERVAL 360 MINUTE) g(gs)),
+    b AS (SELECT s.slot, e.ts AS ts0, e.value AS v0 FROM slots s
+          ASOF LEFT JOIN ev e ON s.slot >= e.ts),
+    f AS (SELECT s.slot, e.ts AS ts1, e.value AS v1 FROM slots s
+          ASOF LEFT JOIN ev e ON s.slot <= e.ts)
+    SELECT b.slot AS slot,
+           round(CASE WHEN f.ts1 = b.ts0 THEN b.v0
+                      ELSE b.v0 + (f.v1 - b.v0)
+                           * (epoch_us(b.slot) - epoch_us(b.ts0))
+                           / (epoch_us(f.ts1) - epoch_us(b.ts0)) END, 6) AS value_interp
+    FROM b JOIN f USING (slot)
+    """,
+)
+def interp_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D linear time interpolation = backward + forward as-of bracket and a
+    weighted blend — the per-axis primitive of the N-D interpolator."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    slots = time_slots(spark, "2024-01-02 00:00:00", "2024-01-29 00:00:00", 360)
+    b = asof_join(slots, ev, on=None, left_ts="slot", right_ts="ts", direction="backward")
+    b = b.withColumnRenamed("value", "v0").withColumnRenamed("ts_matched", "ts0")
+    f = asof_join(b, ev, on=None, left_ts="slot", right_ts="ts", direction="forward")
+    f = f.withColumnRenamed("value", "v1").withColumnRenamed("ts_matched", "ts1")
+    t, t0, t1 = (F.unix_micros(F.col(c)) for c in ("slot", "ts0", "ts1"))
+    blend = F.when(F.col("ts1") == F.col("ts0"), F.col("v0")).otherwise(
+        F.col("v0")
+        + (F.col("v1") - F.col("v0")) * (t - t0).cast("double") / (t1 - t0).cast("double")
+    )
+    return f.select("slot", F.round(blend, 6).alias("value_interp"))
+
+
+@register(
+    "interp_4d",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             (c_custkey % 37) / 9.0 AS x1, (c_custkey % 23) / 5.5 AS x2,
+             (c_custkey % 17) / 4.0 AS x3, (c_custkey % 11) / 2.5 AS x4
+      FROM customer WHERE c_custkey <= 200),
+    ax AS (SELECT unnest(range(0, 5))::DOUBLE AS v),
+    grid AS (
+      SELECT a.v AS x1, b.v AS x2, c.v AS x3, d.v AS x4,
+             1.0 + a.v + 2*b.v + 3*c.v + 4*d.v + 0.5*a.v*b.v + 0.25*c.v*d.v AS val
+      FROM ax a, ax b, ax c, ax d),
+    sn AS (
+      SELECT point_id, x1, x2, x3, x4,
+             least(floor(x1), 3) AS i1, least(floor(x2), 3) AS i2,
+             least(floor(x3), 3) AS i3, least(floor(x4), 3) AS i4
+      FROM pts),
+    bits AS (SELECT unnest([0, 1]) AS b),
+    corners AS (
+      SELECT s.point_id,
+             s.i1 + b1.b AS c1, s.i2 + b2.b AS c2, s.i3 + b3.b AS c3, s.i4 + b4.b AS c4,
+             (CASE WHEN b1.b = 1 THEN s.x1 - s.i1 ELSE 1 - (s.x1 - s.i1) END)
+           * (CASE WHEN b2.b = 1 THEN s.x2 - s.i2 ELSE 1 - (s.x2 - s.i2) END)
+           * (CASE WHEN b3.b = 1 THEN s.x3 - s.i3 ELSE 1 - (s.x3 - s.i3) END)
+           * (CASE WHEN b4.b = 1 THEN s.x4 - s.i4 ELSE 1 - (s.x4 - s.i4) END) AS w
+      FROM sn s, bits b1, bits b2, bits b3, bits b4)
+    SELECT c.point_id AS point_id, round(sum(c.w * g.val), 6) AS val_interp
+    FROM corners c JOIN grid g
+      ON g.x1 = c.c1 AND g.x2 = c.c2 AND g.x3 = c.c3 AND g.x4 = c.c4
+    GROUP BY 1
+    """,
+)
+def interp_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: 4-D multilinear interpolation through the REAL
+    distributed corner-join operator, verified against an independent pure-SQL
+    formulation (floor-snap valid because the oracle grid is unit-spaced)."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 37) / 9.0).alias("x1"),
+        ((F.col("c_custkey") % 23) / 5.5).alias("x2"),
+        ((F.col("c_custkey") % 17) / 4.0).alias("x3"),
+        ((F.col("c_custkey") % 11) / 2.5).alias("x4"),
+    )
+    ax = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("v"))
+    grid = ax.select(F.col("v").cast("double").alias("x1"))
+    for i in (2, 3, 4):
+        grid = grid.crossJoin(ax.select(F.col("v").cast("double").alias(f"x{i}")))
+    grid = grid.withColumn(
+        "val",
+        F.lit(1.0)
+        + F.col("x1")
+        + 2 * F.col("x2")
+        + 3 * F.col("x3")
+        + 4 * F.col("x4")
+        + 0.5 * F.col("x1") * F.col("x2")
+        + 0.25 * F.col("x3") * F.col("x4"),
+    )
+    import numpy as np
+
+    # axes are known a priori — skip the per-axis distinct jobs
+    axis_arrays = {f"x{i}": np.arange(5.0) for i in (1, 2, 3, 4)}
+    out = interpolate_points(
+        grid, pts, axes=("x1", "x2", "x3", "x4"), measures=["val"], axis_arrays=axis_arrays
+    )
+    return out.select("point_id", F.round("val", 6).alias("val_interp"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators on documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _sql_words(src: str = "text") -> str:
+    return f"list_filter(string_split_regex(lower({src}), '\\s+'), x -> x <> '')"
+
+
+def _sql_shingles(n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(ws[i:i+{n-1}], ' ') "
+        f"for i in range(1, greatest(len(ws)-{n-1}, 1)+1)])"
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+@register(
+    "dedup_keep_first",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamodo_dask_spark.operators.dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+@register(
+    "jaccard_near_dups",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
+    tok AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS common
+      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(common / (sa + sb - common), 6) AS jaccard
+    FROM pairs
+    WHERE round(common / (sa + sb - common), 6) >= 0.5
+    """,
+)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    consts = _lcg_constants(k)
+    mins = ", ".join(
+        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS band_hash "
+        f"FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
+    tok AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 10))::BIGINT AS hv FROM tok),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bands a JOIN bands b2
+      ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_oracle())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, k=16, bands=4, shingle_n=3)
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(48))
+    return f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(ws)) AS gram FROM w WHERE len(ws) > 0),
+    h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS hv FROM g),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@register("simhash_fingerprints", _simhash_oracle())
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_fingerprints_agg(docs, bits=48, shingle_n=1)
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS score
+      FROM q, c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): broadcast query set,
+    JVM-side dot products, windowed top-k."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n_chars, {_sql_words()} AS ws FROM documents),
+    feat AS (
+      SELECT doc_id, n_chars, len(ws) AS n_words,
+             CASE WHEN len(ws) > 0 THEN n_chars::DOUBLE / len(ws) ELSE 0.0 END AS awl,
+             CASE WHEN n_chars > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(ws) > 0
+                  THEN len(list_filter(ws, w -> list_contains([{stops}], w)))::DOUBLE / len(ws)
+                  ELSE 0.0 END AS stop_hit,
+             len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens_re
+      FROM base)
+    SELECT doc_id, n_words AS n_tokens_ws, n_tokens_re,
+           round(0.25 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+               + 0.25 * (CASE WHEN awl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+               + 0.25 * alpha_ratio
+               + 0.25 * least(stop_hit * 5, 1.0), 6) AS quality
+    FROM feat
+    """
+
+
+@register("text_quality", _quality_sql())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        regex_token_count(F.col("text")).cast("bigint").alias("n_tokens_re"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{stops}], w))) AS h_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr — first max wins
+    case = f"CASE WHEN greatest({', '.join('h_' + l for l in langs)}) = 0 THEN 'und'\n"
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1 :])
+        case += f" WHEN {conds} THEN '{lang}'\n"
+    case += f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM w)
+    SELECT doc_id, {case} AS pred_lang FROM hits
+    """
+
+
+@register("language_id", _langid_sql())
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents)
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fingerprint
+    FROM w
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+           64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text bytes as an opaque payload
+    through the Arrow-batched (fake-)decoder."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = extract_media_features(docs, binary_col="payload")
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "content_hash",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )

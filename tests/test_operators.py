@@ -1,0 +1,185 @@
+"""Pipeline operators: as-of join, dedup family, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamodo_dask_spark.operators import (
+    asof_join,
+    cosine_topk,
+    exact_dedup,
+    exact_dup_groups,
+    extract_media_features,
+    jaccard_pairs,
+    lsh_cosine_topk,
+    minhash_lsh_candidates,
+)
+from kamodo_dask_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+)
+
+
+# ---------- as-of join ----------
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (1, 5.0), (2, 10.0)], "k int, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, "a"), (1, 10.0, "b"), (1, 20.0, "c"), (2, 99.0, "z")],
+        "k int, ts double, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["v"], r["ts_matched"])
+        for r in asof_join(left, right, on="k", left_ts="ts").collect()
+    }
+    assert out[(1, 10.0)] == ("b", 10.0)  # tie → at-or-before includes equal ts
+    assert out[(1, 25.0)] == ("c", 20.0)
+    assert out[(1, 5.0)] == (None, None)  # nothing at or before
+    assert out[(2, 10.0)] == (None, None)
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, 9.0, "past"), (1, 12.0, "next"), (1, 30.0, "later")],
+        "k int, ts double, v string",
+    )
+    row = asof_join(left, right, on="k", direction="forward").collect()[0]
+    assert row["v"] == "next"
+
+
+# ---------- dedup ----------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_exact_dup_groups(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["n_copies"] == 3
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dups
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    # exact duplicates always collide in every band
+    assert (1, 2) in cand and (1, 5) in cand and (2, 5) in cand
+    # unrelated docs should not be candidates
+    assert (1, 4) not in cand
+
+
+# ---------- similarity ----------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]), # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] > 0.99
+
+
+def test_lsh_cosine_topk_recalls_near_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((50, 64)).astype("float32")
+    base[7] = base[3] + rng.standard_normal(64).astype("float32") * 0.01  # plant a near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_cosine_topk(df, df.filter("vec_id = 3"), k=1, dim=64, n_tables=4)
+    rows = out.collect()
+    assert rows and rows[0]["neighbor_id"] == 7
+
+
+# ---------- text ----------
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog!"), (2, "el la de que y en un los"), (3, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in df.select(
+        "id",
+        whitespace_token_count("text").alias("ws"),
+        regex_token_count("text").alias("re"),
+        detect_language("text").alias("lang"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1]["ws"] == 8
+    assert out[1]["re"] == 9  # 8 words + '!'
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "und"
+    assert 0.0 <= out[1]["q"] <= 1.0
+    assert len(out[1]["fp"]) == 32
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")], "id long, text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------- multimodal ----------
+
+def test_extract_media_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, bytearray(b"other-bytes"))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in extract_media_features(df).collect()}
+    assert rows[1]["n_bytes"] == 16
+    assert rows[1]["content_hash"] != rows[2]["content_hash"]
+    assert 64 <= rows[1]["width"] < 1088
+    # deterministic: same payload → same features
+    again = {r["id"]: r for r in extract_media_features(df).collect()}
+    assert again[1]["content_hash"] == rows[1]["content_hash"]
+    assert again[1]["width"] == rows[1]["width"]
+
+
+def test_real_decoder_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_media_features(df, use_fake_decoder=False).collect()

@@ -1,0 +1,98 @@
+"""Replicates the verification driver: run every queries() entry on Spark and
+its oracle_sql() on DuckDB over the same parquet, compare row counts, column
+names, and values (order-insensitive, float-tolerant).
+
+This is the correctness gate in miniature — a failure here means the driver's
+CORRECTNESS_r{N}.json would record a mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from kamodo_dask_spark.sources.parquet import TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    if len(pdf) > 1:
+        key = pdf.astype(str).apply(lambda row: "|".join(row), axis=1)
+        pdf = pdf.loc[key.sort_values().index]
+    return pdf.reset_index(drop=True)
+
+
+def assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s = canonicalize(spark_pdf)
+    d = canonicalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sv_f = pd.to_numeric(sv, errors="coerce")
+            dv_f = pd.to_numeric(dv, errors="coerce")
+            both_nan = sv_f.isna() & dv_f.isna()
+            close = pd.Series(
+                [
+                    (a == b) or (not math.isnan(a) and not math.isnan(b) and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
+                    for a, b in zip(sv_f.fillna(float("nan")), dv_f.fillna(float("nan")))
+                ]
+            )
+            ok = (both_nan.reset_index(drop=True) | close).all()
+            assert ok, f"{name}.{col}: value mismatch\n{pd.DataFrame({'spark': sv, 'duck': dv})[~close].head(10)}"
+        else:
+            mismatch = sv.astype(str) != dv.astype(str)
+            assert not mismatch.any(), (
+                f"{name}.{col}: {mismatch.sum()} mismatches\n"
+                f"{pd.DataFrame({'spark': sv, 'duck': dv})[mismatch].head(10)}"
+            )
+
+
+ALL_QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    duck_pdf = duck.sql(oracle).df()
+    assert_frames_match(name, spark_pdf, duck_pdf)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"point_id", "val_interp"}
