@@ -1,0 +1,87 @@
+"""Physical-plan properties: the 100 TB contract.
+
+Correct rows are necessary; these tests pin the plan SHAPE — pushdown,
+column pruning, broadcast joins, partition pruning, codegen — so a
+regression fails loudly instead of shipping a full scan.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+
+from kamodo_dask_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_partition_filters,
+    assert_pushed_filters,
+    has_wholestage_codegen,
+    read_schema_columns,
+)
+from kamodo_dask_spark.queries import QUERIES
+from kamodo_dask_spark.sources.sinks import (
+    read_partitioned_grid,
+    time_range_scan,
+    write_partitioned_grid,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_slab_filter_pushdown_and_pruning(spark):
+    df = QUERIES["slab_filter"](spark, SF)
+    assert_pushed_filters(df, "l_quantity", "l_shipdate")
+    # column pruning: only the 5 referenced columns reach the scan
+    cols = set(read_schema_columns(df))
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"}
+    assert has_wholestage_codegen(df)
+
+
+def test_revenue_joins_are_broadcast(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF)
+    # nation + region explicitly broadcast (customer/orders may be too via AQE)
+    assert_broadcast_join(df, count=2)
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["pricing_summary"](spark, SF))
+    # map-side combine: a partial_ aggregate below the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partitioned_grid_roundtrip_and_pruning(spark, grid_dir, tmp_path):
+    """Write the grid time-partitioned, read a time range back: Catalyst must
+    prune partitions (the scalable replacement for filename manifests)."""
+    import warnings
+    from kamodo_dask_spark.grid.ingest import load_grid_range
+    from tests.conftest import GRID_START, N_FILES
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = load_grid_range(
+            spark,
+            f"{grid_dir}/",
+            GRID_START + timedelta(minutes=5),
+            GRID_START + timedelta(minutes=95),
+        )
+    out = str(tmp_path / "grid_partitioned")
+    write_partitioned_grid(df, out)
+
+    back = read_partitioned_grid(spark, out)
+    assert back.count() == df.count()
+
+    scan = time_range_scan(
+        spark, out, GRID_START + timedelta(minutes=20), GRID_START + timedelta(minutes=40)
+    )
+    assert_partition_filters(scan, "ts_date")
+    assert scan.select("time").distinct().count() == 3
