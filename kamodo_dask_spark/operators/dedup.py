@@ -176,14 +176,23 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     group_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
 
-    Inverted-index formulation: explode shingles, self-join on the shingle
-    hash (uniform key), count common shingles, then
-    ``J = common / (|A| + |B| - common)``. Optional ``group_col`` restricts
-    pairs to equal groups (e.g. same language) — both a semantic guard and a
-    join-key extension that shrinks the shuffle.
+    Group-join inverted-index formulation: explode shingles, group the doc
+    list per shingle hash, emit all within-bucket ordered pairs JVM-side
+    (nested ``transform``/``slice``), count per pair, then
+    ``J = common / (|A| + |B| - common)``. One token-scale shuffle plus one
+    pair-scale shuffle — vs three for the naive self-join — and the shingle
+    pipeline runs once.
+
+    ``group_col`` restricts pairs to equal groups (e.g. same language).
+    ``max_df`` drops shingles appearing in more than that many docs
+    ("stop-shingles"): bounds the per-bucket quadratic pair fan-out under
+    Zipfian shingle frequencies (an exploded bucket can't be split by AQE).
+    NB: max_df changes semantics (Jaccard over the filtered shingle sets) —
+    leave None for exact results.
     """
     sh = df.select(
         F.col(id_col),
@@ -197,21 +206,34 @@ def jaccard_pairs(
         F.explode("_sh").alias("_s"),
     ).withColumn("_s", hash48(F.col("_s")))
 
-    a, b = tokens.alias("a"), tokens.alias("b")
-    join_cond = (F.col("a._s") == F.col("b._s")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    keys = ["_s"] + ([group_col] if group_col else [])
+    grouped = tokens.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct(id_col, "_size"))).alias("_ds")
     )
-    if group_col:
-        join_cond = join_cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-    common = (
-        a.join(b, join_cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._size").alias("size_a"),
-            F.col("b._size").alias("size_b"),
-        )
-        .agg(F.count("*").alias("common"))
+    if max_df is not None:
+        grouped = grouped.filter(F.size("_ds") <= max_df)
+
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ds"), i + F.lit(2), F.size(F.col("_ds")) - i - F.lit(1)),
+                        lambda y: F.struct(
+                            x[id_col].alias("id_a"),
+                            y[id_col].alias("id_b"),
+                            x["_size"].alias("size_a"),
+                            y["_size"].alias("size_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.*")
+
+    common = pairs.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+        F.count("*").alias("common")
     )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (

@@ -77,17 +77,26 @@ def extract_media_features(
     df: DataFrame,
     binary_col: str = "payload",
     use_fake_decoder: bool = True,
+    auto_repartition: bool = True,
 ) -> DataFrame:
     """Decode + feature-extract media blobs via Arrow-batched mapInPandas.
 
     The UDF sees pandas DataFrames of ~10k rows (Arrow batch), keeping
     per-row Python overhead amortized; output schema is the input plus the
-    ``FEATURES_SCHEMA`` fields. At cluster scale the stage parallelizes per
-    input split with zero shuffle.
+    ``FEATURES_SCHEMA`` fields.
+
+    Decode is CPU-bound Python, so parallelism = partition count: a
+    few-file input would otherwise run the whole corpus in one Python
+    worker. ``auto_repartition`` widens narrow inputs to the cluster's
+    default parallelism (one shuffle, amortized by the decode cost).
     """
     import pandas as pd
 
     decode = _decode_fake if use_fake_decoder else _decode_real
+    if auto_repartition:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     out_schema = T.StructType(list(df.schema.fields) + list(FEATURES_SCHEMA.fields))
 
     def batches(it):

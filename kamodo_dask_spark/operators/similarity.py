@@ -70,6 +70,40 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    With ``block_col`` (a cluster/label/bucket column) the self-join is an
+    equi-join within blocks — the standard blocked-dedup shape that keeps the
+    pair count ~N²/B instead of N². Without it this is a full cross self-join:
+    exact, but only for small corpora (use LSH bucketing as the block_col
+    producer at scale).
+    """
+    sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("_blk"))
+    base = df.select(*sel)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = (F.col("a._blk") == F.col("b._blk")) & cond
+        joined = a.join(b, cond)
+    else:
+        joined = a.join(b, cond)
+    scored = joined.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+    )
+    return scored.filter(F.col("score") >= threshold)
+
+
 def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
     """Sign bits of the vector against each hyperplane, packed into a bigint."""
     sig = F.lit(0).cast("bigint")

@@ -377,6 +377,177 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_event_types",
+    """
+    SELECT (ts::TIMESTAMP)::DATE AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, subset=types)
+    )
+    return out.select("day", *[F.col(t).cast("bigint").alias(t) for t in types])
+
+
+@register(
+    "running_user_totals",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+           round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_value
+    FROM events
+    """,
+)
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates + lag — the sessionization primitives."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_value"
+        ),
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           substr(p_name, 1, 8)                             AS name_prefix,
+           replace(p_type, 'PROMO', 'PROMOTIONAL')          AS type_full,
+           concat(p_brand, ':', p_type)                     AS brand_type,
+           length(p_name)                                   AS name_len
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PROMOTIONAL")).alias("type_full"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT c_custkey,
+           round(abs(c_acctbal), 2)        AS abs_bal,
+           ceil(c_acctbal)                 AS ceil_bal,
+           floor(c_acctbal)                AS floor_bal,
+           round(sqrt(abs(c_acctbal)), 6)  AS sqrt_bal,
+           c_custkey % 7                   AS mod7
+    FROM customer
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact scalar math only (abs/ceil/floor/sqrt/mod) — transcendental
+    functions (ln/exp/pow) are libm-dependent and not bit-portable."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs("c_acctbal"), 2).alias("abs_bal"),
+        F.ceil("c_acctbal").cast("double").alias("ceil_bal"),
+        F.floor("c_acctbal").cast("double").alias("floor_bal"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 6).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+    )
+
+
+@register(
+    "median_and_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)   AS median_qty,
+           round(stddev_samp(l_quantity), 4)          AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def median_and_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT o_orderpriority, count(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above_avg
+        FROM _orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_sq)
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    return s.join(
+        F.broadcast(asia_nations), s.s_nationkey == asia_nations.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # ---------------------------------------------------------------------------
 # Time-series operators (SURVEY §2.6 C4-C9, §2.9) on events
 # ---------------------------------------------------------------------------
@@ -709,6 +880,30 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "cosine_near_dups",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.2
+    """,
+)
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, blocked by the label column (the
+    cluster-blocked shape; threshold low enough to produce rows on random
+    test vectors)."""
+    from kamodo_dask_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.2, block_col="label")
 
 
 def _quality_sql() -> str:

@@ -40,6 +40,20 @@ def read_partitioned_grid(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("ts_date", "ts_hour")
 
 
+def write_grid_with_units(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a grid restoring the reference's ``name[units]`` column spelling
+    from StructField metadata (round-trip fidelity with kamodo-dask datasets,
+    kamodo_dask.py:329-332)."""
+    cols = []
+    for field in df.schema.fields:
+        units = (field.metadata or {}).get("units")
+        if units:
+            cols.append(F.col(field.name).alias(f"{field.name}[{units}]"))
+        else:
+            cols.append(F.col(field.name))
+    df.select(*cols).write.mode(mode).parquet(path)
+
+
 def time_range_scan(
     spark: SparkSession, path: str, start, end
 ) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): the interpolation kernel and the
+relational corner-join agree on arbitrary grids/points, and salted joins are
+equivalent to plain joins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from kamodo_dask_spark.grid.interpolate import nlinear_interp
+from kamodo_dask_spark.operators.skew import salted_join, two_phase_agg
+
+
+def sorted_axis(min_size=2, max_size=6):
+    return (
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=min_size,
+            max_size=max_size,
+            unique=True,
+        )
+        .map(sorted)
+        .map(np.array)
+    )
+
+
+@given(
+    ax=sorted_axis(),
+    vals_seed=st.integers(0, 2**32 - 1),
+    pts_seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_nlinear_1d_properties(ax, vals_seed, pts_seed):
+    rng = np.random.default_rng(vals_seed)
+    vals = rng.uniform(-10, 10, len(ax))
+    prng = np.random.default_rng(pts_seed)
+    pts = prng.uniform(ax[0], ax[-1], (20, 1))
+    out = nlinear_interp([ax], vals, pts, fill_value=np.nan)
+    # in-bounds points never get fill
+    assert not np.isnan(out).any()
+    # interpolation is bounded by the bracketing node values
+    for x, y in zip(pts[:, 0], out):
+        i = np.clip(np.searchsorted(ax, x, side="right") - 1, 0, len(ax) - 2)
+        lo, hi = sorted((vals[i], vals[i + 1]))
+        assert lo - 1e-9 <= y <= hi + 1e-9
+    # exact on nodes
+    node_out = nlinear_interp([ax], vals, ax.reshape(-1, 1), fill_value=np.nan)
+    np.testing.assert_allclose(node_out, vals, rtol=1e-12)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_nlinear_nd_matches_separable(seed):
+    """On a multilinear (separable, degree-1-per-axis) function the
+    interpolant must reproduce the function everywhere in the hull."""
+    rng = np.random.default_rng(seed)
+    d = rng.integers(1, 4)
+    axes = [np.sort(rng.uniform(-5, 5, rng.integers(2, 5))) for _ in range(d)]
+    while any(len(np.unique(a)) < len(a) for a in axes):
+        axes = [np.sort(rng.uniform(-5, 5, rng.integers(2, 5))) for _ in range(d)]
+    coefs = rng.uniform(-2, 2, d + 1)
+
+    def f(*coords):
+        return coefs[0] + sum(c * x for c, x in zip(coefs[1:], coords))
+
+    mesh = np.meshgrid(*axes, indexing="ij")
+    vals = f(*mesh)
+    pts = np.column_stack([rng.uniform(a[0], a[-1], 30) for a in axes])
+    out = nlinear_interp(axes, vals, pts, fill_value=np.nan)
+    expected = f(*[pts[:, k] for k in range(d)])
+    np.testing.assert_allclose(out, expected, rtol=1e-9, atol=1e-9)
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(300)], "k int, v double"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    plain = fact.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(fact, dim, on="k", salts=8).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_equals_plain_agg(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i % 5, float(i)) for i in range(1000)], "k int, v double")
+    plain = {r["k"]: (r["s"], r["n"]) for r in df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")).collect()}
+    two = {r["k"]: (r["v"], r["n"]) for r in two_phase_agg(
+        df, "k", {"v": "sum", "n": "count"}, salts=8).collect()}
+    for k in plain:
+        assert two[k][0] == pytest.approx(plain[k][0])
+        assert two[k][1] == plain[k][1]
+
+
+def test_units_roundtrip_through_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from kamodo_dask_spark.grid.model import normalize_measure_columns, units_of
+    from kamodo_dask_spark.sources.sinks import write_grid_with_units
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["lon", "rho[kg/m^3]"])
+    normalized = normalize_measure_columns(df)
+    out = str(tmp_path / "units_grid")
+    write_grid_with_units(normalized, out)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"lon", "rho[kg/m^3]"}  # spelling restored
+    renorm = normalize_measure_columns(back)
+    assert units_of(renorm, "rho") == "kg/m^3"  # and parses back
