@@ -207,10 +207,15 @@ def interpolate_points(
     )
 
     # Grid keyed by float64 corner coordinates (exact values — they came from
-    # the grid itself, so float equality is safe).
+    # the grid itself, so float equality is safe). NaN measures become
+    # fill_value BEFORE interpolation (kamodo_dask.py:334) — without nanvl a
+    # single NaN node would poison every cell touching it.
     grid_keyed = grid_df.select(
         *[_as_double(ax, grid_df).alias(f"_k_{ax}") for ax in axes],
-        *measures,
+        *[
+            F.nanvl(F.col(m).cast("double"), F.lit(float(fill_value))).alias(m)
+            for m in measures
+        ],
     )
 
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")

@@ -77,7 +77,7 @@ def extract_media_features(
     df: DataFrame,
     binary_col: str = "payload",
     use_fake_decoder: bool = True,
-    auto_repartition: bool = True,
+    auto_repartition: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract media blobs via Arrow-batched mapInPandas.
 
@@ -85,10 +85,12 @@ def extract_media_features(
     per-row Python overhead amortized; output schema is the input plus the
     ``FEATURES_SCHEMA`` fields.
 
-    Decode is CPU-bound Python, so parallelism = partition count: a
-    few-file input would otherwise run the whole corpus in one Python
-    worker. ``auto_repartition`` widens narrow inputs to the cluster's
-    default parallelism (one shuffle, amortized by the decode cost).
+    Decode is CPU-bound Python, so parallelism = partition count. Real
+    corpora arrive in many splits, so the stage parallelizes naturally; for
+    a narrow input with HEAVY per-row decode, set ``auto_repartition`` to
+    widen to default parallelism first. It is off by default because
+    spinning up N Python workers costs ~15s locally — far more than light
+    decode work on a small partition.
     """
     import pandas as pd
 

@@ -37,29 +37,38 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    impl: str = "matmul",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Broadcast the query set (it is small by definition of "query"), score
-    every corpus vector JVM-side, keep k per query with a window. One scan
-    of the corpus, one shuffle (by query_id for top-k) — at 1000 executors
-    this is the flat-scaling exact baseline.
+    ``impl='matmul'`` (default): broadcast the normalized query matrix,
+    score each Arrow batch of the corpus with one BLAS matmul, keep a
+    per-batch top-k, then a global windowed top-k. Selection uses the total
+    order (rounded score desc, neighbor_id asc), so batch-local top-k
+    composes EXACTLY into the global top-k, and the shuffle carries only
+    ``partitions × |Q| × k`` rows. Spark's array higher-order functions are
+    interpreted (not codegen'd) — dense float math belongs in numpy.
 
-    Ranking ties (identical scores) break by corpus id — deterministic.
+    ``impl='expr'``: pure-DataFrame fallback (broadcast crossJoin +
+    ``zip_with``/``aggregate`` dot products), useful where Python workers
+    are unavailable.
     """
     query_id_col = query_id_col or id_col
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
-    scored = F.broadcast(q).crossJoin(c)
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("score"),
-    )
+    if impl == "expr":
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        scored = F.broadcast(q).crossJoin(c)
+        if exclude_self:
+            scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("score"),
+        )
+    else:
+        scored = _matmul_scores(corpus, queries, k, id_col, vec_col, query_id_col, exclude_self)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -68,6 +77,64 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def _matmul_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Per-batch BLAS scoring + batch-local top-k (see cosine_topk)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        q_ids, q_mat = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(Xn @ q_mat.T, 6)  # (batch, |Q|)
+            rows = []
+            for j, qid in enumerate(q_ids):
+                s = S[:, j]
+                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+                cand_ids, cand_s = ids[mask], s[mask]
+                # total order: score desc, id asc → exact composition
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "score": cand_s[order],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, out_schema)
 
 
 def cosine_near_dup_pairs(
@@ -79,29 +146,52 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
 
-    With ``block_col`` (a cluster/label/bucket column) the self-join is an
-    equi-join within blocks — the standard blocked-dedup shape that keeps the
-    pair count ~N²/B instead of N². Without it this is a full cross self-join:
-    exact, but only for small corpora (use LSH bucketing as the block_col
-    producer at scale).
+    With ``block_col`` (a cluster/label/LSH-bucket column): applyInPandas per
+    block — one BLAS ``X·Xᵀ`` per block, upper triangle thresholded. The
+    standard blocked-dedup shape (pair count ~N²/B, each block one task).
+    Without ``block_col``: exact full self-join via ``zip_with`` expressions
+    — only for small corpora (produce a block_col with LSH at scale).
     """
-    sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
-    if block_col:
-        sel.append(F.col(block_col).alias("_blk"))
-    base = df.select(*sel)
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    if block_col:
-        cond = (F.col("a._blk") == F.col("b._blk")) & cond
-        joined = a.join(b, cond)
-    else:
-        joined = a.join(b, cond)
-    scored = joined.select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+    if block_col is None:
+        base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        a, b = base.alias("a"), base.alias("b")
+        scored = a.join(b, F.col("a._id") < F.col("b._id")).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        )
+        return scored.filter(F.col("score") >= threshold)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    return scored.filter(F.col("score") >= threshold)
+    thr = float(threshold)
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(Xn @ Xn.T, 6)
+        ia, ib = np.triu_indices(len(ids), 1)  # ids sorted → id_a < id_b
+        scores = S[ia, ib]
+        mask = scores >= thr
+        return pd.DataFrame(
+            {"id_a": ids[ia[mask]], "id_b": ids[ib[mask]], "score": scores[mask]}
+        )
+
+    return (
+        df.select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
+    )
 
 
 def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:

@@ -639,6 +639,47 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_session_counts",
+    """
+    WITH s AS (SELECT event_id AS session_id, user_id, ts::TIMESTAMP AS s_ts,
+                      ts::TIMESTAMP + INTERVAL 1 HOUR AS e_ts
+               FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click')
+    SELECT s.session_id, s.user_id, count(*) AS n_clicks
+    FROM s JOIN c ON s.user_id = c.user_id AND c.ts BETWEEN s.s_ts AND s.e_ts
+    GROUP BY 1, 2
+    """,
+)
+def interval_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketed equi-join (no nested loop): clicks landing
+    inside each signup's 1-hour session window, per user. Integer-µs bounds
+    keep boundary comparisons exact across engines."""
+    from kamodo_dask_spark.operators.rangejoin import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    sessions = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + hour_us).alias("e_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("c_us")
+    )
+    joined = interval_join(
+        clicks.withColumnRenamed("c_user", "user_id"),
+        sessions,
+        point_col="c_us",
+        start_col="s_us",
+        end_col="e_us",
+        on="user_id",
+        bucket_width=hour_us,
+    )
+    return joined.groupBy("session_id", "user_id").agg(F.count("*").alias("n_clicks"))
+
+
+@register(
     "interp_1d",
     """
     WITH ev AS (SELECT ts::TIMESTAMP AS ts, avg(value) AS value FROM events GROUP BY 1),

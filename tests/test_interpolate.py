@@ -125,16 +125,21 @@ def test_fill_value_for_out_of_bounds(spark, grid_df):
         assert row["v"] == -123.5
 
 
-def test_nan_grid_values_filled_before_interp(spark):
-    """NaN measures → fill_value pre-interpolation (kamodo_dask.py:334)."""
+@pytest.mark.parametrize("fn", [interpolate_points, interpolate_points_broadcast])
+def test_nan_grid_values_filled_before_interp(spark, fn):
+    """NaN measures → fill_value pre-interpolation (kamodo_dask.py:334),
+    on BOTH strategies — a NaN node must not poison neighboring cells."""
     rows = [
         (float(t), float(x), 1.0 if (t, x) != (0.0, 0.0) else float("nan"))
         for t, x in product([0.0, 1.0], [0.0, 1.0])
     ]
     g = spark.createDataFrame(rows, "time double, lon double, v double")
-    p = spark.createDataFrame([(0, 0.0, 0.0)], "point_id long, time double, lon double")
-    row = interpolate_points_broadcast(g, p, ("time", "lon"), ["v"], fill_value=0.0).collect()[0]
-    assert row["v"] == 0.0  # the NaN node was replaced by fill_value
+    p = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.5, 0.5)], "point_id long, time double, lon double"
+    )
+    out = {r["point_id"]: r["v"] for r in fn(g, p, ("time", "lon"), ["v"], fill_value=0.0).collect()}
+    assert out[0] == 0.0  # the NaN node itself reads as fill_value
+    assert out[1] == pytest.approx(0.75)  # neighbors blend fill, not NaN
 
 
 def test_gridded_eval_full_mesh(spark, grid_df):
