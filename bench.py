@@ -24,6 +24,52 @@ from kamodo_dask_spark.session import get_spark
 BENCH_QUERIES = list(QUERIES)
 
 
+def interp_micro(spark, n_points: int = 200_000) -> float:
+    """BASELINE.md interpolation micro-bench: the reference's canonical slab
+    shape (13 time × 17 lon × 10 lat × 7 h = 15,470 rows — 2 h of 10-min
+    files, test_parquet_load.py:99-104) interpolated at a deterministic
+    batch of query points. Returns seconds for the full batch."""
+    import numpy as np
+    import pandas as pd
+
+    from kamodo_dask_spark.grid.interpolate import interpolate_points_broadcast
+    from pyspark.sql import functions as F
+
+    t_ax = np.arange(13) * 600.0
+    lon_ax = np.linspace(0.0, 360.0, 17)
+    lat_ax = np.linspace(-90.0, 90.0, 10)
+    h_ax = np.arange(227500.0, 422501.0, 32500.0)
+    tt, lo, la, hh = np.meshgrid(t_ax, lon_ax, lat_ax, h_ax, indexing="ij")
+    grid_pdf = pd.DataFrame(
+        {
+            "time": tt.ravel(),
+            "lon": lo.ravel(),
+            "lat": la.ravel(),
+            "h": hh.ravel(),
+            "rho": 1.0 + 0.1 * lo.ravel() + 0.01 * la.ravel() + 1e-5 * hh.ravel(),
+        }
+    )
+    grid = spark.createDataFrame(grid_pdf)
+    # deterministic pseudo-random points, generated distributed (no RNG on
+    # the driver, no collect). Few fat partitions: the kernel is ~100ns/point,
+    # so python-worker startup dominates thin partitions.
+    n_parts = max(2, n_points // 50_000)
+    pts = spark.range(0, n_points, 1, n_parts).select(
+        F.col("id").alias("point_id"),
+        (F.pmod(F.hash(F.col("id") * 7 + 1), 7200) + F.lit(0.5)).cast("double").alias("time"),
+        (F.pmod(F.hash(F.col("id") * 7 + 2), 360)).cast("double").alias("lon"),
+        (F.pmod(F.hash(F.col("id") * 7 + 3), 180) - F.lit(90)).cast("double").alias("lat"),
+        (F.pmod(F.hash(F.col("id") * 7 + 4), 195000) + F.lit(227500)).cast("double").alias("h"),
+    )
+    axis_arrays = {"time": t_ax, "lon": lon_ax, "lat": lat_ax, "h": h_ax}
+    t0 = time.perf_counter()
+    out = interpolate_points_broadcast(
+        grid, pts, ("time", "lon", "lat", "h"), ["rho"], axis_arrays=axis_arrays
+    )
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -39,6 +85,8 @@ def run() -> dict:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["interp_micro_200k_points"] = round(interp_micro(spark), 3)
 
     total = round(sum(timings.values()), 3)
     return {

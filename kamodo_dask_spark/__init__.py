@@ -26,6 +26,14 @@ from kamodo_dask_spark.grid.interpolate import (
     nlinear_interp,
 )
 from kamodo_dask_spark.grid.registry import KamodoSpark
+from kamodo_dask_spark.grid.ingest import load_grid_range
+from kamodo_dask_spark.operators import (
+    asof_join,
+    cosine_topk,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
 
 __all__ = [
     "get_spark",
@@ -39,6 +47,12 @@ __all__ = [
     "gridded_eval",
     "nlinear_interp",
     "KamodoSpark",
+    "load_grid_range",
+    "asof_join",
+    "cosine_topk",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_candidates",
 ]
 
 __version__ = "0.1.0"

@@ -146,8 +146,9 @@ def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarra
     ]
     out_type = T.StructType(fields)
 
-    @F.pandas_udf(out_type)
-    def snap(*cols: pd.Series) -> pd.DataFrame:
+    # NB: no type hints — pandas_udf can't infer an eval type for a varargs
+    # signature; the explicit returnType + default SCALAR type suffice.
+    def _snap(*cols):
         data = {}
         local = bc.value
         for series, ax in zip(cols, axes_subset):
@@ -159,6 +160,8 @@ def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarra
             data[f"_hi_{ax}"] = hi
             data[f"_frac_{ax}"] = (x - lo) / (hi - lo)
         return pd.DataFrame(data)
+
+    snap = F.pandas_udf(_snap, out_type)
 
     packed = df.withColumn("_snap", snap(*[_as_double(ax, df) for ax in axes_subset]))
     for ax in axes_subset:
@@ -246,13 +249,15 @@ def interpolate_points_broadcast(
     axes: tuple[str, ...] = DEFAULT_AXES,
     measures: list[str] | None = None,
     fill_value: float = 0.0,
+    axis_arrays: dict[str, np.ndarray] | None = None,
 ) -> DataFrame:
     """Broadcast-slab strategy: dense ndarray on every executor, NumPy kernel
     over Arrow batches of points (I3a). Collect is ordered + cardinality
     checked — the explicit version of the reference's trusted reshape
-    (kamodo_dask.py:325,334)."""
+    (kamodo_dask.py:325,334). Pass ``axis_arrays`` when the axes are already
+    known to skip the per-axis distinct jobs."""
     measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
-    arrays = _axis_arrays(grid_df, axes)
+    arrays = axis_arrays or _axis_arrays(grid_df, axes)
     shape = tuple(len(arrays[ax]) for ax in axes)
     expected = int(np.prod(shape))
 

@@ -20,6 +20,15 @@ DEFAULT_AXES = ("time", "lon", "lat", "h")
 UNITS_RE = re.compile(r"(\w+)\[(.*?)\]")
 
 
+def coerce_numeric(col) -> Column:
+    """Null-on-error numeric coercion (F3; ``pd.to_numeric(errors='coerce')``,
+    kamodo_dask.py:136). Spark 4 runs ANSI mode by default, where a plain
+    cast THROWS on malformed strings — ``try_cast`` restores the reference's
+    coerce semantics explicitly."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.try_cast("double")
+
+
 def parse_units(column_name: str) -> tuple[str, str]:
     """``'rho[kg/m^3]' -> ('rho', 'kg/m^3')``; no-units names pass through."""
     m = UNITS_RE.match(column_name)

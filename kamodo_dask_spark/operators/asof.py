@@ -21,6 +21,7 @@ def asof_join(
     right_ts: str | None = None,
     direction: str = "backward",
     suffix: str = "_matched",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (backward; ``>=`` and earliest for forward),
@@ -28,7 +29,9 @@ def asof_join(
 
     Right payload columns are appended (suffixed on collision), plus
     ``{right_ts}{suffix}`` — the matched timestamp. Left rows with no match
-    keep NULLs.
+    keep NULLs. ``tolerance`` (same units as the ts columns, or an INTERVAL
+    expression for timestamps) nulls out matches farther than that from the
+    left timestamp — pandas ``merge_asof(tolerance=...)`` semantics.
     """
     on = [on] if isinstance(on, str) else list(on or [])
     right_ts = right_ts or left_ts
@@ -80,4 +83,20 @@ def asof_join(
         ],
         F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        gap = (
+            F.col(left_ts) - F.col(matched_ts)
+            if direction == "backward"
+            else F.col(matched_ts) - F.col(left_ts)
+        )
+        within = gap <= tolerance
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(within, F.col(out_names[c])).alias(out_names[c])
+                for c in payload
+            ],
+            F.when(within, F.col(matched_ts)).alias(matched_ts),
+        )
+    return out

@@ -764,10 +764,13 @@ def interp_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 17) / 4.0).alias("x3"),
         ((F.col("c_custkey") % 11) / 2.5).alias("x4"),
     )
-    ax = spark.range(1).select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("v"))
-    grid = ax.select(F.col("v").cast("double").alias("x1"))
-    for i in (2, 3, 4):
-        grid = grid.crossJoin(ax.select(F.col("v").cast("double").alias(f"x{i}")))
+    # dense 5^4 mesh decoded from a single range — one stage, no crossJoins
+    grid = spark.range(5**4).select(
+        ((F.col("id") / 125).cast("long") % 5).cast("double").alias("x1"),
+        ((F.col("id") / 25).cast("long") % 5).cast("double").alias("x2"),
+        ((F.col("id") / 5).cast("long") % 5).cast("double").alias("x3"),
+        (F.col("id") % 5).cast("double").alias("x4"),
+    )
     grid = grid.withColumn(
         "val",
         F.lit(1.0)

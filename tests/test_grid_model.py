@@ -17,6 +17,17 @@ from kamodo_dask_spark.grid.model import (
 )
 
 
+def test_coerce_numeric_null_on_error(spark):
+    """F3 parity: malformed values coerce to NULL (the reference's
+    pd.to_numeric(errors='coerce')); a plain cast would THROW under Spark 4's
+    default ANSI mode."""
+    from kamodo_dask_spark.grid.model import coerce_numeric
+
+    df = spark.createDataFrame([("12.5",), ("oops",), (None,)], "h string")
+    vals = [r[0] for r in df.select(coerce_numeric("h")).collect()]
+    assert vals == [12.5, None, None]
+
+
 def test_parse_units_roundtrip():
     """name[units] micro-schema (kamodo_dask.py:329-332)."""
     assert parse_units("rho[kg/m^3]") == ("rho", "kg/m^3")
