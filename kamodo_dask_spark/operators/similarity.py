@@ -194,6 +194,117 @@ def cosine_near_dup_pairs(
     )
 
 
+def _kmeans_lite(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample — the IVF
+    coarse quantizer. Plain Lloyd iterations in numpy; empty clusters re-seed
+    from the least-covered points."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+            else:
+                C[j] = X[rng.integers(len(X))]
+    return C
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 50_000,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the classic ANN scale
+    path: train a coarse quantizer on a bounded sample, assign every corpus
+    vector to its nearest centroid cell (one matmul pass, no shuffle), then
+    answer each query by exact-rescoring only the ``n_probe`` nearest cells.
+
+    Scan fraction ≈ n_probe / n_centroids regardless of corpus size; the
+    candidate fetch is an equi-join on the cell id (uniform-ish after
+    k-means). Deterministic: fixed seed + hash-sampled training set.
+    Recall is tuned by n_probe (n_probe == n_centroids → exact).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # 1. train the quantizer on a deterministic hash-sample (bounded driver
+    # memory at any corpus size)
+    total = corpus.count()
+    rate = max(1, total // train_sample)
+    sample_pdf = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.hash(F.col(id_col)), F.lit(rate)) == 0)
+        .toPandas()
+    )
+    Xs = np.vstack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    C = _kmeans_lite(Xs, n_centroids, iters=10, seed=seed)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+    # 2. cell assignment — mapInPandas, zero shuffle
+    assign_schema = T.StructType(
+        list(corpus.select(id_col, vec_col).schema.fields)
+        + [T.StructField("_cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            out = pdf.copy()
+            out["_cell"] = np.argmax(Xn @ cents.T, axis=1).astype("int32")
+            yield out
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    # 3. probe lists per query (queries are small — driver-side)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), [float(x) for x in vec], int(cell))
+        for qid, vec, cells in zip(qpdf[id_col], qpdf[vec_col], probe_cells)
+        for cell in cells
+    ]
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, _qvec array<double>, _cell int"
+    )
+
+    # 4. candidates = corpus rows in probed cells; exact rescore + top-k
+    cand = F.broadcast(probes).join(assigned, on="_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col(id_col))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
     """Sign bits of the vector against each hyperplane, packed into a bigint."""
     sig = F.lit(0).cast("bigint")

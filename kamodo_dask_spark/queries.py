@@ -378,6 +378,80 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_parse",
+    """
+    SELECT regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.groupBy(
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS age_days,
+           (o_orderdate + INTERVAL 90 DAY)::TIMESTAMP AS due_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("age_days"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(round(c_acctbal, 2), 5000.0) AS bal_cap
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias("segment"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least(F.round("c_acctbal", 2), F.lit(5000.0)).alias("bal_cap"),
+    )
+
+
+@register(
+    "string_agg_per_nation",
+    """
+    SELECT s_nationkey AS nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM supplier GROUP BY 1
+    """,
+)
+def string_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers")
+    )
+
+
+@register(
     "pivot_event_types",
     """
     SELECT (ts::TIMESTAMP)::DATE AS day,

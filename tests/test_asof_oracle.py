@@ -1,0 +1,68 @@
+"""asof_join vs pandas merge_asof: property-based cross-validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from kamodo_dask_spark.operators.asof import asof_join
+
+
+@given(seed=st.integers(0, 2**32 - 1), tol=st.sampled_from([None, 5.0, 50.0]))
+@settings(max_examples=12, deadline=None)
+def test_asof_backward_matches_pandas(spark, seed, tol):
+    rng = np.random.default_rng(seed)
+    n_left, n_right = rng.integers(1, 40), rng.integers(0, 40)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_left),
+            "ts": np.sort(rng.uniform(0, 1000, n_left)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_right),
+            "ts": rng.uniform(0, 1000, n_right),
+            "v": rng.normal(size=n_right),
+        }
+    )
+    # merge_asof requires unique, sorted keys; drop ts duplicates per key
+    right = right.drop_duplicates(subset=["k", "ts"]).sort_values("ts")
+    left = left.sort_values("ts")
+
+    expected = pd.merge_asof(
+        left,
+        right.rename(columns={"ts": "ts_matched"}),
+        left_on="ts",
+        right_on="ts_matched",
+        by="k",
+        direction="backward",
+        tolerance=tol,
+    )
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = (
+        asof_join(sl, sr, on="k", left_ts="ts", tolerance=tol)
+        .toPandas()
+        .sort_values(["ts", "k"])
+        .reset_index(drop=True)
+    )
+    expected = expected.sort_values(["ts", "k"]).reset_index(drop=True)
+
+    assert len(got) == len(expected)
+    for col in ("v", "ts_matched"):
+        g, e = got[col].to_numpy(), expected[col].to_numpy()
+        both_nan = pd.isna(g) & pd.isna(e)
+        close = np.isclose(
+            pd.to_numeric(got[col], errors="coerce"),
+            pd.to_numeric(expected[col], errors="coerce"),
+            rtol=1e-12,
+            equal_nan=False,
+        )
+        assert (both_nan | close).all(), (
+            f"{col} mismatch (seed={seed}, tol={tol}):\n"
+            f"{pd.DataFrame({'got': g, 'exp': e})[~(both_nan | close)]}"
+        )

@@ -115,6 +115,32 @@ def test_cosine_topk(vectors):
     assert rows[0]["score"] > 0.99
 
 
+def test_ivf_cosine_topk_recall(spark):
+    """IVF ANN: high recall vs the exact baseline on clustered data, and
+    deterministic across runs."""
+    import numpy as np
+    from kamodo_dask_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter("vec_id IN (0, 45, 90)")
+    exact = cosine_topk(df, queries, k=5)
+    approx = ivf_cosine_topk(df, queries, k=5, n_centroids=8, n_probe=3, seed=1)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall {recall}"
+    # deterministic
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_cosine_topk(df, queries, k=5, n_centroids=8, n_probe=3, seed=1).collect()}
+    assert again == approx_set
+
+
 def test_lsh_cosine_topk_recalls_near_neighbor(spark):
     import numpy as np
 

@@ -57,6 +57,78 @@ def test_stream_grid_files_windowed(spark, grid_dir):
         assert r["min_T[K]"] is not None
 
 
+def test_late_file_dropped_by_watermark(spark, tmp_path):
+    """A file whose timestamp falls behind the watermark when it arrives is
+    excluded from finalized windows (the late-data contract). Two triggers
+    share one checkpoint: trigger 1 advances the watermark; trigger 2
+    delivers a too-late file plus a fresh one."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2024, 3, 1)
+
+    def write_file(minutes: int, second_offset: int = 0):
+        ts = base + timedelta(minutes=minutes, seconds=second_offset)
+        pq.write_table(
+            pa.table(
+                {
+                    "lon": np.array([0.0, 1.0]),
+                    "lat": np.array([0.0, 1.0]),
+                    "h": np.array([1.0, 2.0]),
+                    "rho[kg/m^3]": np.array([1.0, 2.0]),
+                    "T[K]": np.array([1.0, 2.0]),
+                }
+            ),
+            src / f"{ts.strftime('%Y-%m-%dT%H-%M-%S')}.parquet",
+        )
+
+    sink = str(tmp_path / "late_sink")
+
+    def run_trigger():
+        stream = stream_grid_files(spark, str(src), GRID_SCHEMA)
+        stats = stream_windowed_stats(stream, ts_col="time", window="10 minutes",
+                                      watermark="20 minutes")
+        q = (
+            stats.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # trigger 1: files at 00:00..01:00 → watermark advances to 00:40
+    for m in range(0, 70, 10):
+        write_file(m)
+    run_trigger()
+    first = {r["window_start"] for r in spark.read.parquet(sink).collect()}
+    assert base + timedelta(minutes=0) in first
+
+    # trigger 2: a NEW file whose event time (00:10:01, from its filename)
+    # falls behind the 00:40 watermark — its rows are late and must not
+    # reopen the finalized 00:10 window — plus a fresh file at 01:50
+    late_ts = base + timedelta(minutes=10)
+    write_file(10, second_offset=1)  # new filename, late event time
+    write_file(110)                  # fresh file far ahead
+    run_trigger()
+    rows = spark.read.parquet(sink).select("window_start", "n_rows").collect()
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r["window_start"], []).append(r["n_rows"])
+    # the 00:10 window was finalized in trigger 1 with 2 rows; the late
+    # arrival must NOT re-emit or grow it
+    assert by_start[late_ts] == [2]
+    # the fresh 01:50 file's window is still open (held by the watermark)
+    assert base + timedelta(minutes=110) not in by_start
+
+
 def test_slab_refresher_foreachbatch(spark, grid_dir, tmp_path):
     """End-to-end streaming interpolator refresh: stream files → slab store →
     rebuilt registry answers the flagship query with correct values."""
