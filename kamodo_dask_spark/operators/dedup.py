@@ -42,6 +42,18 @@ def hash48(col, seed: int = 0, digits: int = _HASH_HEX_DIGITS) -> Column:
     return F.conv(F.substring(F.md5(seeded), 1, digits), 16, 10).cast("bigint")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to default parallelism before a
+    CPU-heavy expression stage (shingling + hashing). A one-file corpus
+    otherwise runs the whole pipeline on one core; the small-row shuffle is
+    noise next to the expression work. JVM-only stages — no Python-worker
+    spin-up concern (cf. multimodal's opt-in)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (lowest id) per exact text; hash-groupBy, no sort.
 
@@ -116,7 +128,7 @@ def minhash_signatures(
     so the shuffle carries k longs per document. This is the 100 TB shape.
     Output: (id_col, m0..m{k-1}). Docs with no shingles drop out.
     """
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
     ).withColumn("_h", hash48(F.col("_s"), digits=10))
     aggs = [
@@ -194,7 +206,7 @@ def jaccard_pairs(
     NB: max_df changes semantics (Jaccard over the filtered shingle sets) —
     leave None for exact results.
     """
-    sh = df.select(
+    sh = _widen(df).select(
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
@@ -273,7 +285,7 @@ def simhash_fingerprints_agg(
     for real workloads — Catalyst re-inlines the per-bit ``aggregate`` in the
     expression form, recomputing every shingle hash ``bits`` times.
     Docs with no shingles drop out (mirrors the SQL oracle's unnest)."""
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
     ).withColumn("_h", hash48(F.col("_s")))
     aggs = [

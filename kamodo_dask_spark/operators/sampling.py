@@ -1,0 +1,58 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Splits must be a pure function of the row key — reproducible across runs,
+engines, and cluster sizes (``rand()`` is none of those). The bucket is an
+md5-derived integer, so the DuckDB oracle reproduces assignments exactly and
+a re-run on different hardware yields the same split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Bucket space for split assignment; 10k buckets → 0.01% weight granularity.
+_BUCKETS = 10_000
+
+
+def split_bucket(col) -> Column:
+    """Deterministic bucket in [0, 10000) from a key column (md5-derived)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % _BUCKETS
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashed key.
+
+    ``weights`` maps split name → fraction (must sum to ~1). Assignment is
+    per-key: the same key always lands in the same split, so a document and
+    all its derived rows co-travel — the property random sampling lacks.
+    Zero shuffles: a pure projection.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by hashed key — the
+    repeatable alternative to ``df.sample()`` (stable under retries,
+    re-runs, and engine changes)."""
+    return df.filter(split_bucket(F.col(key_col)) < int(round(fraction * _BUCKETS)))

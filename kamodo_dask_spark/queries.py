@@ -1024,6 +1024,30 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.2, block_col="label")
 
 
+@register(
+    "dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — reproducible across
+    engines, runs, and cluster sizes (vs rand()-based sampling)."""
+    from kamodo_dask_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
 def _quality_sql() -> str:
     stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     return f"""
