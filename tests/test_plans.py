@@ -59,6 +59,18 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_nested_loop_joins_anywhere(spark, name):
+    """Catalog-wide sweep: no query may plan a BroadcastNestedLoopJoin or
+    CartesianProduct — the plans that silently turn O(N) into O(N·M) at
+    scale. (Intentional tiny cross joins would need an explicit allowlist.)"""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested loop:\n{plan}"
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
+
+
 def test_partitioned_grid_roundtrip_and_pruning(spark, grid_dir, tmp_path):
     """Write the grid time-partitioned, read a time range back: Catalyst must
     prune partitions (the scalable replacement for filename manifests)."""

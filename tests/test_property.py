@@ -72,6 +72,47 @@ def test_nlinear_nd_matches_separable(seed):
     np.testing.assert_allclose(out, expected, rtol=1e-9, atol=1e-9)
 
 
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_jaccard_pairs_match_bruteforce(spark, seed):
+    """jaccard_pairs (group-join inverted index) vs a direct python
+    computation of shingle-set Jaccard on random word-soup docs."""
+    from itertools import combinations
+
+    from kamodo_dask_spark.operators.dedup import jaccard_pairs
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = []
+    for i in range(rng.integers(2, 10)):
+        n_words = rng.integers(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab, n_words))))
+
+    def sh(text, n=3):
+        ws = [w for w in text.lower().split() if w]
+        if len(ws) <= n:
+            # mirrors the operator: short docs yield one (possibly empty) gram
+            return {" ".join(ws)}
+        return set(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+
+    expected = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = sh(ta), sh(tb)
+        common = len(sa & sb)
+        if common == 0:
+            continue
+        j = round(common / (len(sa) + len(sb) - common), 6)
+        if j >= 0.3:
+            expected[(min(ia, ib), max(ia, ib))] = j
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert got == pytest.approx(expected)
+
+
 def test_salted_join_equals_plain_join(spark):
     fact = spark.createDataFrame(
         [(i % 3, float(i)) for i in range(300)], "k int, v double"
