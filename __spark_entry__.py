@@ -15,7 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Executor Python workers fork from the driver's ENV, not its sys.path —
+# PYTHONPATH makes the package importable inside pandas-UDF workers when the
+# harness runs from an arbitrary cwd.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from kamodo_dask_spark.queries import ORACLES, QUERIES  # noqa: E402
 

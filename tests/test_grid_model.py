@@ -17,6 +17,34 @@ from kamodo_dask_spark.grid.model import (
 )
 
 
+def test_timestamp_floor_ceil_boundaries(spark):
+    """C6 parity (Timestamp.floor/ceil('10T'), kamodo_dask.py:191-192):
+    on-boundary values are fixed points; off-boundary round outward."""
+    from datetime import datetime, timedelta
+
+    from kamodo_dask_spark.functions.time import (
+        ceil_datetime,
+        ceil_timestamp,
+        floor_datetime,
+        floor_timestamp,
+    )
+
+    freq = timedelta(minutes=10)
+    on = datetime(2024, 3, 1, 0, 20, 0)
+    off = datetime(2024, 3, 1, 0, 23, 45)
+    assert floor_datetime(on, freq) == on and ceil_datetime(on, freq) == on
+    assert floor_datetime(off, freq) == datetime(2024, 3, 1, 0, 20)
+    assert ceil_datetime(off, freq) == datetime(2024, 3, 1, 0, 30)
+
+    df = spark.createDataFrame([(on,), (off,)], "ts timestamp")
+    rows = df.select(
+        floor_timestamp("ts").alias("f"), ceil_timestamp("ts").alias("c")
+    ).collect()
+    assert rows[0]["f"] == on and rows[0]["c"] == on
+    assert rows[1]["f"] == datetime(2024, 3, 1, 0, 20)
+    assert rows[1]["c"] == datetime(2024, 3, 1, 0, 30)
+
+
 def test_coerce_numeric_null_on_error(spark):
     """F3 parity: malformed values coerce to NULL (the reference's
     pd.to_numeric(errors='coerce')); a plain cast would THROW under Spark 4's
