@@ -64,13 +64,13 @@ def grid_axes(df: DataFrame, axes: tuple[str, ...] = DEFAULT_AXES) -> dict[str, 
     """Distinct sorted coordinate values per axis (A3; ``df.index.levels``,
     kamodo_dask.py:316-317). Axes are small by construction (their cardinality
     product equals the dense-grid row count), so collecting them to the driver
-    is safe even for a 100 TB grid table. One job per axis, each a
-    partial-aggregated distinct."""
-    out = {}
-    for ax in axes:
-        rows = df.select(ax).distinct().orderBy(ax).collect()
-        out[ax] = [r[0] for r in rows]
-    return out
+    is safe even for a 100 TB grid table. ONE job for all axes — a
+    partial-aggregated ``collect_set`` per axis in a single pass, sorted on
+    the driver."""
+    row = df.agg(
+        *[F.collect_set(ax).alias(ax) for ax in axes]
+    ).collect()[0]
+    return {ax: sorted(row[ax]) for ax in axes}
 
 
 def grid_bounds(df: DataFrame, axes: tuple[str, ...] = DEFAULT_AXES) -> dict[str, tuple]:
