@@ -255,6 +255,52 @@ def jaccard_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The production near-dup cascade: MinHash+LSH candidate generation,
+    then exact shingle-Jaccard verification ON CANDIDATES ONLY.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs with J >= threshold —
+    i.e. ``jaccard_pairs`` minus pairs LSH missed (recall controlled by
+    k/bands vs threshold). This is the shape that scales: candidate count is
+    ~linear in corpus size, and the quadratic verify work touches only
+    bucket-collided pairs.
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    sh = _widen(df).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).withColumn("_size", F.size("_sh"))
+    tokens = sh.select(id_col, "_size", F.explode("_sh").alias("_s")).withColumn(
+        "_s", hash48(F.col("_s"))
+    )
+    a = tokens.select(
+        F.col(id_col).alias("id_a"), F.col("_size").alias("size_a"), "_s"
+    )
+    b = tokens.select(
+        F.col(id_col).alias("id_b"), F.col("_size").alias("size_b"), "_s"
+    )
+    # semi-restrict both token streams to candidate docs before the join
+    common = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "_s"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(col, bits: int = 48, shingle_n: int = 1) -> Column:
     """SimHash: sign-aggregate each bit of the shingle hashes into a single
     ``bits``-wide integer fingerprint. Hamming-close fingerprints ⇒ similar

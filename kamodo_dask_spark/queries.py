@@ -954,6 +954,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs, k=16, bands=4, shingle_n=3)
 
 
+def _near_dup_oracle(k: int = 16, bands: int = 4, threshold: float = 0.35) -> str:
+    r = k // bands
+    consts = _lcg_constants(k)
+    mins = ", ".join(
+        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        f"md5(concat_ws(',', {', '.join(f'm{b * r + j}' for j in range(r))})) AS band_hash "
+        f"FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
+    tok_h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 10))::BIGINT AS hv
+              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+    sig AS (SELECT doc_id, {mins} FROM tok_h GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             FROM bands a JOIN bands b2
+               ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+    tok AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    common AS (
+      SELECT c.id_a, c.id_b, ta.sz AS sa, tb.sz AS sb, count(*) AS common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.g = ta.g
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(common / (sa + sb - common), 6) AS jaccard
+    FROM common
+    WHERE round(common / (sa + sb - common), 6) >= {threshold}
+    """
+
+
+@register("near_dup_cascade", _near_dup_oracle())
+def near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup shape: LSH candidates → exact Jaccard verify on
+    candidates only (subquadratic end to end)."""
+    from kamodo_dask_spark.operators.dedup import near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)

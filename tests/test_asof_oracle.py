@@ -42,8 +42,8 @@ def test_asof_backward_matches_pandas(spark, seed, tol):
         tolerance=tol,
     )
 
-    sl = spark.createDataFrame(left)
-    sr = spark.createDataFrame(right)
+    sl = spark.createDataFrame(left, "k long, ts double")
+    sr = spark.createDataFrame(right, "k long, ts double, v double")
     got = (
         asof_join(sl, sr, on="k", left_ts="ts", tolerance=tol)
         .toPandas()
