@@ -147,6 +147,12 @@ def run() -> dict:
     # spawn (~0.5 s/worker × cores) would otherwise be billed to whichever
     # query runs first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the FileSystem listing + footer caches for every input table so
+    # directory listing isn't billed to whichever query touches it first.
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).schema
     import pandas as _pd
 
     def _ident(it):
