@@ -40,6 +40,13 @@ from kamodo_dask_spark.grid.model import DEFAULT_AXES, grid_axes
 #: dominate; switch to an Arrow-batched binary-search snap.
 _LITERAL_AXIS_MAX = 2048
 
+#: A dense slab with at most this many rows (= product of axis cardinalities)
+#: gets an explicit broadcast hint on the corner join: the size is provable at
+#: plan time, so there is no reason to plan a shuffle exchange and wait for
+#: AQE's runtime broadcast conversion. ~1M rows of (d doubles + measures)
+#: is well under the 8GB broadcast ceiling.
+_BROADCAST_GRID_MAX_ROWS = 1_000_000
+
 
 def nlinear_interp(
     axes: list[np.ndarray],
@@ -221,6 +228,13 @@ def interpolate_points(
         ],
     )
 
+    # Dense-grid row count is provable at plan time (∏ axis cardinalities, an
+    # upper bound for partial slabs) — hint broadcast for small slabs instead
+    # of planning a shuffle and waiting for AQE's runtime conversion. Large
+    # slabs stay a hash join on near-uniform corner keys; AQE still applies.
+    max_rows = int(np.prod([len(arrays[ax]) for ax in axes]))
+    if max_rows <= _BROADCAST_GRID_MAX_ROWS:
+        grid_keyed = F.broadcast(grid_keyed)
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
 
     aggs = []

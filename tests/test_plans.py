@@ -59,6 +59,14 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_small_slab_corner_join_is_broadcast(spark):
+    """The corner join hints broadcast at PLAN time when the dense-slab row
+    bound (∏ axis cardinalities) is provably small — no planned shuffle
+    exchange waiting for AQE's runtime conversion."""
+    df = QUERIES["interp_4d"](spark, SF)
+    assert_broadcast_join(df, count=1)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_nested_loop_joins_anywhere(spark, name):
     """Catalog-wide sweep: no query may plan a BroadcastNestedLoopJoin or
