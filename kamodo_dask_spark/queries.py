@@ -661,6 +661,65 @@ def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS slot, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 as an oracle-checked entry: the same tumbling-window
+    aggregation as ``tumbling_1h``, but executed through a REAL Structured
+    Streaming round trip — file source → windowed agg → complete-mode memory
+    sink, ``Trigger.AvailableNow``. Complete output over a finite source
+    equals the batch aggregation, which is what makes streaming execution
+    DuckDB-checkable. (Append mode + watermark is the unbounded-stream shape
+    — tested in test_streaming.py — but would withhold unclosed windows
+    here.) The events fixture stores nanosecond timestamps: the stream reads
+    them as raw nanos (``nanosAsLong``) and truncates to µs like
+    ``read_events``."""
+    from pyspark.sql import types as T
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw nanos via nanosAsLong
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # a glob, not the bare file: the file source requires its basePath (the
+    # non-glob prefix) to be a directory
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+    )
+    qname = "streaming_tumbling_1h_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
     "dense_time_grid",
     """
     WITH slots AS (
