@@ -47,6 +47,15 @@ _LITERAL_AXIS_MAX = 2048
 #: is well under the 8GB broadcast ceiling.
 _BROADCAST_GRID_MAX_ROWS = 1_000_000
 
+#: Below this dense-slab row bound, ``interpolate_points(strategy="auto")``
+#: skips the corner join entirely: collect the slab once, broadcast the dense
+#: ndarray, and evaluate the NumPy kernel map-side over the points — ZERO
+#: exchanges in the plan (no corner explode, no join, no group-by). A 200k-row
+#: slab of doubles is a few MB — cheaper to ship to every executor than to
+#: shuffle the (16× exploded) point stream. The reference's canonical
+#: 13×17×10×7 workload (~15k rows) is deep inside this regime.
+_FUSED_SLAB_MAX_ROWS = 200_000
+
 
 def nlinear_interp(
     axes: list[np.ndarray],
@@ -99,10 +108,9 @@ def _axis_arrays(grid_df: DataFrame, axes: tuple[str, ...]) -> dict[str, np.ndar
 
 
 def _as_double(ax: str, df: DataFrame) -> F.Column:
-    """Axis coordinate as float64; timestamps become epoch seconds (the
-    reference's ``v.value/1e9``, kamodo_dask.py:309)."""
-    if dict(df.dtypes).get(ax) == "timestamp":
-        return F.col(ax).cast("double")
+    """Axis coordinate as float64. A single cast covers every axis type:
+    Spark's timestamp→double IS epoch seconds (the reference's
+    ``v.value/1e9``, kamodo_dask.py:309), and numerics widen losslessly."""
     return F.col(ax).cast("double")
 
 
@@ -177,6 +185,85 @@ def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarra
     return packed.drop("_snap")
 
 
+def _collect_dense_slab(
+    grid_df: DataFrame,
+    axes: tuple[str, ...],
+    measures: list[str],
+    arrays: dict[str, np.ndarray],
+    fill_value: float,
+):
+    """Ordered driver collect of the slab as dense ndarrays.
+
+    Returns ``(axis_list, slabs)`` or ``None`` when the grid is not dense
+    (row count ≠ ∏ axis cardinalities) — the explicit version of the
+    reference's trusted reshape (kamodo_dask.py:325,334). NaN measures become
+    ``fill_value`` here, before interpolation."""
+    shape = tuple(len(arrays[ax]) for ax in axes)
+    expected = int(np.prod(shape))
+    ordered = (
+        grid_df.select(
+            *[_as_double(ax, grid_df).alias(ax) for ax in axes],
+            *[F.col(m).cast("double").alias(m) for m in measures],
+        )
+        .orderBy(*axes)
+        .toPandas()
+    )
+    if len(ordered) != expected:
+        return None
+    slabs = {
+        m: np.nan_to_num(ordered[m].to_numpy(np.float64), nan=fill_value).reshape(shape)
+        for m in measures
+    }
+    return [arrays[ax] for ax in axes], slabs
+
+
+def _fused_kernel_map(
+    points_df: DataFrame,
+    axes: tuple[str, ...],
+    measures: list[str],
+    axis_list: list[np.ndarray],
+    slabs: dict[str, np.ndarray],
+    fill_value: float,
+) -> DataFrame:
+    """Map-side interpolation: broadcast the dense slab, evaluate the NumPy
+    kernel per Arrow batch of points. Preserves the input point schema
+    exactly (timestamp axes convert to epoch seconds *inside* the kernel)
+    and appends one double column per measure — same output contract as the
+    corner join, zero exchanges in the plan."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    spark = points_df.sparkSession
+    bc = spark.sparkContext.broadcast((axis_list, slabs))
+    axes_l = list(axes)
+    fv = float(fill_value)
+    ts_axes = {ax for ax, t in points_df.dtypes if ax in axes_l and t == "timestamp"}
+    out_schema = T.StructType(
+        list(points_df.schema.fields) + [T.StructField(m, T.DoubleType()) for m in measures]
+    )
+
+    def eval_batches(batches):
+        ax_arrs, slab_map = bc.value
+        for pdf in batches:
+            cols = []
+            for ax in axes_l:
+                s = pdf[ax]
+                if ax in ts_axes:
+                    # datetime64[us] → epoch seconds (reference v.value/1e9)
+                    s = s.astype("datetime64[us]").astype("int64") / 1e6
+                cols.append(s.astype("float64").to_numpy())
+            pts = (
+                np.column_stack(cols)
+                if len(pdf)
+                else np.empty((0, len(axes_l)), dtype=np.float64)
+            )
+            res = pdf.copy()
+            for m in measures:
+                res[m] = nlinear_interp(ax_arrs, slab_map[m], pts, fv)
+            yield res
+
+    return points_df.mapInPandas(eval_batches, out_schema)
+
+
 def interpolate_points(
     grid_df: DataFrame,
     points_df: DataFrame,
@@ -184,16 +271,41 @@ def interpolate_points(
     measures: list[str] | None = None,
     fill_value: float = 0.0,
     axis_arrays: dict[str, np.ndarray] | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Multilinear interpolation as relational algebra (J1 + J2).
+    """Multilinear interpolation, strategy-selected at plan time.
 
     Output: the original point columns plus one double column per measure.
-    Duplicate point rows merge in the final group-by — include a unique
-    ``point_id`` column when duplicates are possible.
+
+    ``strategy``:
+
+    - ``"auto"`` (default): when the dense-slab row bound (∏ axis
+      cardinalities) is ≤ :data:`_FUSED_SLAB_MAX_ROWS`, collect + broadcast
+      the slab and evaluate the NumPy kernel map-side — a plan with ZERO
+      exchanges. Non-dense slabs (collect finds fewer rows than the bound)
+      fall back to the corner join, whose coverage accounting turns missing
+      corners into ``fill_value``. Large slabs always take the corner join.
+    - ``"corner"``: force the relational corner join (J1 + J2) — snap, 2^d
+      corner explode, equi-join, group-by. The grid never leaves the
+      executors; this is the 100 TB path.
+
+    Semantics note: the corner join merges duplicate point rows in its final
+    group-by; the fused path preserves them. Include a unique ``point_id``
+    column when duplicates are possible (then both paths agree).
     """
     measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
     arrays = axis_arrays or _axis_arrays(grid_df, axes)
     d = len(axes)
+
+    if strategy not in ("auto", "corner"):
+        raise ValueError(f"strategy must be auto|corner, got {strategy!r}")
+    dense_bound = int(np.prod([len(arrays[ax]) for ax in axes]))
+    if strategy == "auto" and dense_bound <= _FUSED_SLAB_MAX_ROWS:
+        collected = _collect_dense_slab(grid_df, axes, measures, arrays, fill_value)
+        if collected is not None:
+            axis_list, slabs = collected
+            return _fused_kernel_map(points_df, axes, measures, axis_list, slabs, fill_value)
+        # non-dense slab: the corner join's coverage accounting handles it
 
     point_cols = points_df.columns
     pts = _snap_columns(points_df, axes, arrays)
@@ -232,8 +344,7 @@ def interpolate_points(
     # upper bound for partial slabs) — hint broadcast for small slabs instead
     # of planning a shuffle and waiting for AQE's runtime conversion. Large
     # slabs stay a hash join on near-uniform corner keys; AQE still applies.
-    max_rows = int(np.prod([len(arrays[ax]) for ax in axes]))
-    if max_rows <= _BROADCAST_GRID_MAX_ROWS:
+    if dense_bound <= _BROADCAST_GRID_MAX_ROWS:
         grid_keyed = F.broadcast(grid_keyed)
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
 
@@ -248,7 +359,11 @@ def interpolate_points(
     # silent reshape corruption into defined behavior.
     out_cols = list(point_cols)
     for m in measures:
-        covered = F.abs(F.col(f"_cov_{m}") - F.lit(1.0)) < F.lit(1e-9)
+        # coalesce: zero corner support (all 2^d grid rows missing) leaves the
+        # conditional sum NULL — without it the when() below would propagate
+        # NULL instead of fill_value for those points.
+        cov = F.coalesce(F.col(f"_cov_{m}"), F.lit(0.0))
+        covered = F.abs(cov - F.lit(1.0)) < F.lit(1e-9)
         out_cols.append(
             F.when(F.col("_oob") | ~covered, F.lit(float(fill_value)))
             .otherwise(F.col(f"_v_{m}"))
@@ -275,25 +390,14 @@ def interpolate_points_broadcast(
     shape = tuple(len(arrays[ax]) for ax in axes)
     expected = int(np.prod(shape))
 
-    ordered = (
-        grid_df.select(
-            *[_as_double(ax, grid_df).alias(ax) for ax in axes],
-            *[F.col(m).cast("double").alias(m) for m in measures],
-        )
-        .orderBy(*axes)
-        .toPandas()
-    )
-    if len(ordered) != expected:
+    collected = _collect_dense_slab(grid_df, axes, measures, arrays, fill_value)
+    if collected is None:
+        n = grid_df.count()
         raise ValueError(
-            f"grid is not dense: {len(ordered)} rows != {expected} "
+            f"grid is not dense: {n} rows != {expected} "
             f"(= {' * '.join(map(str, shape))})"
         )
-    # NaN → fill_value before interpolation (kamodo_dask.py:334).
-    slabs = {
-        m: np.nan_to_num(ordered[m].to_numpy(np.float64), nan=fill_value).reshape(shape)
-        for m in measures
-    }
-    axis_list = [arrays[ax] for ax in axes]
+    axis_list, slabs = collected
     spark = grid_df.sparkSession
     bc = spark.sparkContext.broadcast((axis_list, slabs))
 

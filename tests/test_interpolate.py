@@ -97,12 +97,75 @@ def test_corner_join_matches_oracle(spark, grid_df):
     pts = query_points()
     got = {
         r["point_id"]: r["v"]
-        for r in interpolate_points(grid_df, _points_df(spark), AXES, ["v"]).collect()
+        for r in interpolate_points(
+            grid_df, _points_df(spark), AXES, ["v"], strategy="corner"
+        ).collect()
     }
     exp = oracle(pts)
     assert len(got) == len(pts)
     for p, e in zip(pts, exp):
         assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12), f"point {p}"
+
+
+def test_fused_auto_matches_oracle_and_plans_no_exchange(spark, grid_df):
+    """auto on a small dense slab takes the fused broadcast-map path: results
+    match the oracle AND the plan has zero exchanges (no join, no group-by)."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    pts = query_points()
+    out = interpolate_points(grid_df, _points_df(spark), AXES, ["v"])  # auto
+    plan = executed_plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    got = {r["point_id"]: r["v"] for r in out.collect()}
+    exp = oracle(pts)
+    assert len(got) == len(pts)
+    for p, e in zip(pts, exp):
+        assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12), f"point {p}"
+
+
+def test_fused_auto_falls_back_to_corner_on_sparse_slab(spark, grid_df):
+    """A non-dense slab (one grid row removed) must NOT take the fused path:
+    auto falls back to the corner join whose coverage accounting yields
+    fill_value for cells touching the hole — not an error, not NULL."""
+    hole_t, hole_lo, hole_la, hole_h = 600.0, 90.0, 30.0, 200.0
+    sparse = grid_df.filter(
+        ~(
+            (F.col("time") == hole_t)
+            & (F.col("lon") == hole_lo)
+            & (F.col("lat") == hole_la)
+            & (F.col("h") == hole_h)
+        )
+    )
+    import numpy as np
+
+    arrays = {"time": TIME_V, "lon": LON_V, "lat": LAT_V, "h": H_V}
+    pts_df = spark.createDataFrame(
+        [
+            (0, 650.0, 100.0, 25.0, 210.0),  # cell touches the hole → fill
+            (1, 60.0, 200.0, 50.0, 250.0),   # cell far from the hole → exact
+        ],
+        "point_id long, time double, lon double, lat double, h double",
+    )
+    out = {
+        r["point_id"]: r["v"]
+        for r in interpolate_points(
+            sparse, pts_df, AXES, ["v"], fill_value=-7.0, axis_arrays=arrays
+        ).collect()
+    }
+    assert out[0] == -7.0
+    exp = nlinear_interp(
+        [TIME_V, LON_V, LAT_V, H_V],
+        np.array(
+            [
+                [[[measure(t, lo, la, hh) for hh in H_V] for la in LAT_V] for lo in LON_V]
+                for t in TIME_V
+            ]
+        ),
+        np.array([[60.0, 200.0, 50.0, 250.0]]),
+        fill_value=-7.0,
+    )[0]
+    assert out[1] == pytest.approx(exp, rel=1e-9)
 
 
 def test_broadcast_matches_oracle(spark, grid_df):
@@ -120,12 +183,23 @@ def test_fill_value_for_out_of_bounds(spark, grid_df):
     pts_df = spark.createDataFrame(
         [(0, -5.0, 10.0, 0.0, 150.0)], "point_id long, time double, lon double, lat double, h double"
     )
-    for fn in (interpolate_points, interpolate_points_broadcast):
+    for fn in (
+        interpolate_points,
+        lambda *a, **kw: interpolate_points(*a, strategy="corner", **kw),
+        interpolate_points_broadcast,
+    ):
         row = fn(grid_df, pts_df, AXES, ["v"], fill_value=-123.5).collect()[0]
         assert row["v"] == -123.5
 
 
-@pytest.mark.parametrize("fn", [interpolate_points, interpolate_points_broadcast])
+@pytest.mark.parametrize(
+    "fn",
+    [
+        interpolate_points,
+        lambda *a, **kw: interpolate_points(*a, strategy="corner", **kw),
+        interpolate_points_broadcast,
+    ],
+)
 def test_nan_grid_values_filled_before_interp(spark, fn):
     """NaN measures → fill_value pre-interpolation (kamodo_dask.py:334),
     on BOTH strategies — a NaN node must not poison neighboring cells."""

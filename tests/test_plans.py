@@ -59,11 +59,41 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_small_slab_corner_join_is_broadcast(spark):
-    """The corner join hints broadcast at PLAN time when the dense-slab row
-    bound (∏ axis cardinalities) is provably small — no planned shuffle
+def test_small_slab_interp_is_fused_zero_exchange(spark):
+    """A provably small dense slab takes the fused broadcast-map path: the
+    whole interpolation is one mapInPandas over the point scan — ZERO
+    exchanges, zero joins, zero aggregates in the plan."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["interp_4d"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_corner_strategy_small_slab_is_broadcast(spark):
+    """When the corner join IS requested (strategy='corner'), a provably
+    small slab still gets the plan-time broadcast hint — no planned shuffle
     exchange waiting for AQE's runtime conversion."""
-    df = QUERIES["interp_4d"](spark, SF)
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import interpolate_points
+
+    grid = spark.range(5**2).select(
+        ((F.col("id") / 5).cast("long") % 5).cast("double").alias("x1"),
+        (F.col("id") % 5).cast("double").alias("x2"),
+    )
+    grid = grid.withColumn("val", F.lit(1.0) + F.col("x1") + 2 * F.col("x2"))
+    pts = spark.range(50).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 9) / 2.0).alias("x1"),
+        ((F.col("id") % 7) / 1.5).alias("x2"),
+    )
+    import numpy as np
+
+    arrays = {"x1": np.arange(5.0), "x2": np.arange(5.0)}
+    df = interpolate_points(
+        grid, pts, axes=("x1", "x2"), measures=["val"], axis_arrays=arrays, strategy="corner"
+    )
     assert_broadcast_join(df, count=1)
 
 
