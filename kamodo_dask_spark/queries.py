@@ -968,9 +968,12 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
     sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
     tok AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+    dfreq AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+    tok_f AS (SELECT t.doc_id, t.sz, t.g FROM tok t JOIN dfreq d ON t.g = d.g
+              WHERE d.df <= 100),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS common
-      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM tok_f a JOIN tok_f b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b, round(common / (sa + sb - common), 6) AS jaccard
     FROM pairs
@@ -978,8 +981,15 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard WITH the production stop-shingle guard
+    (``max_df=100``): shingles appearing in more docs are dropped from the
+    inverted index in BOTH engines, bounding the per-bucket quadratic pair
+    fan-out under Zipfian shingle frequencies (an exploded bucket can't be
+    split by AQE). Jaccard denominators stay the full shingle-set sizes.
+    For truly exact all-pairs semantics use :func:`near_dup_cascade`'s
+    verify stage, or ``jaccard_pairs(max_df=None)`` on a bounded corpus."""
     docs = read_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    return jaccard_pairs(docs, shingle_n=3, threshold=0.5, max_df=100)
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
