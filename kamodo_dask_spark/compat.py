@@ -38,6 +38,21 @@ from kamodo_dask_spark.sources.parquet import scan_grid_files
 
 TS_FORMAT = "%Y-%m-%dT%H:%M:%S"
 
+_SIZE_UNITS = {"": 1, "b": 1, "kb": 10**3, "mb": 10**6, "gb": 10**9,
+               "kib": 2**10, "mib": 2**20, "gib": 2**30}
+
+
+def _parse_partition_size(size) -> int:
+    """dask-style partition size → bytes: int passes through; strings accept
+    '128MB', '100 MiB', '1e8', case-insensitive."""
+    if isinstance(size, (int, float)):
+        return int(size)
+    s = str(size).strip().lower().replace(" ", "")
+    for unit in sorted(_SIZE_UNITS, key=len, reverse=True):
+        if unit and s.endswith(unit):
+            return int(float(s[: -len(unit)]) * _SIZE_UNITS[unit])
+    return int(float(s))
+
 
 def _session(client) -> SparkSession:
     if isinstance(client, SparkSession):
@@ -127,12 +142,18 @@ def parquet_to_ddf(
 
 
 def filter_partition(df: pd.DataFrame, h_range: tuple[float, float]) -> pd.DataFrame:
-    """Per-partition h-slab filter on a MultiIndex pandas frame
-    (kamodo_dask.py:134-147) — driver-side, for parity with
-    test_parquet_load.py's local variant."""
-    h = pd.to_numeric(df.index.get_level_values("h"), errors="coerce")
+    """Per-partition h-slab filter (kamodo_dask.py:134-147).
+
+    Accepts BOTH partition shapes: the reference's MultiIndex frames (``h``
+    as an index level) and this engine's column-shaped Arrow batches — so it
+    can be passed directly as ``df_from_parquet(filter_function=...)``, the
+    reference's ``test_parquet_load.py:67-68`` pattern."""
+    try:
+        h = pd.to_numeric(df.index.get_level_values("h"), errors="coerce")
+    except KeyError:
+        h = pd.to_numeric(df["h"], errors="coerce")
     h_min, h_max = h_range
-    return df[(h >= h_min) & (h <= h_max)]
+    return df[(np.asarray(h) >= h_min) & (np.asarray(h) <= h_max)]
 
 
 def _collect_multiindex(sdf: DataFrame) -> pd.DataFrame:
@@ -161,6 +182,11 @@ def df_from_parquet(
 
     ``filter_function`` (if given) is applied per Arrow batch — and actually
     honored, unlike the reference where the query branch overwrites it.
+    Each batch is presented with the reference's partition shape — a
+    ``(lon, lat, h)`` MultiIndex (kamodo_dask.py:178) — so filter functions
+    written against the reference (including :func:`filter_partition`
+    itself, test_parquet_load.py:67-68) port without modification; the
+    index is reset before the rows continue through the engine.
     """
     spark = _session(client)
     filenames, date_range = fetch_file_range(
@@ -170,13 +196,14 @@ def df_from_parquet(
         raise IOError(f"No files found matching query\n start: {start}\n end: {end}")
     sdf = parquet_to_ddf(filenames, spark=spark)
     if filter_function is not None:
-        import pandas as pd_mod
-
         schema = sdf.schema
+        col_order = sdf.columns
+        idx_cols = [c for c in ("lon", "lat", "h") if c in col_order]
 
         def batches(it):
             for pdf in it:
-                yield filter_function(pdf, h_range=(h_start, h_end))
+                out = filter_function(pdf.set_index(idx_cols), h_range=(h_start, h_end))
+                yield out.reset_index()[col_order]
 
         sdf = sdf.mapInPandas(batches, schema)
     else:
@@ -215,6 +242,11 @@ def df_from_dask(
     start_rounded = start.floor(round_time)
     end_rounded = end.ceil(round_time)
 
+    if h_values is None:
+        raise ValueError(
+            "h_values is required: pass the grid's h axis values so "
+            "[h_start, h_end] can be snapped outward to grid nodes"
+        )
     h_values = np.asarray(h_values)
     if h_values[h_values <= h_start].size > 0:
         closest_h_start = h_values[h_values <= h_start].max()
@@ -238,6 +270,15 @@ def df_from_dask(
     sdf = parquet_to_ddf(filenames, spark=spark, verbose=verbose)
     if npartitions is not None:
         sdf = sdf.repartition(npartitions)
+    elif partition_size is not None:
+        # dask repartition(partition_size=...) → Spark's split/coalesce
+        # sizing knobs (kamodo_dask.py:239-244): scans split at
+        # maxPartitionBytes, AQE coalesces shuffles toward the advisory size.
+        nbytes = _parse_partition_size(partition_size)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(nbytes))
+        if verbose:
+            print(f"partition size target set to {nbytes} bytes")
     sdf = sdf.filter(F.col("h").between(float(closest_h_start), float(closest_h_end)))
 
     from kamodo_dask_spark.sources.parquet import with_file_timestamp

@@ -57,18 +57,25 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
 
+    # (_ts, _side) alone is not a total order when several RIGHT rows share a
+    # timestamp within a group — last(ignorenulls) would then pick whichever
+    # tied row the sort happened to place last, nondeterministically across
+    # runs. The payload columns break the tie: repeated runs (and oracle
+    # comparisons) always match the same right row — the max payload tuple,
+    # mirroring DuckDB ASOF's deterministic pick.
+    tiebreak = [F.col(out_names[c]).asc_nulls_first() for c in payload]
     if direction == "backward":
         # right rows (side 0) sort before a left row at the same _ts → ties
         # match "at or before"
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:

@@ -29,16 +29,18 @@ def executed_plan(df: DataFrame) -> str:
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
-    """Assert the scan carries pushed-down data filters (mentioning each
-    fragment, e.g. a column name)."""
+    """Assert SOME scan carries pushed-down data filters mentioning each
+    fragment (e.g. a column name). Scans that legitimately push nothing
+    (a dimension table read in full) don't fail the check — only the
+    absence of the requested fragments does."""
     plan = executed_plan(df)
-    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
-        "PushedFilters: [],", "PushedFilters: [],"
-    ), f"no pushed filters in plan:\n{plan}"
     pushed = [
-        line for line in plan.splitlines() if "PushedFilters" in line
+        line
+        for line in plan.splitlines()
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line
     ]
     joined = "\n".join(pushed)
+    assert pushed, f"no pushed filters in plan:\n{plan}"
     for frag in fragments:
         assert frag in joined, f"filter fragment {frag!r} not pushed; got:\n{joined}"
 

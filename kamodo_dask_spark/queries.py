@@ -681,10 +681,8 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_events``."""
     from pyspark.sql import types as T
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
+
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -695,27 +693,30 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    # a glob, not the bare file: the file source requires its basePath (the
-    # non-glob prefix) to be a directory
-    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
-    )
-    qname = "streaming_tumbling_1h_sink"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # conf scoped: the streaming query runs to completion inside the block
+    # (awaitTermination), and the memory-sink table needs no parquet conf.
+    with nanos_as_long(spark):
+        # a glob, not the bare file: the file source requires its basePath
+        # (the non-glob prefix) to be a directory
+        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+        )
+        qname = "streaming_tumbling_1h_sink"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(qname)
 
 

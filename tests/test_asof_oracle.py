@@ -66,3 +66,27 @@ def test_asof_backward_matches_pandas(spark, seed, tol):
             f"{col} mismatch (seed={seed}, tol={tol}):\n"
             f"{pd.DataFrame({'got': g, 'exp': e})[~(both_nan | close)]}"
         )
+
+
+def test_duplicate_right_timestamps_deterministic(spark):
+    """Several right rows sharing (key, ts): the tie-break makes the pick
+    stable across runs — always the max payload tuple among the tied rows."""
+    from kamodo_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10.0), (2, 10.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 5.0, 3.0), (1, 5.0, 9.0), (1, 5.0, 7.0), (2, 5.0, 1.0)],
+        "k long, ts double, v double",
+    )
+    results = []
+    for _ in range(3):
+        out = {
+            r["k"]: (r["v"], r["ts_matched"])
+            for r in asof_join(
+                left, right.repartition(4), on="k", left_ts="ts"
+            ).collect()
+        }
+        results.append(out)
+    assert results[0] == results[1] == results[2]
+    assert results[0][1] == (9.0, 5.0)  # max payload among the tied rows
+    assert results[0][2] == (1.0, 5.0)

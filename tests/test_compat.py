@@ -79,21 +79,103 @@ def test_df_from_dask_error_contracts(spark, grid_dir):
 
 def test_df_from_parquet_with_filter_function(spark, grid_dir):
     """The reference's test_parquet_load.py variant: filter_function is the
-    user-supplied per-partition filter — honored here ([REF-BUG] fix)."""
+    user-supplied per-partition filter — honored here ([REF-BUG] fix), and
+    each batch carries the reference's (lon, lat, h) MultiIndex shape so
+    index-based reference filters port unmodified."""
     # df_from_parquet does NOT align the window (only df_from_dask floors/
     # ceils — kamodo_dask.py:191-192), so start/end sit on file boundaries
     start = GRID_START
     end = GRID_START + timedelta(minutes=20)
 
     def custom_filter(pdf, h_range):
+        # reference-style: h comes from the MultiIndex, and the function may
+        # add/drop scratch columns (kamodo_dask.py:134-147 does exactly this)
         lo, hi = h_range
-        return pdf[(pdf["h"] >= lo) & (pdf["h"] <= hi)]
+        pdf = pdf.copy()
+        pdf["h_temp"] = pd.to_numeric(pdf.index.get_level_values("h"), errors="coerce")
+        out = pdf[pdf["h_temp"].between(lo, hi, inclusive="both")]
+        return out.drop(columns=["h_temp"])
 
     out = compat.df_from_parquet(
         spark, f"{grid_dir}/", start=start, end=end,
         h_start=292500.0, h_end=357500.0, filter_function=custom_filter, fmt=FMT,
     )
     assert sorted(set(out.index.get_level_values("h"))) == [292500.0, 325000.0, 357500.0]
+
+
+def test_df_from_parquet_accepts_library_filter_partition(spark, grid_dir):
+    """compat.filter_partition itself works as filter_function — the exact
+    pattern of the reference's test_parquet_load.py:67-68 — and returns the
+    same rows as the relational BETWEEN path."""
+    start = GRID_START
+    end = GRID_START + timedelta(minutes=20)
+    via_filter_fn = compat.df_from_parquet(
+        spark, f"{grid_dir}/", start=start, end=end,
+        h_start=292500.0, h_end=357500.0,
+        filter_function=compat.filter_partition, fmt=FMT,
+    )
+    via_between = compat.df_from_parquet(
+        spark, f"{grid_dir}/", start=start, end=end,
+        h_start=292500.0, h_end=357500.0, fmt=FMT,
+    )
+    pd.testing.assert_frame_equal(via_filter_fn, via_between)
+
+
+def test_filter_partition_both_shapes():
+    """Shape tolerance: MultiIndex frames (reference) and column frames."""
+    base = pd.DataFrame({"lon": [0.0, 1.0], "lat": [0.0, 0.0],
+                         "h": [100.0, 200.0], "v": [1.0, 2.0]})
+    by_col = compat.filter_partition(base, h_range=(150.0, 250.0))
+    assert by_col["v"].tolist() == [2.0]
+    by_idx = compat.filter_partition(
+        base.set_index(["lon", "lat", "h"]), h_range=(150.0, 250.0)
+    )
+    assert by_idx["v"].tolist() == [2.0]
+
+
+def test_df_from_dask_requires_h_values(spark, grid_dir):
+    with pytest.raises(ValueError, match="h_values is required"):
+        compat.df_from_dask(
+            spark, f"{grid_dir}/",
+            start=GRID_START + timedelta(minutes=5),
+            end=GRID_START + timedelta(minutes=65),
+            h_start=292500.0, h_end=357500.0, fmt=FMT,
+        )
+
+
+def test_df_from_dask_partition_size_sets_split_confs(spark, grid_dir):
+    """partition_size (reference kamodo_dask.py:239-244) maps to Spark's
+    scan-split and AQE advisory sizing confs instead of a silent no-op."""
+    prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    try:
+        compat.df_from_dask(
+            spark, f"{grid_dir}/",
+            start=GRID_START + timedelta(minutes=5),
+            end=GRID_START + timedelta(minutes=65),
+            h_start=292500.0, h_end=357500.0, h_values=H,
+            partition_size="64MB", fmt=FMT,
+        )
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(64 * 10**6)
+        assert (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            == str(64 * 10**6)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
+        if prev_adv is not None:
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv)
+        else:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_parse_partition_size_forms():
+    p = compat._parse_partition_size
+    assert p(1024) == 1024
+    assert p("128MB") == 128 * 10**6
+    assert p("100 MiB") == 100 * 2**20
+    assert p("1e8") == 10**8
+    assert p("2gb") == 2 * 10**9
 
 
 def test_kamodo_dask_interpolators(mi_df):
