@@ -720,6 +720,108 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+_SESSIONIZE_GAP_S = 1800
+
+_SESSIONIZE_ORACLE = f"""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+    m AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL {_SESSIONIZE_GAP_S} SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM m)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """
+
+
+@register("sessionization", _SESSIONIZE_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL STREAMING operator, oracle-checked end to end:
+    ``applyInPandasWithState`` sessionization (inactivity gap
+    {gap}s) over a real Structured Streaming execution, verified against the
+    DuckDB gaps-and-islands formulation.
+
+    Exactness mechanics: event-time-timeout state only flushes when the
+    watermark passes it, so the stream reads the events file FOLLOWED BY two
+    far-future sentinel files (``maxFilesPerTrigger=1`` → one micro-batch
+    each; the watermark advances between batches). Sentinel batch 1 pushes
+    the watermark past every real timeout, sentinel batch 2 gives the engine
+    a batch in which to FIRE them — after that, every real session has been
+    emitted (in-batch gap closures in batch 1, timeout closures in batch 3)
+    and only the sentinel user remains in state, filtered from the output.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from kamodo_dask_spark.streaming.sessions import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="sessionize_src_")
+    try:
+        # axis-sized driver value: just max(ts), to place the sentinels
+        max_ts = ev.agg(F.max("ts")).first()[0]
+
+        def write_one(df: DataFrame, name: str, mtime: float) -> None:
+            stage = os.path.join(root, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dest = os.path.join(root, name)
+            shutil.move(part, dest)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dest, (mtime, mtime))  # file source admits oldest-first
+
+        write_one(ev, "00_events.parquet", 1_000)
+        for i, days in enumerate((3, 6)):
+            sentinel = spark.createDataFrame(
+                [(-1, max_ts + timedelta(days=days), -1, "sentinel", 0.0, "{}")],
+                ev.schema,
+            )
+            write_one(sentinel, f"0{i + 1}_sentinel.parquet", 2_000 + 1_000 * i)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        sess = sessionize(stream, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
+        qname = "sessionization_sink"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+
+
+sessionization.__doc__ = sessionization.__doc__.format(gap=_SESSIONIZE_GAP_S)
+
+
 @register(
     "dense_time_grid",
     """
