@@ -2,17 +2,27 @@
 
 Media ride through the engine as opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. The actual codecs are NOT available
-in this environment — the decode kernel is stubbed with a deterministic fake
-(clearly marked) behind the same Spark-side plumbing (schema, batching,
-partitioning) the real one would use, so swapping in PIL/ffmpeg later only
-replaces ``_decode_fake``.
+as Arrow-batched ``mapInPandas`` stages. Two decoders sit behind the same
+Spark-side plumbing (schema, batching, partitioning):
+
+- ``_decode_real`` — a REAL pure-stdlib decoder for PNG (full zlib inflate +
+  scanline unfilter, all five filter types) and WAV (RIFF/fmt/data parse,
+  PCM sample statistics). Formats needing external codecs (JPEG, MP4, …)
+  raise ``NotImplementedError`` naming the dependency.
+- ``_decode_fake`` — a deterministic hash-derived fake for exercising the
+  pipeline with arbitrary payload bytes (clearly marked).
+
+``png_encode`` / ``wav_encode`` are the matching pure-stdlib encoders, used
+by the round-trip tests and the oracle-checked catalog entry.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F, types as T
 
 MEDIA_META = T.StructType(
@@ -31,9 +41,14 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("content_hash", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("mean_intensity", T.DoubleType()),
     ]
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (grayscale, RGB, gray+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def attach_media(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
@@ -61,15 +76,203 @@ def _decode_fake(payload: bytes) -> dict:
         "content_hash": digest,
         "width": 64 + int(digest[:4], 16) % 1024,
         "height": 64 + int(digest[4:8], 16) % 1024,
+        "duration_ms": None,
         "mean_intensity": (int(digest[8:12], 16) % 10_000) / 10_000.0,
     }
 
 
-def _decode_real(payload: bytes) -> dict:  # pragma: no cover
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib: zlib inflate + RFC 2083 scanline filters)
+# ---------------------------------------------------------------------------
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 array as a PNG. ``(h, w)`` → grayscale; ``(h, w, 3)``
+    → RGB; ``(h, w, 4)`` → RGBA. Every scanline uses filter 0 (None)."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w, color_type = a.shape[0], a.shape[1], 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w, color_type = a.shape[0], a.shape[1], 2
+    elif a.ndim == 3 and a.shape[2] == 4:
+        h, w, color_type = a.shape[0], a.shape[1], 6
+    else:
+        raise ValueError(f"unsupported pixel array shape {a.shape}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → ``(height, stride)`` uint8.
+
+    Filters None(0) and Up(2) vectorize across the row; Sub(1)/Average(3)/
+    Paeth(4) carry a left-neighbor dependency, so those rows fall back to a
+    per-byte loop. Row-level work is tiny; real corpora parallelize across
+    the Arrow batch / partition, not within one image."""
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 1:
+                    val = line[x] + a
+                elif ft == 3:
+                    val = line[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = line[x] + pred
+                rec[x] = val & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG → uint8 array ``(h, w)`` or
+    ``(h, w, channels)``. Pure stdlib (zlib) — no PIL."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced gray/RGB/+alpha "
+            "supported here — use PIL in a full deployment"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    px = _png_unfilter(raw, h, w * ch, ch)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (RIFF container, PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono PCM samples as a WAV file."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM 16-bit WAV → (int16 samples ``(n,)`` or ``(n, ch)``,
+    sample_rate). Pure stdlib."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits}: only PCM 16-bit "
+            "supported here — use ffmpeg/soundfile in a full deployment"
+        )
+    s = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        s = s.reshape(-1, channels)
+    return s, sample_rate
+
+
+def _decode_real(payload: bytes) -> dict:
+    """REAL decode for PNG and WAV payloads (pure stdlib — no PIL/ffmpeg).
+
+    PNG → width/height + mean intensity over all samples (0..1 scale).
+    WAV → duration_ms (floor, data_bytes/byte_rate) + mean |amplitude|
+    normalized by 2^15. Anything else raises ``NotImplementedError`` naming
+    the codec dependency a full deployment would install.
+    """
+    base = {
+        "n_bytes": len(payload),
+        "content_hash": hashlib.md5(payload).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "mean_intensity": None,
+    }
+    if payload[:8] == _PNG_SIG:
+        px = png_decode(payload)
+        base["height"], base["width"] = int(px.shape[0]), int(px.shape[1])
+        base["mean_intensity"] = float(px.mean()) / 255.0 if px.size else None
+        return base
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = wav_decode(payload)
+        n_frames = samples.shape[0]
+        base["duration_ms"] = (n_frames * 1000) // rate
+        base["mean_intensity"] = (
+            float(np.abs(samples.astype(np.float64)).mean()) / 32768.0
+            if samples.size
+            else None
+        )
+        return base
     raise NotImplementedError(
-        "real media decode requires PIL/ffmpeg — not available in this "
-        "environment; use use_fake_decoder=True (deterministic fake) or "
-        "swap this function in a full deployment"
+        "unrecognized media container — only PNG and WAV decode natively; "
+        "JPEG/MP4/... require PIL/ffmpeg in a full deployment"
     )
 
 

@@ -28,7 +28,11 @@ from kamodo_dask_spark.operators.dedup import (
     minhash_lsh_candidates,
     simhash_fingerprints_agg,
 )
-from kamodo_dask_spark.operators.multimodal import extract_media_features
+from kamodo_dask_spark.operators.multimodal import (
+    extract_media_features,
+    png_encode,
+    wav_encode,
+)
 from kamodo_dask_spark.operators.similarity import cosine_topk
 from kamodo_dask_spark.operators.text import (
     LANG_STOPWORDS,
@@ -1364,4 +1368,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media,
+           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5 END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN (1 + doc_id % 100) * 1000 // 8000 END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN (n_chars % 256) / 255.0
+                ELSE (n_chars % 1000) / 32768.0 END AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: encode a deterministic PNG (even
+    doc_id, constant-intensity grayscale) or WAV (odd doc_id, constant-
+    amplitude PCM16) per document executor-side, push the bytes through the
+    real pure-stdlib decoder (zlib inflate + scanline unfilter / RIFF
+    parse), and emit the recovered dimensions, duration, and intensity. The
+    oracle computes the same values in closed form from the construction
+    parameters, so any decode error breaks the hash match.
+
+    Plan shape: two chained ``mapInPandas`` stages over the documents scan —
+    no shuffle, no collect; encode/decode CPU scales with partition count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                if did % 2 == 0:
+                    w, h, v = 1 + did % 7, 1 + did % 5, nc % 256
+                    payloads.append(png_encode(np.full((h, w), v, dtype=np.uint8)))
+                else:
+                    n, amp = 1 + did % 100, nc % 1000
+                    payloads.append(wav_encode(np.full(n, amp, dtype=np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    out = extract_media_features(payloads, use_fake_decoder=False)
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("duration_ms").alias("duration_ms"),
+        F.col("mean_intensity").alias("mean_intensity"),
     )

@@ -1,0 +1,146 @@
+"""Round-trip tests for the pure-stdlib PNG/WAV codecs behind _decode_real.
+
+The reference treats media as out-of-band blobs; this engine carries them as
+binary columns and decodes with no external codec dependency (PIL/ffmpeg are
+absent in this environment). These tests pin the decoder against the formats'
+specs: PNG (RFC 2083 — all five scanline filter types) and WAV (RIFF PCM16).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from kamodo_dask_spark.operators.multimodal import (
+    _decode_real,
+    extract_media_features,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (17, 9), (4, 4, 3), (2, 3, 4)])
+def test_png_round_trip(shape):
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = png_decode(png_encode(px))
+    np.testing.assert_array_equal(out, px)
+
+
+def _png_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Build a grayscale PNG applying a chosen forward filter per scanline
+    (the encoder itself always emits filter 0, so this exercises the other
+    decode paths from first principles of the spec)."""
+    h, w = px.shape
+    a = px.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y, ft in zip(range(h), filters):
+        line = a[y]
+        if ft == 0:
+            enc = line % 256
+        elif ft == 1:
+            left = np.concatenate(([0], line[:-1]))
+            enc = (line - left) % 256
+        elif ft == 2:
+            enc = (line - prev) % 256
+        elif ft == 3:
+            left = np.concatenate(([0], line[:-1]))
+            enc = (line - ((left + prev) >> 1)) % 256
+        elif ft == 4:
+            enc = np.empty(w, dtype=np.int32)
+            for x in range(w):
+                va = line[x - 1] if x else 0
+                vb = prev[x]
+                vc = prev[x - 1] if x else 0
+                p = va + vb - vc
+                pa, pb, pc = abs(p - va), abs(p - vb), abs(p - vc)
+                pred = va if (pa <= pb and pa <= pc) else (vb if pb <= pc else vc)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    px = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    payload = _png_with_filters(px, [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(png_decode(payload), px)
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png at all----")
+    # 16-bit PNG: header parses, decode refuses with the dependency named
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        png_decode(payload)
+
+
+def test_wav_round_trip():
+    samples = rng.integers(-32768, 32767, size=300, dtype=np.int16)
+    out, rate = wav_decode(wav_encode(samples, sample_rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_decode_real_png_features():
+    px = np.full((4, 6), 100, dtype=np.uint8)
+    feats = _decode_real(png_encode(px))
+    assert (feats["width"], feats["height"]) == (6, 4)
+    assert feats["mean_intensity"] == pytest.approx(100 / 255.0)
+    assert feats["duration_ms"] is None
+
+
+def test_decode_real_wav_features():
+    feats = _decode_real(wav_encode(np.full(4000, 512, dtype=np.int16), 8000))
+    assert feats["duration_ms"] == 500
+    assert feats["mean_intensity"] == pytest.approx(512 / 32768.0)
+    assert feats["width"] is None
+
+
+def test_decode_real_unknown_container_raises():
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        _decode_real(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+
+def test_extract_media_features_real_decoder_spark(spark):
+    png = png_encode(np.full((2, 3), 10, dtype=np.uint8))
+    wav = wav_encode(np.full(80, 100, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in extract_media_features(df, use_fake_decoder=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[1]["mean_intensity"] == pytest.approx(10 / 255.0)
+    assert rows[2]["duration_ms"] == 10
+    assert rows[2]["mean_intensity"] == pytest.approx(100 / 32768.0)

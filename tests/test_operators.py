@@ -205,7 +205,9 @@ def test_extract_media_features_deterministic(spark):
     assert again[1]["width"] == rows[1]["width"]
 
 
-def test_real_decoder_is_explicit_stub(spark):
+def test_real_decoder_rejects_unknown_container(spark):
+    # real decoder handles PNG/WAV natively (see test_multimodal_codecs);
+    # anything else raises naming the codec dependency
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         extract_media_features(df, use_fake_decoder=False).collect()

@@ -149,3 +149,33 @@ def test_units_roundtrip_through_sink(spark, tmp_path):
     assert set(back.columns) == {"lon", "rho[kg/m^3]"}  # spelling restored
     renorm = normalize_measure_columns(back)
     assert units_of(renorm, "rho") == "kg/m^3"  # and parses back
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    bucket_width=st.sampled_from([0.25, 1.0, 3.0, 7.5, 40.0, 1000.0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_interval_join_invariant_to_bucket_width(spark, seed, bucket_width):
+    """interval_join results depend only on the data, never on bucket_width
+    (widths far below and far above the interval lengths included) — the
+    bucketing is an execution strategy, not a semantic knob."""
+    from kamodo_dask_spark.operators.rangejoin import interval_join
+
+    rng = np.random.default_rng(seed)
+    pts = [(int(i), float(x)) for i, x in enumerate(rng.uniform(-20, 20, 12))]
+    starts = rng.uniform(-20, 20, 6)
+    ivs = [
+        (int(j), float(s), float(s + w))
+        for j, (s, w) in enumerate(zip(starts, rng.uniform(0, 8, 6)))
+    ]
+    p = spark.createDataFrame(pts, "pid int, x double")
+    i = spark.createDataFrame(ivs, "iid int, s double, e double")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(p, i, "x", "s", "e", bucket_width=bucket_width).collect()
+    }
+    expected = {
+        (pid, iid) for pid, x in pts for iid, s, e in ivs if s <= x <= e
+    }
+    assert got == expected
