@@ -37,9 +37,11 @@ STREAMING_QUERIES = {"streaming_tumbling_1h", "sessionization"}
 REGRESSION_FACTOR = 1.5
 
 
-def _previous_timings() -> dict[str, float]:
+def _previous_timings(sf) -> dict[str, float]:
     """Per-query timings from the latest BENCH_r{N}.json the driver recorded
-    (empty when none exists — round 1, or bench run outside the repo)."""
+    AT THE SAME SCALE FACTOR (timings across different SFs aren't comparable
+    — a dev run at sf0.01 must not flag 'regressions' vs the driver's sf0.1
+    record). Empty when no matching round exists."""
     import glob
     import re
 
@@ -51,8 +53,11 @@ def _previous_timings() -> dict[str, float]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            queries = doc.get("parsed", doc).get("queries", {})
+            doc = doc.get("parsed", doc)
+            queries = doc.get("queries", {})
         except Exception:
+            continue
+        if doc.get("sf") != sf:
             continue
         if int(m.group(1)) > best_n and queries:
             best_n, found = int(m.group(1)), queries
@@ -216,7 +221,7 @@ def run() -> dict:
     # per-query regression tracking vs the last driver-recorded round:
     # loud (stderr + output key), not fatal — the recorded JSON is the
     # artifact the next round's judge reads.
-    prev = _previous_timings()
+    prev = _previous_timings(float(sf) if sf.replace(".", "").isdigit() else sf)
     regressions = {
         name: {"prev": prev[name], "now": t, "factor": round(t / prev[name], 2)}
         for name, t in timings.items()

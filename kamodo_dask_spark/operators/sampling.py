@@ -56,3 +56,30 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFr
     repeatable alternative to ``df.sample()`` (stable under retries,
     re-runs, and engine changes)."""
     return df.filter(split_bucket(F.col(key_col)) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hashed-key
+    order — deterministic across runs and engines (domain-mix curation:
+    "at most k documents per source/language").
+
+    One shuffle, partitioned by stratum. Strata are assumed numerous
+    relative to executors and individually heap-sized IN RANK TERMS only —
+    ``row_number`` streams each stratum, holding one row of state, so a
+    billion-row stratum costs sort-spill, not memory. For few/huge strata
+    at 100 TB, pre-filter with ``deterministic_sample`` (zero-shuffle) to
+    ~10·k expected survivors per stratum, then rank exactly."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -107,6 +107,69 @@ def fingerprint(col) -> Column:
     return F.md5(F.concat_ws(" ", ws))
 
 
+def bigrams(col) -> Column:
+    """Adjacent word pairs as ``"w1 w2"`` strings — array expression only
+    (no explode, no shuffle; repetition stats stay row-local)."""
+    ws = words(col)
+    n = F.size(ws)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_word_fraction(col) -> Column:
+    """1 − |distinct words| / |words| — the Gopher-style duplicate-token
+    gate. 0 for empty documents."""
+    ws = words(col)
+    n = F.size(ws)
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(ws)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(col) -> Column:
+    """Fraction of all bigrams taken by the single most frequent bigram
+    (Gopher repetition rule). Counting the mode of a short array is O(u·n)
+    inside one codegen'd expression — no shuffle; u, n ≈ doc word count."""
+    bg = bigrams(col)
+    counts = F.transform(
+        F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
+    )
+    return F.when(
+        F.size(bg) > 0,
+        F.array_max(counts).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+
+
+#: RE2/Java-portable PII patterns (oracle parity): conservative email and
+#: NANP-style phone. Real deployments layer more patterns the same way.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_counts(col) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))),
+    )
+
+
+def redact_pii(col) -> Column:
+    """Mask emails then phones with typed placeholders. Pure
+    ``regexp_replace`` — JVM-side, streams through codegen at any scale."""
+    c = col if isinstance(col, Column) else F.col(col)
+    out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass feature stamp used by pipelines and the bench."""
     c = F.col(text_col)

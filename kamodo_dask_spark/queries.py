@@ -758,56 +758,91 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     a batch in which to FIRE them — after that, every real session has been
     emitted (in-batch gap closures in batch 1, timeout closures in batch 3)
     and only the sentinel user remains in state, filtered from the output.
+
+    Harness cost control (this entry is timed in bench.py): source files are
+    prepared driver-side with pyarrow (raw copy of events.parquet, footer
+    statistics for the sentinel placement — zero Spark jobs before the
+    stream), and the stateful shuffle runs at 8 partitions scoped to this
+    query — per-micro-batch cost is dominated by state-store commits, one
+    per partition, and 100 TB of history still only needs partitions ~
+    active-key-cardinality / executor-memory, not the relational default.
     """
-    import glob
     import os
     import shutil
     import tempfile
-    from datetime import timedelta
 
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from kamodo_dask_spark.session import scoped_conf
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
     from kamodo_dask_spark.streaming.sessions import sessionize
 
-    ev = read_table(spark, sf_dir, "events")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    pf = pq.ParquetFile(events_path)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    max_ts_ns = max(
+        pf.metadata.row_group(g).column(ts_idx).statistics.max
+        for g in range(pf.metadata.num_row_groups)
+    ).value  # driver-side footer read; no scan
+
     root = tempfile.mkdtemp(prefix="sessionize_src_")
     try:
-        # axis-sized driver value: just max(ts), to place the sentinels
-        max_ts = ev.agg(F.max("ts")).first()[0]
-
-        def write_one(df: DataFrame, name: str, mtime: float) -> None:
-            stage = os.path.join(root, "_stage")
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dest = os.path.join(root, name)
-            shutil.move(part, dest)
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(dest, (mtime, mtime))  # file source admits oldest-first
-
-        write_one(ev, "00_events.parquet", 1_000)
+        dest = os.path.join(root, "00_events.parquet")
+        shutil.copy(events_path, dest)
+        os.utime(dest, (1_000, 1_000))  # file source admits oldest-first
+        day_ns = 86_400 * 1_000_000_000
         for i, days in enumerate((3, 6)):
-            sentinel = spark.createDataFrame(
-                [(-1, max_ts + timedelta(days=days), -1, "sentinel", 0.0, "{}")],
-                ev.schema,
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array(
+                        np.array([max_ts_ns + days * day_ns], dtype="int64")
+                    ).cast(pa.timestamp("ns")),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["sentinel"]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
             )
-            write_one(sentinel, f"0{i + 1}_sentinel.parquet", 2_000 + 1_000 * i)
+            spath = os.path.join(root, f"0{i + 1}_sentinel.parquet")
+            pq.write_table(sentinel, spath)
+            os.utime(spath, (2_000 + 1_000 * i,) * 2)
 
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(root)
+        raw_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),  # raw nanos via nanosAsLong
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
         )
-        sess = sessionize(stream, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
         qname = "sessionization_sink"
         for q in spark.streams.active:
             if q.name == qname:
                 q.stop()
-        query = (
-            sess.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with nanos_as_long(spark), scoped_conf(
+            spark, **{"spark.sql.shuffle.partitions": "4"}
+        ):
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(root)
+            )
+            ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            sess = sessionize(ev, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
+            query = (
+                sess.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return (
@@ -1369,6 +1404,140 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
     )
+
+
+@register(
+    "repetition_scores",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    b AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                      ELSE [] END AS bg
+          FROM w)
+    SELECT doc_id,
+           round(CASE WHEN len(ws) > 0
+                      THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len(bg) > 0
+                      THEN list_max(list_transform(list_distinct(bg),
+                           x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg)
+                      ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM b
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: duplicate-word fraction and
+    most-frequent-bigram fraction. Both are row-local ARRAY expressions
+    (``transform``/``filter``/``array_distinct`` inside codegen) — zero
+    shuffle, zero Python; the plan is a parquet scan + project at any
+    corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    from kamodo_dask_spark.operators.text import dup_word_fraction, top_bigram_fraction
+
+    return docs.select(
+        "doc_id",
+        F.round(dup_word_fraction(F.col("text")), 6).alias("dup_word_frac"),
+        F.round(top_bigram_fraction(F.col("text")), 6).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "pii_redaction",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || doc_id || '@example.com now'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+               AS payload
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(payload, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(payload, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(payload,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_hash
+    FROM p
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: detect + mask emails/phones with
+    pure ``regexp_replace``/``regexp_extract_all`` (JVM-side, RE2/Java-
+    portable patterns). The fixture corpus contains no PII, so the entry
+    injects deterministic markers for a subset of docs IN BOTH ENGINES and
+    verifies detection counts and the redacted text (by hash — keeps the
+    compared relation narrow)."""
+    from kamodo_dask_spark.operators.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", payload.alias("payload"))
+    n_emails, n_phones = pii_counts(F.col("payload"))
+    return staged.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        F.md5(redact_pii(F.col("payload"))).alias("redacted_hash"),
+    )
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+    tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM tok WHERE term IN ('spark', 'window', 'merge')
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    s AS (SELECT t.doc_id,
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+          FROM tf t JOIN df USING (term) CROSS JOIN stats)
+    SELECT doc_id, round(sum(s), 4) AS score
+    FROM s GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-k via inverted-index aggregation (see
+    ``operators/search.py`` for the scale argument: postings filtered to the
+    query terms BEFORE the shuffle, broadcast df/stats joins, top-k as
+    ``TakeOrderedAndProject``)."""
+    from kamodo_dask_spark.operators.search import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"], k=10)
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix curation: at most 20 docs per language, hashed-key order —
+    deterministic across engines/runs (``rand()`` is neither)."""
+    from kamodo_dask_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", 20)
 
 
 @register(

@@ -9,6 +9,7 @@ handled by the cluster manager, so all that remains is session configuration.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -52,6 +53,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Set runtime confs for the duration of the block, restoring prior
+    values after. Keys use ``__`` for ``.`` (``spark__sql__x`` →
+    ``spark.sql.x``) or pass a pre-built dict via ``**{"spark.sql.x": v}``.
+
+    Only safe when execution COMPLETES inside the block — a lazy DataFrame
+    planned under the scope but executed after it sees the restored values.
+    """
+    pairs = {k.replace("__", "."): str(v) for k, v in confs.items()}
+    prior: dict[str, str | None] = {}
+    for k, v in pairs.items():
+        try:
+            prior[k] = spark.conf.get(k, None)
+        except Exception:
+            prior[k] = None
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    try:
+        yield
+    finally:
+        for k, old in prior.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass
 
 
 def ensure_session_conf(spark: SparkSession) -> None:

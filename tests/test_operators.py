@@ -211,3 +211,96 @@ def test_real_decoder_rejects_unknown_container(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
         extract_media_features(df, use_fake_decoder=False).collect()
+
+
+def test_repetition_metrics_values(spark):
+    from kamodo_dask_spark.operators.text import dup_word_fraction, top_bigram_fraction
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the cat the cat ran"), (2, "a b c d"), (3, "x"), (4, "")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_word_fraction(F.col("text")).alias("dw"),
+            top_bigram_fraction(F.col("text")).alias("tb"),
+        ).collect()
+    }
+    # 5 words, 3 distinct -> 2/5 dup; bigrams: [the cat, cat the, the cat, cat ran] -> 2/4
+    assert rows[1]["dw"] == pytest.approx(0.4)
+    assert rows[1]["tb"] == pytest.approx(0.5)
+    assert rows[2]["dw"] == 0.0 and rows[2]["tb"] == pytest.approx(1 / 3)
+    assert rows[3]["tb"] == 0.0  # single word: no bigrams
+    assert rows[4]["dw"] == 0.0 and rows[4]["tb"] == 0.0
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    from kamodo_dask_spark.operators.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe@corp.io or call 555-123-4567 ok")],
+        "id long, text string",
+    )
+    ne, np_ = pii_counts(F.col("text"))
+    row = df.select(redact_pii(F.col("text")).alias("r"), ne.alias("e"), np_.alias("p")).first()
+    assert row["r"] == "mail me at [EMAIL] or call [PHONE] ok"
+    assert (row["e"], row["p"]) == (1, 1)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from kamodo_dask_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)], "k long, s string"
+    )
+    out1 = stratified_sample(df, "s", "k", 10).collect()
+    assert len(out1) == 20  # both strata have >= 10 members
+    counts = {}
+    for r in out1:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    assert counts == {"a": 10, "b": 10}
+    out2 = stratified_sample(df, "s", "k", 10).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # k larger than a stratum: returns the whole stratum, no padding
+    tiny = stratified_sample(df.filter("k < 4"), "s", "k", 10).count()
+    assert tiny == 4
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+
+    from kamodo_dask_spark.operators.search import bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join"),
+        (2, "spark spark spark window"),
+        (3, "cat dog bird"),
+        (4, "window merge window"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["spark", "window"], k=4).collect()}
+
+    def bm25(docs, terms, k1=1.2, b=0.75):
+        toks = {i: t.split() for i, t in docs}
+        n = len(toks)
+        avgdl = sum(map(len, toks.values())) / n
+        out = {}
+        for term in terms:
+            dfreq = sum(term in ws for ws in toks.values())
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1)
+            for i, ws in toks.items():
+                tf = ws.count(term)
+                if tf:
+                    out[i] = out.get(i, 0) + idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * len(ws) / avgdl)
+                    )
+        return out
+
+    want = bm25(corpus, ["spark", "window"])
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(round(want[i], 4), abs=1e-4)

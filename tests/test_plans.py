@@ -135,3 +135,20 @@ def test_partitioned_grid_roundtrip_and_pruning(spark, grid_dir, tmp_path):
     )
     assert_partition_filters(scan, "ts_date")
     assert scan.select("time").distinct().count() == 3
+
+
+def test_repetition_scores_zero_exchange(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["repetition_scores"](spark, SF))
+    # row-local array expressions: scan + project only, no shuffle
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["bm25_search"](spark, SF))
+    # top-k without a global sort; df/stats joins broadcast
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
