@@ -69,35 +69,63 @@ def sessionize(
             )
             return
 
-        rows = []
-        cur = state.get if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, val in zip(
-                pdf[ts_col].astype("datetime64[us]").astype("int64"), pdf[value_col]
-            ):
-                if cur is None:
-                    cur = [ts, ts, 0, 0.0]
-                elif ts - cur[1] > gap_us:
-                    rows.append(cur)
-                    cur = [ts, ts, 0, 0.0]
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-                cur[3] += float(val)
-        out = pd.DataFrame(
-            {
-                "user_id": user_id,
-                "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
-                "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
-                "n_events": [r[2] for r in rows],
-                "sum_value": [r[3] for r in rows],
-            }
-        )
-        if cur is not None:
-            state.update(tuple(cur))
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
-        if len(out):
-            yield out
+        # vectorized session assignment: sort once, boundaries where the
+        # inter-event gap exceeds the threshold, per-session aggregates via
+        # reduceat — no per-row Python (the per-KEY call is the API's cost)
+        import numpy as np
+
+        chunks = [
+            (
+                pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy(),
+                pdf[value_col].to_numpy(dtype="float64"),
+            )
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not chunks:
+            if state.exists:
+                cur = list(state.get)
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+            return
+        ts = np.concatenate([c[0] for c in chunks])
+        vals = np.concatenate([c[1] for c in chunks])
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+
+        starts = np.concatenate(([0], np.nonzero(np.diff(ts) > gap_us)[0] + 1))
+        s_start = ts[starts]
+        s_end = ts[np.concatenate((starts[1:] - 1, [len(ts) - 1]))]
+        s_n = np.diff(np.concatenate((starts, [len(ts)])))
+        s_sum = np.add.reduceat(vals, starts)
+
+        carried = None
+        if state.exists:
+            carried = list(state.get)
+            if ts[0] - carried[1] <= gap_us:
+                # first new session continues the carried one
+                s_start[0] = min(s_start[0], carried[0])
+                s_end[0] = max(s_end[0], carried[1])
+                s_n[0] += carried[2]
+                s_sum[0] += carried[3]
+                carried = None
+
+        sessions = list(zip(s_start.tolist(), s_end.tolist(), s_n.tolist(), s_sum.tolist()))
+        if carried is not None:
+            sessions.insert(0, tuple(carried))
+        *closed, cur = sessions
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": [pd.Timestamp(r[0], unit="us") for r in closed],
+                    "session_end": [pd.Timestamp(r[1], unit="us") for r in closed],
+                    "n_events": [int(r[2]) for r in closed],
+                    "sum_value": [float(r[3]) for r in closed],
+                }
+            )
+        state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+        state.setTimeoutTimestamp(int(cur[1]) // 1000 + gap_seconds * 1000)
 
     return (
         events.withWatermark(ts_col, watermark)
