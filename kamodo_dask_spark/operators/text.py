@@ -135,16 +135,42 @@ def dup_word_fraction(col) -> Column:
 
 def top_bigram_fraction(col) -> Column:
     """Fraction of all bigrams taken by the single most frequent bigram
-    (Gopher repetition rule). Counting the mode of a short array is O(u·n)
-    inside one codegen'd expression — no shuffle; u, n ≈ doc word count."""
-    bg = bigrams(col)
-    counts = F.transform(
-        F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
+    (Gopher repetition rule).
+
+    Sort the bigram array once, then count the longest run of equal
+    neighbours in a single ``aggregate`` pass whose accumulator carries
+    ``(prev, run, best, n)``. The bigram subtree is referenced exactly ONCE
+    (as the ``aggregate`` input) — critical, because Catalyst re-inlines a
+    shared array subexpression at every reference, and higher-order-function
+    trees are CodegenFallback (interpreted): the previous
+    ``transform(array_distinct(bg), x -> size(filter(bg, …)))`` formulation
+    re-evaluated the whole tokenize→bigram chain per distinct bigram,
+    O(u·n·|tokenize|) per row — 485 s at sf0.1. This version is
+    O(n log n) per row, still row-local: zero shuffle at any corpus size,
+    CPU scales with partition count.
+    """
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("n"),
     )
-    return F.when(
-        F.size(bg) > 0,
-        F.array_max(counts).cast("double") / F.size(bg),
-    ).otherwise(F.lit(0.0))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def finish(acc):
+        return F.when(acc["n"] > 0, acc["best"].cast("double") / acc["n"]).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.aggregate(F.array_sort(bigrams(col)), acc0, step, finish)
 
 
 #: RE2/Java-portable PII patterns (oracle parity): conservative email and

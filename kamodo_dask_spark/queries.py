@@ -1428,10 +1428,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates: duplicate-word fraction and
-    most-frequent-bigram fraction. Both are row-local ARRAY expressions
-    (``transform``/``filter``/``array_distinct`` inside codegen) — zero
-    shuffle, zero Python; the plan is a parquet scan + project at any
-    corpus size."""
+    most-frequent-bigram fraction. Both are row-local ARRAY expressions —
+    zero shuffle, zero Python. Higher-order-function trees are interpreted
+    (CodegenFallback), so the per-row cost matters: each is a single
+    linear/O(n log n) pass over the token array (see
+    ``operators/text.py:top_bigram_fraction`` for the re-inlining trap the
+    formulation avoids). CPU scales out with partition count."""
     docs = read_table(spark, sf_dir, "documents")
     from kamodo_dask_spark.operators.text import dup_word_fraction, top_bigram_fraction
 
