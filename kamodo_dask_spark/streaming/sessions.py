@@ -99,21 +99,28 @@ def sessionize(
         s_n = np.diff(np.concatenate((starts, [len(ts)])))
         s_sum = np.add.reduceat(vals, starts)
 
-        carried = None
-        if state.exists:
-            carried = list(state.get)
-            if ts[0] - carried[1] <= gap_us:
-                # first new session continues the carried one
-                s_start[0] = min(s_start[0], carried[0])
-                s_end[0] = max(s_end[0], carried[1])
-                s_n[0] += carried[2]
-                s_sum[0] += carried[3]
-                carried = None
-
         sessions = list(zip(s_start.tolist(), s_end.tolist(), s_n.tolist(), s_sum.tolist()))
-        if carried is not None:
-            sessions.insert(0, tuple(carried))
-        *closed, cur = sessions
+        if state.exists:
+            # Treat the carried session as one more [start, end, n, sum]
+            # interval and coalesce generically below. A one-shot "merge
+            # carried into the first in-batch session" is wrong twice over:
+            # (a) the extended end can bridge an in-batch gap (carried
+            # [0,100], gap 10, batch [95,108] → ONE session [0,108], not a
+            # closed [0,100] plus [108,108]); (b) a late event EARLIER than
+            # the carried start must compare against the carried START, not
+            # its end (carried [100,200], batch [85], gap 10 → two
+            # sessions). Sorting by start and chaining neighbor checks
+            # handles both, including multi-session cascades.
+            sessions.append(tuple(state.get))
+            sessions.sort(key=lambda r: (r[0], r[1]))
+        coalesced: list[tuple] = []
+        for s in sessions:
+            if coalesced and s[0] - coalesced[-1][1] <= gap_us:
+                p = coalesced[-1]
+                coalesced[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            else:
+                coalesced.append(tuple(s))
+        *closed, cur = coalesced
         if closed:
             yield pd.DataFrame(
                 {
