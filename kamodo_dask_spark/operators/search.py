@@ -38,8 +38,19 @@ def bm25_topk(
     convention). ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
     Lucene-style always-positive variant).
     """
+    from pyspark import StorageLevel
+
     terms = [t.lower() for t in query_terms]
-    ws = docs.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    # Persist the tokenized relation: both the stats pass and the postings
+    # pass consume it, and tokenization (split + lower over every document)
+    # is the dominant cost — without the persist the corpus is tokenized
+    # TWICE (the stats `.first()` is a separate job from the returned plan).
+    # MEMORY_AND_DISK so a corpus bigger than executor memory spills rather
+    # than recomputes; at 100 TB this trades one extra materialized copy for
+    # halving the scan+tokenize work.
+    ws = docs.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # one pass for corpus stats: N docs, average doc length — a 2-scalar
     # driver value inlined as literals (metadata-sized, like axis collects).
@@ -48,6 +59,13 @@ def bm25_topk(
     n_docs, avgdl = ws.agg(
         F.count("*"), F.avg(F.size("_ws"))
     ).first()
+    if not n_docs or avgdl is None:
+        # empty corpus: idf/avgdl are undefined — return an empty result with
+        # the contract schema instead of crashing on float(None).
+        ws.unpersist()
+        return (
+            docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+        )
 
     postings = (
         ws.select(F.col(id_col), F.size("_ws").alias("_dl"), F.explode("_ws").alias("term"))

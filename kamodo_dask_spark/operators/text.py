@@ -175,7 +175,9 @@ def top_bigram_fraction(col) -> Column:
 
 #: RE2/Java-portable PII patterns (oracle parity): conservative email and
 #: NANP-style phone. Real deployments layer more patterns the same way.
-EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+#: Mixed-case chars are matched via explicit A-Z classes (not an ``(?i)``
+#: flag) so the literal pattern behaves identically in Spark and DuckDB.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
 
 

@@ -680,17 +680,22 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch aggregation, which is what makes streaming execution
     DuckDB-checkable. (Append mode + watermark is the unbounded-stream shape
     — tested in test_streaming.py — but would withhold unclosed windows
-    here.) The events fixture stores nanosecond timestamps: the stream reads
-    them as raw nanos (``nanosAsLong``) and truncates to µs like
-    ``read_events``."""
+    here.) The events fixture's timestamp unit varies across regenerations
+    (ns and µs have both shipped): the stream reads the column as raw int64
+    and scales by the unit detected from the parquet footer."""
     from pyspark.sql import types as T
 
-    from kamodo_dask_spark.sources.parquet import nanos_as_long
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
 
+    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # raw nanos via nanosAsLong
+            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -703,7 +708,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a glob, not the bare file: the file source requires its basePath
         # (the non-glob prefix) to be a directory
         stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
         agg = (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -762,7 +767,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Harness cost control (this entry is timed in bench.py): source files are
     prepared driver-side with pyarrow (raw copy of events.parquet, footer
     statistics for the sentinel placement — zero Spark jobs before the
-    stream), and the stateful shuffle runs at 8 partitions scoped to this
+    stream), and the stateful shuffle runs at 4 partitions scoped to this
     query — per-micro-batch cost is dominated by state-store commits, one
     per partition, and 100 TB of history still only needs partitions ~
     active-key-cardinality / executor-memory, not the relational default.
@@ -776,31 +781,44 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
+    import pandas as pd
+
     from kamodo_dask_spark.session import scoped_conf
-    from kamodo_dask_spark.sources.parquet import nanos_as_long
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
     from kamodo_dask_spark.streaming.sessions import sessionize
 
     events_path = os.path.join(sf_dir, "events.parquet")
+    ts_unit = parquet_ts_unit(events_path)
+    per_s = {"ns": 1_000_000_000, "us": 1_000_000, "ms": 1_000, "s": 1}[ts_unit]
     pf = pq.ParquetFile(events_path)
     ts_idx = pf.schema_arrow.get_field_index("ts")
-    max_ts_ns = max(
-        pf.metadata.row_group(g).column(ts_idx).statistics.max
+    # driver-side footer read; no scan. Statistics surface as a Timestamp
+    # (ns fixtures) or datetime (µs fixtures) — normalize through pandas to
+    # an int64 in the file's own unit so the sentinel rows stay homogeneous.
+    max_ts = max(
+        pd.Timestamp(
+            pf.metadata.row_group(g).column(ts_idx).statistics.max
+        ).value  # ns
         for g in range(pf.metadata.num_row_groups)
-    ).value  # driver-side footer read; no scan
+    ) * per_s // 1_000_000_000
 
     root = tempfile.mkdtemp(prefix="sessionize_src_")
     try:
         dest = os.path.join(root, "00_events.parquet")
         shutil.copy(events_path, dest)
         os.utime(dest, (1_000, 1_000))  # file source admits oldest-first
-        day_ns = 86_400 * 1_000_000_000
+        day = 86_400 * per_s
         for i, days in enumerate((3, 6)):
             sentinel = pa.table(
                 {
                     "event_id": pa.array([-1], pa.int64()),
                     "ts": pa.array(
-                        np.array([max_ts_ns + days * day_ns], dtype="int64")
-                    ).cast(pa.timestamp("ns")),
+                        np.array([max_ts + days * day], dtype="int64")
+                    ).cast(pa.timestamp(ts_unit)),
                     "user_id": pa.array([-1], pa.int64()),
                     "event_type": pa.array(["sentinel"]),
                     "value": pa.array([0.0], pa.float64()),
@@ -814,7 +832,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_schema = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),  # raw nanos via nanosAsLong
+                T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
                 T.StructField("user_id", T.LongType()),
                 T.StructField("event_type", T.StringType()),
                 T.StructField("value", T.DoubleType()),
@@ -833,7 +851,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(root)
             )
-            ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
             sess = sessionize(ev, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
             query = (
                 sess.writeStream.format("memory")

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 _NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -46,6 +46,29 @@ def nanos_as_long(spark: SparkSession):
             except Exception:
                 pass
 
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Physical time unit ('ns'|'us'|'ms'|'s') of a parquet timestamp column,
+    read from the file footer (driver-side, no scan). The synthetic events
+    fixture has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    regenerations — readers that declare a raw int64 schema must scale by the
+    actual stored unit, not an assumed one."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).schema_arrow.field(column).type
+    return getattr(t, "unit", "us")
+
+
+def raw_int64_to_timestamp(col: str, unit: str) -> Column:
+    """Expression converting a raw int64 epoch value in ``unit`` to a Spark
+    TIMESTAMP — the companion of reading a parquet timestamp column through a
+    declared ``LongType`` schema (streaming file sources can't infer)."""
+    scale = {"ns": f"timestamp_micros({col} div 1000)",
+             "us": f"timestamp_micros({col})",
+             "ms": f"timestamp_millis({col})",
+             "s": f"timestamp_seconds({col})"}
+    return F.expr(scale[unit])
+
+
 TABLES = (
     "region",
     "nation",
@@ -69,7 +92,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic benchmark table; events get timestamp normalization."""
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (ltz).
+
+    Parquet timestamps written without a timezone surface as TIMESTAMP_NTZ
+    under Spark 4's ``inferTimestampNTZ`` default, and ntz is rejected by
+    ``unix_micros`` / mixes badly with timestamp literals (which are ltz).
+    The cast interprets the wall clock in the session timezone and collect
+    renders it back in the same timezone, so the round trip preserves the
+    wall-clock value regardless of what the session tz is — and every use
+    in the catalog (bucketing, as-of, interval arithmetic) depends only on
+    differences, which are tz-invariant.
+    """
+    if any(t == "timestamp_ntz" for _, t in df.dtypes):
+        return df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -97,7 +142,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return _ltz(df)
     except Exception:
         # Conf not settable in this deployment: read through pyarrow and
         # downcast on the driver. Only used as a last resort on small inputs.
@@ -106,7 +151,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl = pq.read_table(path)
         pdf = tbl.to_pandas()
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        return spark.createDataFrame(pdf)
+        return _ltz(spark.createDataFrame(pdf))
 
 
 def scan_grid_files(spark: SparkSession, paths: list[str], *, with_timestamp: bool = True) -> DataFrame:
