@@ -241,13 +241,15 @@ def ivf_cosine_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    # 1. train the quantizer on a deterministic hash-sample (bounded driver
-    # memory at any corpus size)
-    total = corpus.count()
-    rate = max(1, total // train_sample)
+    # 1. train the quantizer on a deterministic hash-ordered sample: order by
+    # md5(id) and take the first train_sample rows. Plans as
+    # TakeOrderedAndProject (per-partition top-k heaps, no global sort, no
+    # prior count() pass over the corpus — sizing a rate would cost one full
+    # extra scan at 100 TB). Hash order ≈ uniform random, fixed by the data.
     sample_pdf = (
         corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.hash(F.col(id_col)), F.lit(rate)) == 0)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(train_sample)
         .toPandas()
     )
     Xs = np.vstack(sample_pdf[vec_col].to_numpy()).astype(np.float64)

@@ -1299,6 +1299,46 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS score
+      FROM q, c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the FULL bucketed machinery — quantizer training on a
+    hash-ordered sample, cell assignment via mapInPandas, probe-list
+    broadcast, cell equi-join rescoring — run at ``n_probe == n_centroids``
+    so every cell is probed and recall is provably 1.0: the exact top-k SQL
+    is then a sound oracle for the approximate operator's plumbing. The
+    production setting (n_probe < n_centroids, scan fraction ≈
+    n_probe/n_centroids) is recall-tested in tests/test_scale_paths.py."""
+    from kamodo_dask_spark.operators.similarity import ivf_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=8,
+        train_sample=2000,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
     "dataset_split",
     """
     WITH b AS (
@@ -1474,10 +1514,10 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS payload
       FROM documents)
     SELECT doc_id,
-           len(regexp_extract_all(payload, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
            len(regexp_extract_all(payload, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT AS n_phones,
            md5(regexp_replace(regexp_replace(payload,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_hash
     FROM p
     """,

@@ -304,3 +304,51 @@ def test_bm25_scores_match_reference_formula(spark):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == pytest.approx(round(want[i], 4), abs=1e-4)
+
+
+# PII edge-case catalog: (text, text after redaction). The patterns are
+# deliberately conservative (documented on EMAIL_PATTERN/PHONE_PATTERN):
+# mixed-case emails and +-tags ARE matched; quoted local parts, country-code
+# phones, and dotted/spaced phone formats are intentionally NOT (a safety
+# scrubber layers more patterns the same way rather than loosening these).
+PII_CASES = [
+    ("plain jo.doe@corp.io here", "plain [EMAIL] here"),
+    ("Mixed John.Doe@Corp.Com case", "Mixed [EMAIL] case"),
+    ("tagged user+tag@example.org ok", "tagged [EMAIL] ok"),
+    ("underscore a_b%c@sub.domain.co end", "underscore [EMAIL] end"),
+    # quoted local part: the char before @ is '"', outside the class, so the
+    # required [chars]+@ anchor never matches — intentionally left alone
+    ('"quoted"@example.com stays', '"quoted"@example.com stays'),
+    ("call 555-123-4567 now", "call [PHONE] now"),
+    # country code prefix: NANP core still masked, +1- prefix survives
+    ("intl +1-555-123-4567 form", "intl +1-[PHONE] form"),
+    ("dotted 555.123.4567 not matched", "dotted 555.123.4567 not matched"),
+    ("spaced 555 123 4567 not matched", "spaced 555 123 4567 not matched"),
+    ("no pii at all", "no pii at all"),
+    ("bare @ sign a@b not email", "bare @ sign a@b not email"),
+]
+
+
+def test_pii_patterns_edge_cases_match_oracle(spark):
+    """Both engines must agree on every edge case — the redaction contract
+    is engine-portable by construction (same literal regex)."""
+    import duckdb
+
+    from kamodo_dask_spark.operators.text import EMAIL_PATTERN, PHONE_PATTERN, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(PII_CASES)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii(F.col("text")).alias("r")).collect()
+    }
+    duck = duckdb.connect()
+    for i, (text, expected) in enumerate(PII_CASES):
+        assert got[i] == expected, f"spark case {i}: {text!r} -> {got[i]!r}"
+        (oracle,) = duck.execute(
+            "SELECT regexp_replace(regexp_replace(?, ?, '[EMAIL]', 'g'), ?, '[PHONE]', 'g')",
+            [text, EMAIL_PATTERN, PHONE_PATTERN],
+        ).fetchone()
+        assert oracle == expected, f"duckdb case {i}: {text!r} -> {oracle!r}"
