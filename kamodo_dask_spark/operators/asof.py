@@ -6,11 +6,20 @@ joins. Implemented with the union + window pattern: one shuffle on the join
 key, no range-join explosion, skew handled by AQE — the formulation that
 survives 100 TB (a naive ``l.ts >= r.ts`` theta join is a broadcast nested
 loop; this is a sort within key partitions).
+
+KEYLESS as-of (``on=None``, the per-axis bracket of kamodo_dask.py:335-338
+at large axis cardinality) cannot partition by key — a bare global window
+would sort everything in ONE task. Instead the union is range-bucketed on
+the time axis: the window runs per bucket (parallel), and rows whose
+bracket lies in an earlier bucket are patched from a carry relation — the
+last right row of each bucket, ≤ ``time_buckets`` rows computed once and
+broadcast back. No single-partition Exchange anywhere in the plan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -22,6 +31,8 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_matched",
     tolerance=None,
+    time_buckets: int = 32,
+    time_range=None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (backward; ``>=`` and earliest for forward),
@@ -32,6 +43,13 @@ def asof_join(
     keep NULLs. ``tolerance`` (same units as the ts columns, or an INTERVAL
     expression for timestamps) nulls out matches farther than that from the
     left timestamp — pandas ``merge_asof(tolerance=...)`` semantics.
+
+    ``time_buckets``/``time_range`` apply only to the keyless path
+    (``on=None``): the time axis is split into ``time_buckets`` equal-width
+    ranges so the sort parallelizes. ``time_range=(lo, hi)`` (values in the
+    right ts column's own type) skips the bounds-probe aggregation — pass it
+    when the caller already knows the span (the grid model validates time
+    bounds anyway). Keyless rows with a NULL timestamp get no match.
     """
     on = [on] if isinstance(on, str) else list(on or [])
     right_ts = right_ts or left_ts
@@ -64,32 +82,44 @@ def asof_join(
     # comparisons) always match the same right row — the max payload tuple,
     # mirroring DuckDB ASOF's deterministic pick.
     tiebreak = [F.col(out_names[c]).asc_nulls_first() for c in payload]
+    rev_tiebreak = [F.col(out_names[c]).desc_nulls_last() for c in payload]
     if direction == "backward":
         # right rows (side 0) sort before a left row at the same _ts → ties
         # match "at or before"
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("_ts").asc(), F.col("_side").asc(), *tiebreak)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        order = [F.col("_ts").asc(), F.col("_side").asc(), *tiebreak]
+        rev_order = [F.col("_ts").desc(), F.col("_side").desc(), *rev_tiebreak]
     elif direction == "forward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("_ts").desc(), F.col("_side").asc(), *tiebreak)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        order = [F.col("_ts").desc(), F.col("_side").asc(), *tiebreak]
+        rev_order = [F.col("_ts").asc(), F.col("_side").desc(), *rev_tiebreak]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    filled = unioned.select(
-        *[c for c in left.columns],
-        F.col("_side"),
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-            for c in payload
-        ],
-        F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
-    )
+    fill_cols = [out_names[c] for c in payload] + [matched_ts]
+
+    if on:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            *[c for c in left.columns],
+            F.col("_side"),
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+        )
+    else:
+        filled = _keyless_fill(
+            unioned,
+            right,
+            right_ts,
+            left_cols=list(left.columns),
+            fill_cols=fill_cols,
+            order=order,
+            rev_order=rev_order,
+            direction=direction,
+            n_buckets=max(1, time_buckets),
+            time_range=time_range,
+        )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
         gap = (
@@ -107,3 +137,122 @@ def asof_join(
             F.when(within, F.col(matched_ts)).alias(matched_ts),
         )
     return out
+
+
+def _ts_numeric(col, dtype: str):
+    """Monotone numeric image of a time-ish column, for range bucketing."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("double")
+
+
+def _keyless_fill(
+    unioned: DataFrame,
+    right: DataFrame,
+    right_ts: str,
+    left_cols: list[str],
+    fill_cols: list[str],
+    order,
+    rev_order,
+    direction: str,
+    n_buckets: int,
+    time_range,
+) -> DataFrame:
+    """Range-bucketed window fill for the keyless as-of.
+
+    1. Bucket bounds come from ``time_range`` or one (min, max) aggregation
+       over the RIGHT timestamps only — left rows outside the right span
+       clamp to the edge buckets, which preserves semantics (below-min rows
+       precede every right row in bucket 0 → NULL; above-max rows land after
+       every right row in the last bucket → match the global last).
+    2. The as-of window runs per bucket — ``n_buckets``-way parallel sort
+       instead of one global task.
+    3. A left row whose bracket lies in an EARLIER bucket (its own bucket
+       has no right row on the required side) is patched from the carry
+       relation: the per-bucket last right row in window order
+       (``row_number`` over the reversed order), ≤ ``n_buckets`` rows
+       collected to the driver, cumulated in plain Python, and broadcast
+       back. The carry patch applies the WHOLE carried row (pandas
+       ``merge_asof`` semantics); within a bucket the per-column
+       last(ignorenulls) fill of the keyed path is kept.
+
+    The plan contains no single-partition Exchange: the only wide exchange
+    hashes on ``_bkt``, and the carry join is a broadcast of metadata-sized
+    rows.
+    """
+    spark = unioned.sparkSession
+    ts_type = dict(right.dtypes)[right_ts]
+    num = _ts_numeric(F.col("_ts"), ts_type)
+
+    if time_range is not None:
+        import pandas as pd
+
+        if ts_type.startswith("timestamp"):
+            lo, hi = (pd.Timestamp(v).value // 1_000 for v in time_range)
+        else:
+            lo, hi = (float(v) for v in time_range)
+    else:
+        row = right.agg(
+            F.min(_ts_numeric(F.col(right_ts), ts_type)).alias("lo"),
+            F.max(_ts_numeric(F.col(right_ts), ts_type)).alias("hi"),
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None or hi <= lo:
+        n_buckets, lo, width = 1, 0, 1.0
+    else:
+        width = (hi - lo) / n_buckets
+
+    bkt = F.floor((num - F.lit(lo)) / F.lit(width))
+    bkt = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), bkt)).cast("int")
+    b = unioned.withColumn("_bkt", F.coalesce(bkt, F.lit(0)))
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = b.select(
+        *left_cols,
+        F.col("_side"),
+        F.col("_bkt"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+    )
+
+    # carry: per-bucket last right row in window order (reversed sort, rn=1)
+    rw = Window.partitionBy("_bkt").orderBy(*rev_order)
+    rlast = (
+        b.filter(F.col("_side") == 0)
+        .withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") == 1)
+        .select("_bkt", *fill_cols)
+        .collect()
+    )
+    by_bucket = {r["_bkt"]: r for r in rlast}
+    seq = range(n_buckets) if direction == "backward" else range(n_buckets - 1, -1, -1)
+    carry_rows, prev = [], None
+    for bb in seq:
+        if prev is not None:
+            carry_rows.append((bb, *[prev[c] for c in fill_cols]))
+        if bb in by_bucket:
+            prev = by_bucket[bb]
+
+    ufields = {f.name: f for f in b.schema.fields}
+    carry_schema = T.StructType(
+        [T.StructField("_bkt", T.IntegerType(), False)]
+        + [T.StructField("_carry_" + c, ufields[c].dataType, True) for c in fill_cols]
+    )
+    carry = spark.createDataFrame(carry_rows, carry_schema)
+
+    matched_ts = fill_cols[-1]
+    use_carry = F.col(matched_ts).isNull()
+    return (
+        filled.join(F.broadcast(carry), "_bkt", "left")
+        .select(
+            *left_cols,
+            F.col("_side"),
+            *[
+                F.when(use_carry, F.col("_carry_" + c)).otherwise(F.col(c)).alias(c)
+                for c in fill_cols
+            ],
+        )
+    )

@@ -755,22 +755,26 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     {gap}s) over a real Structured Streaming execution, verified against the
     DuckDB gaps-and-islands formulation.
 
-    Exactness mechanics: event-time-timeout state only flushes when the
-    watermark passes it, so the stream reads the events file FOLLOWED BY two
-    far-future sentinel files (``maxFilesPerTrigger=1`` → one micro-batch
-    each; the watermark advances between batches). Sentinel batch 1 pushes
-    the watermark past every real timeout, sentinel batch 2 gives the engine
-    a batch in which to FIRE them — after that, every real session has been
-    emitted (in-batch gap closures in batch 1, timeout closures in batch 3)
-    and only the sentinel user remains in state, filtered from the output.
+    Exactness mechanics: a finite stream ends before event-time timeouts can
+    fire (they need a LATER batch after the watermark passes), so the source
+    adds one far-future sentinel EVENT PER USER (+3 days ≫ gap). Inside the
+    single micro-batch every user's real sessions close via the in-batch gap
+    logic and are emitted; the sentinel itself stays behind as that user's
+    open session in state — never emitted, so no output filtering is needed.
+    One batch replaces the previous 3-batch timeout choreography (events +
+    2 sentinel triggers), cutting the fixed state-store-commit cost.
+    Timeout-driven flushing across MULTIPLE batches is the unbounded-stream
+    path and stays covered by tests/test_sessions.py.
 
     Harness cost control (this entry is timed in bench.py): source files are
-    prepared driver-side with pyarrow (raw copy of events.parquet, footer
-    statistics for the sentinel placement — zero Spark jobs before the
-    stream), and the stateful shuffle runs at 4 partitions scoped to this
-    query — per-micro-batch cost is dominated by state-store commits, one
-    per partition, and 100 TB of history still only needs partitions ~
-    active-key-cardinality / executor-memory, not the relational default.
+    prepared driver-side with pyarrow (raw copy of events.parquet; footer
+    statistics for sentinel placement; a single-column user_id read for the
+    sentinel roster — fine at bench scale, and an unbounded deployment
+    doesn't flush at all), and the stateful shuffle runs at 4 partitions
+    scoped to this query — per-micro-batch cost is dominated by state-store
+    commits, one per partition, and 100 TB of history still only needs
+    partitions ~ active-key-cardinality / executor-memory, not the
+    relational default.
     """
     import os
     import shutil
@@ -812,22 +816,24 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(events_path, dest)
         os.utime(dest, (1_000, 1_000))  # file source admits oldest-first
         day = 86_400 * per_s
-        for i, days in enumerate((3, 6)):
-            sentinel = pa.table(
-                {
-                    "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array(
-                        np.array([max_ts + days * day], dtype="int64")
-                    ).cast(pa.timestamp(ts_unit)),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["sentinel"]),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"]),
-                }
-            )
-            spath = os.path.join(root, f"0{i + 1}_sentinel.parquet")
-            pq.write_table(sentinel, spath)
-            os.utime(spath, (2_000 + 1_000 * i,) * 2)
+        users = np.unique(
+            pq.read_table(events_path, columns=["user_id"])["user_id"].to_numpy()
+        )
+        sentinel = pa.table(
+            {
+                "event_id": pa.array(np.full(len(users), -1, dtype="int64")),
+                "ts": pa.array(
+                    np.full(len(users), max_ts + 3 * day, dtype="int64")
+                ).cast(pa.timestamp(ts_unit)),
+                "user_id": pa.array(users),
+                "event_type": pa.array(["sentinel"] * len(users)),
+                "value": pa.array(np.zeros(len(users))),
+                "props": pa.array(["{}"] * len(users)),
+            }
+        )
+        spath = os.path.join(root, "01_sentinel.parquet")
+        pq.write_table(sentinel, spath)
+        os.utime(spath, (2_000, 2_000))
 
         raw_schema = T.StructType(
             [
@@ -846,11 +852,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         with nanos_as_long(spark), scoped_conf(
             spark, **{"spark.sql.shuffle.partitions": "4"}
         ):
-            stream = (
-                spark.readStream.schema(raw_schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(root)
-            )
+            # no maxFilesPerTrigger: availableNow folds both files into ONE
+            # micro-batch — the per-user sentinel closes every real session
+            # via gap logic within it
+            stream = spark.readStream.schema(raw_schema).parquet(root)
             ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
             sess = sessionize(ev, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
             query = (

@@ -8,6 +8,7 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from kamodo_dask_spark.operators.asof import asof_join
+from pyspark.sql import functions as F
 
 
 @given(seed=st.integers(0, 2**32 - 1), tol=st.sampled_from([None, 5.0, 50.0]))
@@ -90,3 +91,61 @@ def test_duplicate_right_timestamps_deterministic(spark):
     assert results[0] == results[1] == results[2]
     assert results[0][1] == (9.0, 5.0)  # max payload among the tied rows
     assert results[0][2] == (1.0, 5.0)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_keyless_asof_bucketed_matches_pandas(spark, direction):
+    """Keyless as-of (on=None) over right rows spanning many time buckets:
+    values must match pandas merge_asof, including left rows whose bracket
+    lies in an EARLIER/LATER bucket than their own (the carry path) and
+    left rows outside the right span (edge-bucket clamping)."""
+    rng = np.random.default_rng(7)
+    # right: sparse early region + dense late region → many buckets have no
+    # right rows at all, exercising multi-bucket carry hops
+    right_ts = np.concatenate(
+        [rng.uniform(0, 50, 5), rng.uniform(800, 1000, 400)]
+    )
+    right = pd.DataFrame({"ts": np.unique(right_ts)})
+    right["v"] = rng.normal(size=len(right))
+    # left: spread over a wider span than right (clamp test on both ends)
+    left = pd.DataFrame({"ts": np.sort(rng.uniform(-100, 1100, 300))})
+
+    expected = pd.merge_asof(
+        left,
+        right.rename(columns={"ts": "ts_matched"}),
+        left_on="ts",
+        right_on="ts_matched",
+        direction=direction,
+    )
+
+    sl = spark.createDataFrame(left, "ts double")
+    sr = spark.createDataFrame(right, "ts double, v double").repartition(8)
+    got = (
+        asof_join(sl, sr, on=None, left_ts="ts", direction=direction, time_buckets=16)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    expected = expected.sort_values("ts").reset_index(drop=True)
+    assert len(got) == len(expected)
+    for col in ("v", "ts_matched"):
+        g = pd.to_numeric(got[col], errors="coerce")
+        e = pd.to_numeric(expected[col], errors="coerce")
+        both_nan = g.isna() & e.isna()
+        assert (both_nan | np.isclose(g, e, rtol=1e-12)).all(), (
+            f"{col}:\n{pd.DataFrame({'ts': got['ts'], 'got': g, 'exp': e})[~(both_nan | np.isclose(g, e, rtol=1e-12))]}"
+        )
+
+
+def test_keyless_asof_plan_has_no_single_partition_exchange(spark):
+    """The keyless path's fix: the window partitions on the time bucket, so
+    the physical plan must not contain Exchange SinglePartition (the old
+    formulation sorted the whole relation in ONE task)."""
+    left = spark.range(1000).select((F.col("id") * 1.0).alias("ts"))
+    right = spark.range(5000).select(
+        (F.col("id") * 0.2).alias("ts"), (F.col("id") * 2.0).alias("v")
+    ).repartition(8)
+    out = asof_join(left, right, on=None, left_ts="ts", time_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(_bkt" in plan, plan
