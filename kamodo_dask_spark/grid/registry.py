@@ -103,6 +103,80 @@ class KamodoSpark(dict):
             self[m] = point_fn
             self[f"{m}_ijkl"] = gridded_fn
 
+    def register(self, name: str, expr: str, units: str = "") -> None:
+        """Register a DERIVED function: a Spark SQL expression over already-
+        registered measures — the Spark-native equivalent of the reference's
+        Kamodo sympy composition (``kd['speed[m/s]'] = 'sqrt(u**2+v**2)'``;
+        kamodo_dask.py:301 inherits it from the public Kamodo base class).
+
+        ``expr`` references measure names as columns (Spark SQL spelling:
+        ``sqrt(u*u + v*v)``, ``power(rho, 2)``). Evaluation is
+        interpolate-then-compose: the point/gridded function interpolates
+        every referenced measure in ONE slab pass, then applies the
+        expression JVM-side — so ``reg['speed'](points)`` costs the same
+        plan as a single multi-measure interpolation plus a project.
+
+        ``name`` may carry units in the ``name[units]`` spelling; an explicit
+        ``units=`` argument wins.
+        """
+        import re
+
+        m = re.fullmatch(r"(\w+)\[(.*?)\]", name)
+        if m:
+            name, parsed_units = m.group(1), m.group(2)
+            units = units or parsed_units
+
+        deps = [d for d in self.measures if re.search(rf"\b{re.escape(d)}\b", expr)]
+        if not deps:
+            raise ValueError(
+                f"expression {expr!r} references no registered measure "
+                f"(known: {self.measures})"
+            )
+
+        def point_fn(points_df: DataFrame, _deps=tuple(deps), _expr=expr) -> DataFrame:
+            if self.strategy == "broadcast":
+                out = interpolate_points_broadcast(
+                    self.df, points_df, self.axes, list(_deps), self.fill_value
+                )
+            else:
+                out = interpolate_points(
+                    self.df,
+                    points_df,
+                    self.axes,
+                    list(_deps),
+                    self.fill_value,
+                    axis_arrays=self._axis_arrays,
+                )
+            return out.select(*points_df.columns, F.expr(_expr).alias(name))
+
+        def gridded_fn(_deps=tuple(deps), _expr=expr, **coords) -> DataFrame:
+            out = gridded_eval(
+                self.df,
+                coords,
+                self.axes,
+                list(_deps),
+                self.fill_value,
+                strategy="broadcast" if self.strategy == "broadcast" else "auto",
+            )
+            keep = [c for c in out.columns if c not in _deps]
+            return out.select(*keep, F.expr(_expr).alias(name))
+
+        point_fn.units = units
+        gridded_fn.units = units
+        point_fn.expr = gridded_fn.expr = expr
+        self.units[name] = units
+        self[name] = point_fn
+        self[f"{name}_ijkl"] = gridded_fn
+
+    def __setitem__(self, key, value):
+        """Dict-style composition: assigning a STRING registers a derived
+        expression function (reference ``kd['speed'] = 'sqrt(u**2+v**2)'``
+        shape); assigning a callable stores it as-is."""
+        if isinstance(value, str):
+            self.register(key, value)
+            return
+        super().__setitem__(key, value)
+
     def get_bounds(self) -> dict:
         """Per-axis (min, max) — ``get_bounds``, kamodo_dask.py:353-354."""
         return grid_bounds(self.df, self.axes)

@@ -82,15 +82,12 @@ def asof_join(
     # comparisons) always match the same right row — the max payload tuple,
     # mirroring DuckDB ASOF's deterministic pick.
     tiebreak = [F.col(out_names[c]).asc_nulls_first() for c in payload]
-    rev_tiebreak = [F.col(out_names[c]).desc_nulls_last() for c in payload]
     if direction == "backward":
         # right rows (side 0) sort before a left row at the same _ts → ties
         # match "at or before"
         order = [F.col("_ts").asc(), F.col("_side").asc(), *tiebreak]
-        rev_order = [F.col("_ts").desc(), F.col("_side").desc(), *rev_tiebreak]
     elif direction == "forward":
         order = [F.col("_ts").desc(), F.col("_side").asc(), *tiebreak]
-        rev_order = [F.col("_ts").asc(), F.col("_side").desc(), *rev_tiebreak]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
@@ -115,7 +112,6 @@ def asof_join(
             left_cols=list(left.columns),
             fill_cols=fill_cols,
             order=order,
-            rev_order=rev_order,
             direction=direction,
             n_buckets=max(1, time_buckets),
             time_range=time_range,
@@ -139,6 +135,100 @@ def asof_join(
     return out
 
 
+def asof_uniform_grid(
+    right: DataFrame,
+    start,
+    step_seconds: float,
+    n_slots: int,
+    right_ts: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_matched",
+    slot_col: str = "slot",
+) -> DataFrame:
+    """As-of bracket of a data relation against a UNIFORM time grid
+    (``slot_i = start + i·step``) — the dense-grid special case of the
+    keyless as-of (the reference's per-axis bracket, kamodo_dask.py:335-338,
+    where the probe axis is a regular ``date_range``).
+
+    Plan shape: each right row computes the index of the first (backward) /
+    last (forward) slot it can serve — pure arithmetic, map-side — and a
+    ``max_by`` hash aggregation reduces the data to ≤ ``n_slots`` candidate
+    rows with partial combine. The running as-of fill then runs over the
+    GRID relation only: an ``n_slots``-row window (bounded by construction,
+    broadcast-joined back). The data-sized relation is scanned once, never
+    sorted, never shuffled beyond an ``n_slots``-group aggregation — at
+    100 TB this is the plan the general union+window formulation cannot
+    reach, because it must sort the data side.
+
+    Returns one row per slot: ``slot_col``, each right payload column, and
+    ``{right_ts}{suffix}`` (NULL where no right row brackets the slot).
+    Ties on the bracket timestamp pick the max payload tuple — same
+    contract as :func:`asof_join`.
+    """
+    import pandas as pd
+
+    ts_type = dict(right.dtypes)[right_ts]
+    is_ts = ts_type.startswith("timestamp")
+    if is_ts:
+        t0 = pd.Timestamp(start).value // 1_000  # µs
+        step = int(round(step_seconds * 1_000_000))
+    else:
+        t0, step = float(start), float(step_seconds)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload = [c for c in right.columns if c != right_ts]
+    matched_ts = right_ts + suffix
+    num = _ts_numeric(F.col(right_ts), ts_type)
+
+    if direction == "backward":
+        # first slot at-or-after the row: serves slots i ≥ ceil((ts-t0)/step)
+        idx = F.ceil((num - F.lit(t0)) / F.lit(step)).cast("long")
+        cand = right.withColumn("_i", F.greatest(F.lit(0), idx)).filter(
+            F.col("_i") <= n_slots - 1
+        )
+        ord_key = F.struct(num.alias("_k"), *[F.col(c).alias(f"_o{i}") for i, c in enumerate(payload)])
+        w = Window.orderBy(F.col("_i").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    else:
+        # last slot at-or-before the row: serves slots i ≤ floor((ts-t0)/step)
+        idx = F.floor((num - F.lit(t0)) / F.lit(step)).cast("long")
+        cand = right.withColumn("_i", F.least(F.lit(n_slots - 1), idx)).filter(
+            F.col("_i") >= 0
+        )
+        ord_key = F.struct((-num).alias("_k"), *[F.col(c).alias(f"_o{i}") for i, c in enumerate(payload)])
+        w = Window.orderBy(F.col("_i").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+
+    best = cand.groupBy("_i").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col(right_ts).alias(matched_ts)),
+            ord_key,
+        ).alias("_r")
+    )
+
+    spark = right.sparkSession
+    if is_ts:
+        slot_expr = F.expr(f"timestamp_micros({t0} + id * {step})")
+    else:
+        slot_expr = (F.lit(t0) + F.col("id") * F.lit(step)).cast(ts_type)
+    grid = spark.range(n_slots).select(F.col("id").alias("_i"), slot_expr.alias(slot_col))
+
+    # the window below is single-partition BY CONSTRUCTION over n_slots rows
+    # (the grid, not the data) — bounded state at any corpus size
+    return (
+        grid.join(F.broadcast(best), "_i", "left")
+        .select(slot_col, F.last("_r", ignorenulls=True).over(w).alias("_r"))
+        .select(
+            slot_col,
+            *[F.col(f"_r.{c}").alias(c) for c in payload],
+            F.col(f"_r.{matched_ts}").alias(matched_ts),
+        )
+    )
+
+
 def _ts_numeric(col, dtype: str):
     """Monotone numeric image of a time-ish column, for range bucketing."""
     if dtype.startswith("timestamp"):
@@ -153,7 +243,6 @@ def _keyless_fill(
     left_cols: list[str],
     fill_cols: list[str],
     order,
-    rev_order,
     direction: str,
     n_buckets: int,
     time_range,
@@ -169,12 +258,13 @@ def _keyless_fill(
        instead of one global task.
     3. A left row whose bracket lies in an EARLIER bucket (its own bucket
        has no right row on the required side) is patched from the carry
-       relation: the per-bucket last right row in window order
-       (``row_number`` over the reversed order), ≤ ``n_buckets`` rows
-       collected to the driver, cumulated in plain Python, and broadcast
-       back. The carry patch applies the WHOLE carried row (pandas
-       ``merge_asof`` semantics); within a bucket the per-column
-       last(ignorenulls) fill of the keyed path is kept.
+       relation: the per-bucket last right row in window order, computed as
+       a ``max_by`` hash aggregation (map-side partial combine — no second
+       sort of the right side), ≤ ``n_buckets`` rows collected to the
+       driver, cumulated in plain Python, and broadcast back. The carry
+       patch applies the WHOLE carried row (pandas ``merge_asof``
+       semantics); within a bucket the per-column last(ignorenulls) fill of
+       the keyed path is kept.
 
     The plan contains no single-partition Exchange: the only wide exchange
     hashes on ``_bkt``, and the carry join is a broadcast of metadata-sized
@@ -218,13 +308,22 @@ def _keyless_fill(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
     )
 
-    # carry: per-bucket last right row in window order (reversed sort, rn=1)
-    rw = Window.partitionBy("_bkt").orderBy(*rev_order)
+    # carry: per-bucket last right row in window order, computed as a hash
+    # aggregation (max_by over the order key — map-side partial combine, a
+    # ≤ n_buckets-row shuffle) rather than a window + row_number pass, which
+    # would re-sort every right row. The order key mirrors the window sort:
+    # backward = max (ts, payload...), forward = min ts / max payload at
+    # ties — expressed as max over (-ts, payload...) via the numeric image.
+    key = num if direction == "backward" else -num
+    ord_key = F.struct(
+        key.alias("_k"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(fill_cols[:-1])],
+    )
     rlast = (
         b.filter(F.col("_side") == 0)
-        .withColumn("_rn", F.row_number().over(rw))
-        .filter(F.col("_rn") == 1)
-        .select("_bkt", *fill_cols)
+        .groupBy("_bkt")
+        .agg(F.max_by(F.struct(*fill_cols), ord_key).alias("_r"))
+        .select("_bkt", "_r.*")
         .collect()
     )
     by_bucket = {r["_bkt"]: r for r in rlast}

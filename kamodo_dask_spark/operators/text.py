@@ -109,16 +109,24 @@ def fingerprint(col) -> Column:
 
 def bigrams(col) -> Column:
     """Adjacent word pairs as ``"w1 w2"`` strings — array expression only
-    (no explode, no shuffle; repetition stats stay row-local)."""
+    (no explode, no shuffle; repetition stats stay row-local).
+
+    Built as ``zip_with(slice(ws, 1, n-1), slice(ws, 2, n-1), concat)``:
+    the token array appears only in ARGUMENT position, so it is evaluated a
+    constant number of times per row. The obvious
+    ``transform(sequence(...), i -> element_at(ws, i))`` spelling references
+    ``ws`` inside the lambda BODY — Catalyst re-inlines the whole
+    tokenize chain per element, turning the expression O(n²·|tokenize|)
+    per row (the dedup.py:120-126 trap one level down; measured ~9 s vs
+    ~1 s at sf0.1 for the repetition entry)."""
     ws = words(col)
     n = F.size(ws)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-            ),
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

@@ -998,17 +998,35 @@ def interval_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interp_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D linear time interpolation = backward + forward as-of bracket and a
-    weighted blend — the per-axis primitive of the N-D interpolator."""
+    weighted blend — the per-axis primitive of the N-D interpolator.
+
+    The probe axis is a UNIFORM dense grid, so each direction uses
+    ``asof_uniform_grid``: slot assignment is map-side arithmetic, the data
+    reduces to ≤ n_slots candidates via a partial-combine ``max_by``
+    aggregation, and the as-of fill runs over the 109-row grid relation —
+    the events relation is scanned once per direction, never sorted. (The
+    general keyless ``asof_join`` — arbitrary left — stays bucketed; this is
+    the stronger plan available when the left side IS a regular grid.) The
+    grouped axis relation is persisted so the two directions share its
+    scan+shuffle."""
+    from pyspark import StorageLevel
+
+    from kamodo_dask_spark.operators.asof import asof_uniform_grid
+
     ev = (
         read_table(spark, sf_dir, "events")
         .groupBy("ts")
         .agg(F.avg("value").alias("value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    slots = time_slots(spark, "2024-01-02 00:00:00", "2024-01-29 00:00:00", 360)
-    b = asof_join(slots, ev, on=None, left_ts="slot", right_ts="ts", direction="backward")
-    b = b.withColumnRenamed("value", "v0").withColumnRenamed("ts_matched", "ts0")
-    f = asof_join(b, ev, on=None, left_ts="slot", right_ts="ts", direction="forward")
-    f = f.withColumnRenamed("value", "v1").withColumnRenamed("ts_matched", "ts1")
+    start, step_s, n_slots = "2024-01-02 00:00:00", 360 * 60, 109
+    b = asof_uniform_grid(
+        ev, start, step_s, n_slots, right_ts="ts", direction="backward"
+    ).withColumnRenamed("value", "v0").withColumnRenamed("ts_matched", "ts0")
+    f = asof_uniform_grid(
+        ev, start, step_s, n_slots, right_ts="ts", direction="forward"
+    ).withColumnRenamed("value", "v1").withColumnRenamed("ts_matched", "ts1")
+    f = b.join(F.broadcast(f), "slot")
     t, t0, t1 = (F.unix_micros(F.col(c)) for c in ("slot", "ts0", "ts1"))
     blend = F.when(F.col("ts1") == F.col("ts0"), F.col("v0")).otherwise(
         F.col("v0")

@@ -152,3 +152,62 @@ def test_bm25_topk_plan_shape(spark):
     # top-k without a global sort; df/stats joins broadcast
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bm25_single_tokenize_scan(spark):
+    """bm25_topk persists the tokenized relation: the returned plan must read
+    it from cache (InMemoryTableScan), not re-tokenize the corpus — at 100 TB
+    the second tokenize pass was a full extra scan of documents."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["bm25_search"](spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def _tiny_grid_and_points(spark):
+    from pyspark.sql import functions as F
+
+    grid = spark.range(5 * 5).select(
+        ((F.col("id") / 5).cast("long") % 5).cast("double").alias("x1"),
+        (F.col("id") % 5).cast("double").alias("x2"),
+    )
+    grid = grid.withColumn("val", F.lit(1.0) + F.col("x1") + 2 * F.col("x2"))
+    pts = spark.range(50).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 9) / 2.0).alias("x1"),
+        ((F.col("id") % 7) / 1.5).alias("x2"),
+    )
+    import numpy as np
+
+    return grid, pts, {"x1": np.arange(5.0), "x2": np.arange(5.0)}
+
+
+@pytest.mark.parametrize("at_boundary", [True, False])
+def test_fused_path_boundary(spark, monkeypatch, at_boundary):
+    """Pin the auto-strategy switch at the _FUSED_SLAB_MAX_ROWS boundary:
+    dense_bound == limit must take the fused zero-exchange path;
+    dense_bound == limit + 1 must fall back to the corner join. A silent
+    regression in either direction changes the 100 TB plan shape."""
+    from kamodo_dask_spark.grid import interpolate as interp_mod
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    grid, pts, arrays = _tiny_grid_and_points(spark)
+    dense_bound = 25
+    limit = dense_bound if at_boundary else dense_bound - 1
+    monkeypatch.setattr(interp_mod, "_FUSED_SLAB_MAX_ROWS", limit)
+    df = interp_mod.interpolate_points(
+        grid, pts, axes=("x1", "x2"), measures=["val"], axis_arrays=arrays
+    )
+    plan = executed_plan(df)
+    if at_boundary:
+        assert "Exchange" not in plan and "Join" not in plan, plan
+    else:
+        assert "Join" in plan, plan
+    # both paths must agree on values regardless of strategy
+    rows = {r["point_id"]: r["val"] for r in df.collect()}
+    expected = {
+        r["point_id"]: 1.0 + min(r["x1"], 4.0) + 2 * min(r["x2"], 4.0)
+        for r in pts.collect()
+    }
+    for pid, v in expected.items():
+        assert abs(rows[pid] - v) < 1e-9, (pid, rows[pid], v)

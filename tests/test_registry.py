@@ -63,3 +63,35 @@ def test_bounds_and_midpoint(registry):
     m = registry.get_midpoint()
     assert m["lat"] == pytest.approx(0.0)
     assert m["h"] == pytest.approx(325000.0)
+
+
+def test_composed_function_point_and_gridded(spark, registry):
+    """Function composition over registry entries (reference: the Kamodo
+    base class's sympy composition, kamodo_dask.py:301): a derived function
+    is a SQL expression over registered measures, evaluated as
+    interpolate-then-compose in one multi-measure pass."""
+    registry["combo[K]"] = "T + rho * 1e9"
+    assert "combo" in registry and "combo_ijkl" in registry
+    assert registry.units["combo"] == "K"
+    assert registry["combo"].expr == "T + rho * 1e9"
+
+    t_mid = (GRID_START + timedelta(minutes=40)).timestamp()
+    pts = spark.createDataFrame(
+        [(0, t_mid, 90.0, 0.0, 325000.0)],
+        "point_id long, time double, lon double, lat double, h double",
+    )
+    got = registry["combo"](pts).collect()[0]
+    expected = temp_fn(t_mid, 90.0, 0.0, 325000.0) + rho_fn(t_mid, 90.0, 0.0, 325000.0) * 1e9
+    assert got["combo"] == pytest.approx(expected, rel=1e-5)
+    assert set(registry["combo"](pts).columns) == {"point_id", "time", "lon", "lat", "h", "combo"}
+
+    out = registry["combo_ijkl"](time=t_mid, lat=0.0).collect()
+    assert len(out) == 17 * 3
+    for r in out:
+        exp = temp_fn(t_mid, r["lon"], 0.0, r["h"]) + rho_fn(t_mid, r["lon"], 0.0, r["h"]) * 1e9
+        assert r["combo"] == pytest.approx(exp, rel=1e-4)
+
+
+def test_composed_function_rejects_unknown_deps(registry):
+    with pytest.raises(ValueError, match="references no registered measure"):
+        registry.register("bogus", "x_unknown * 2")
