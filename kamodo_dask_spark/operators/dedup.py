@@ -104,16 +104,32 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Built as a chain of ``zip_with`` over ``n`` shifted slices, so the token
+    array appears only in ARGUMENT position and is evaluated a constant
+    number of times per row. The previous
+    ``transform(sequence(...), i -> concat_ws(' ', slice(ws, i+1, n)))``
+    referenced ``ws`` inside the lambda body — Catalyst re-inlines the whole
+    tokenize chain per GRAM (the same trap as ``text.py::bigrams``).
+
+    Edge parity (matches ``_sql_shingles``): texts shorter than ``n`` words
+    yield one undersized gram; empty texts yield ``[""]``.
+    """
     ws = words(col)
     if n == 1:
         return F.array_distinct(ws)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    grams = F.slice(ws, 1, m)
+    for j in range(1, n):
+        # shorter trailing slices pad with NULL, which concat_ws skips —
+        # reproducing the undersized-gram behavior for < n-word texts
+        grams = F.zip_with(
+            grams, F.slice(ws, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(
+        F.when(F.size(ws) == 0, F.array(F.lit(""))).otherwise(grams)
     )
-    # guard: texts shorter than n words produce one undersized gram; keep it
-    return F.array_distinct(grams)
 
 
 def minhash_signature(col, k: int = 16, shingle_n: int = 3) -> Column:
@@ -421,4 +437,55 @@ def simhash_hamming_candidates(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of its
+    distinct word ``n``-grams that appear anywhere in ``benchmark`` — the
+    standard n-gram-overlap test-set-leakage check (n=13 is the common
+    choice for real corpora).
+
+    Shape at 100 TB: the corpus side is explode + per-doc aggregation (the
+    minhash shuffle pattern — map-side combine on (doc, gram)); the
+    benchmark n-gram set is DISTINCT'd and broadcast (eval/test suites are
+    MBs against a corpus of TBs — set ``broadcast_benchmark=False`` to
+    shuffle-join an unusually large one). A left anti/semi split keeps the
+    contaminated-gram count an aggregation, never a per-pair comparison.
+
+    Returns ``(id_col, n_grams, n_contaminated, contamination)`` for every
+    document with at least one gram.
+    """
+    doc_sh = _explode_nonempty(
+        _widen(docs).select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh")),
+        [id_col],
+        "_sh",
+        "gram",
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    flagged = doc_sh.join(bench_sh, "gram", "left_semi")
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = flagged.groupBy(id_col).agg(F.count("*").alias("n_contaminated"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
     )

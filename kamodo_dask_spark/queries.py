@@ -1251,6 +1251,40 @@ def near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
 
 
+@register(
+    "contamination",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    d AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS gram FROM w),
+    b AS (SELECT DISTINCT gram FROM d WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, count(*) AS n_grams FROM d GROUP BY 1),
+    h AS (SELECT d.doc_id, count(*) AS n_contaminated FROM d JOIN b USING (gram)
+          GROUP BY 1)
+    SELECT t.doc_id, t.n_grams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0) / t.n_grams, 6) AS contamination
+    FROM t LEFT JOIN h USING (doc_id)
+    """,
+)
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of every training document
+    against a benchmark set (here a deterministic 1-in-97 slice of the same
+    corpus — in production, the eval suites). Corpus side is explode +
+    per-doc aggregation; the benchmark gram set is distinct'd and broadcast;
+    the contaminated count is a semi-join + aggregation, never per-pair.
+    n=3 suits the short fixture docs (real corpora use n=13)."""
+    from kamodo_dask_spark.operators.dedup import contamination_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_scores(docs, bench, n=3).withColumns(
+        {
+            "n_grams": F.col("n_grams").cast("bigint"),
+            "n_contaminated": F.col("n_contaminated").cast("bigint"),
+        }
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)
