@@ -489,3 +489,47 @@ def contamination_scores(
             ).alias("contamination"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_doc_frequency: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb boilerplate step):
+    drop every line that occurs in more than ``max_doc_frequency`` distinct
+    documents (nav menus, cookie banners, signatures), preserving the order
+    of surviving lines.
+
+    Shape at 100 TB: lines posexplode with their position; the document
+    frequency per line is a two-level hash aggregation on ``md5(line)``
+    (wide text stays out of the exchange key); ONLY over-threshold hashes —
+    tiny by construction, boilerplate is the point — broadcast back as an
+    anti-join; surviving lines re-assemble per document via
+    ``collect_list(struct(pos, line))`` + ``array_sort`` (order restored
+    after the unordered aggregation). Documents whose every line is
+    boilerplate drop out.
+
+    Returns ``(id_col, text_col, n_lines)`` — the cleaned text and its
+    surviving line count.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.col("_line")))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > max_doc_frequency)
+        .select("_h")
+    )
+    kept = lines.join(F.broadcast(boiler), "_h", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_line"))), lambda s: s["_line"]
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, line_sep).alias(text_col),
+        F.count("*").alias("n_lines"),
+    )

@@ -1285,6 +1285,55 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "line_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             'hdr-' || (doc_id % 7) || chr(10) || text ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || 'subscribe to our newsletter today'
+                  ELSE '' END ||
+             chr(10) || 'sig ' || doc_id AS payload
+      FROM documents),
+    s AS (SELECT doc_id, string_split(payload, chr(10)) AS ls FROM p),
+    l AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(range(1, len(ls) + 1)) AS ord
+          FROM s),
+    b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                            FROM l GROUP BY 1) WHERE nd > 3),
+    k AS (SELECT doc_id, line, ord FROM l WHERE line NOT IN (SELECT line FROM b))
+    SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY ord)) AS clean_hash,
+           count(*)::BIGINT AS n_lines
+    FROM k GROUP BY 1
+    """,
+)
+def line_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate line removal, oracle-checked. The
+    fixture text has no newlines, so the entry builds a deterministic
+    multi-line payload IN BOTH ENGINES: a header line shared by ~1/7 of the
+    corpus and a newsletter line on 1/4 of docs (both exceed the document
+    frequency threshold → removed) around the unique body and signature
+    lines (kept, order preserved; verified by hash)."""
+    from kamodo_dask_spark.operators.dedup import line_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    payload = F.concat(
+        F.lit("hdr-"), (F.col("doc_id") % 7).cast("string"), nl,
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("\nsubscribe to our newsletter today")
+        ).otherwise(F.lit("")),
+        nl, F.lit("sig "), F.col("doc_id").cast("string"),
+    )
+    staged = docs.select("doc_id", payload.alias("text"))
+    out = line_dedup(staged, max_doc_frequency=3)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("clean_hash"), F.col("n_lines")
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)

@@ -352,3 +352,28 @@ def test_pii_patterns_edge_cases_match_oracle(spark):
             [text, EMAIL_PATTERN, PHONE_PATTERN],
         ).fetchone()
         assert oracle == expected, f"duckdb case {i}: {text!r} -> {oracle!r}"
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from kamodo_dask_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nalpha\nbeta\nFOOTER"),
+            (2, "COOKIE BANNER\ngamma\nFOOTER"),
+            (3, "COOKIE BANNER\ndelta\nFOOTER"),
+            (4, "COOKIE BANNER\nepsilon\nFOOTER"),
+            (5, "COOKIE BANNER\nFOOTER"),  # all lines boilerplate -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_doc_frequency=3).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 lost every line
+    assert out[1]["text"] == "alpha\nbeta" and out[1]["n_lines"] == 2
+    assert out[2]["text"] == "gamma"
+    # order preserved even though reassembly goes through collect_list
+    many = spark.createDataFrame(
+        [(9, "\n".join(f"line-{i}" for i in range(50)))], "doc_id long, text string"
+    ).union(docs)
+    got = line_dedup(many, max_doc_frequency=3).filter("doc_id = 9").first()
+    assert got["text"] == "\n".join(f"line-{i}" for i in range(50))
