@@ -218,3 +218,44 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def gopher_quality_flags(col) -> dict[str, Column]:
+    """The Gopher paper's document-quality rule set as named boolean
+    columns (True = passes the gate). All built-in array/string expressions
+    — row-local, zero shuffle, single tokenize per rule family.
+
+    Rules (Rae et al. 2021, §A1.1): word count in [50, 100k]; mean word
+    length in [3, 10]; symbol-to-word ratio (#, …) below 0.1; < 90% of
+    lines starting with a bullet; < 30% of lines ending with an ellipsis;
+    ≥ 80% of words containing an alphabetic character; ≥ 2 of a small
+    stopword set present.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    ws = words(c)
+    n_words = F.size(ws)
+    n_chars = F.length(c)
+    mean_wlen = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(c, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* ")))
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(F.lit(0.0))
+    req_stops = F.lit(["the", "be", "to", "of", "and", "that", "have", "with"])
+    stop_hits = F.size(F.filter(F.array_distinct(ws), lambda w: F.array_contains(req_stops, w)))
+
+    return {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "symbol_ratio_ok": symbol_ratio < 0.1,
+        "bullet_lines_ok": bullet_lines.cast("double") / n_lines < 0.9,
+        "ellipsis_lines_ok": ellipsis_lines.cast("double") / n_lines < 0.3,
+        "alpha_word_frac_ok": alpha_frac >= 0.8,
+        "stopwords_ok": stop_hits >= 2,
+    }

@@ -1334,6 +1334,67 @@ def line_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_rules",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || '- bullet point' || chr(10) || '- another bullet'
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+               || CASE WHEN doc_id % 9 = 0 THEN ' ###' ELSE '' END AS payload
+      FROM documents),
+    w AS (SELECT doc_id, payload, {_sql_words("payload")} AS ws,
+                 string_split(payload, chr(10)) AS lines
+          FROM p)
+    SELECT doc_id,
+           (len(ws) >= 50 AND len(ws) <= 100000)::INTEGER AS word_count_ok,
+           (length(payload)::DOUBLE / len(ws) >= 3.0
+            AND length(payload)::DOUBLE / len(ws) <= 10.0)::INTEGER AS mean_word_len_ok,
+           (((length(payload) - length(replace(payload, '#', '')))
+             + (length(payload) - length(replace(payload, '...', ''))) / 3
+            )::DOUBLE / len(ws) < 0.1)::INTEGER AS symbol_ratio_ok,
+           (len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')))::DOUBLE
+              / len(lines) < 0.9)::INTEGER AS bullet_lines_ok,
+           (len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE
+              / len(lines) < 0.3)::INTEGER AS ellipsis_lines_ok,
+           (len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+              / len(ws) >= 0.8)::INTEGER AS alpha_word_frac_ok,
+           (len(list_filter(list_distinct(ws),
+                x -> list_contains(['the','be','to','of','and','that','have','with'], x)))
+              >= 2)::INTEGER AS stopwords_ok
+    FROM w
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher paper's full document-quality rule set (word-count bounds,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required stopwords) as per-doc pass flags. Bullet,
+    ellipsis, and symbol markers are injected deterministically IN BOTH
+    ENGINES (the fixture text is single-line prose)."""
+    from kamodo_dask_spark.operators.text import gopher_quality_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\n- bullet point\n- another bullet"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("\nto be continued...")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" ###")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", payload.alias("payload"))
+    flags = gopher_quality_flags(F.col("payload"))
+    return staged.select(
+        "doc_id", *[v.cast("int").alias(k) for k, v in flags.items()]
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)

@@ -149,3 +149,40 @@ def test_keyless_asof_plan_has_no_single_partition_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(_bkt" in plan, plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_uniform_grid_matches_pandas(spark, direction):
+    """asof_uniform_grid ≡ merge_asof of the grid slots against the data,
+    including slots before/after the data span and empty slot intervals."""
+    from kamodo_dask_spark.operators.asof import asof_uniform_grid
+
+    rng = np.random.default_rng(11)
+    # events clustered mid-range: head and tail slots have no direct events
+    ev = pd.DataFrame({"ts": np.sort(rng.uniform(200, 700, 300))}).drop_duplicates("ts")
+    ev["v"] = rng.normal(size=len(ev))
+    start, step, n = 0.0, 50.0, 21  # slots 0, 50, ..., 1000
+
+    slots = pd.DataFrame({"slot": start + step * np.arange(n)})
+    expected = pd.merge_asof(
+        slots,
+        ev.rename(columns={"ts": "ts_matched"}),
+        left_on="slot",
+        right_on="ts_matched",
+        direction=direction,
+    )
+
+    sdf = spark.createDataFrame(ev, "ts double, v double").repartition(8)
+    got = (
+        asof_uniform_grid(sdf, start, step, n, right_ts="ts", direction=direction)
+        .toPandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    for col in ("v", "ts_matched"):
+        g, e = got[col], expected[col]
+        both_nan = g.isna() & e.isna()
+        assert (both_nan | np.isclose(g, e, rtol=1e-12)).all(), (
+            f"{direction} {col}:\n{pd.DataFrame({'slot': got['slot'], 'got': g, 'exp': e})}"
+        )
