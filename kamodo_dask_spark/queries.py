@@ -770,11 +770,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared driver-side with pyarrow (raw copy of events.parquet; footer
     statistics for sentinel placement; a single-column user_id read for the
     sentinel roster — fine at bench scale, and an unbounded deployment
-    doesn't flush at all), and the stateful shuffle runs at 4 partitions
-    scoped to this query — per-micro-batch cost is dominated by state-store
-    commits, one per partition, and 100 TB of history still only needs
-    partitions ~ active-key-cardinality / executor-memory, not the
-    relational default.
+    doesn't flush at all), and the stateful shuffle runs at 16 partitions
+    scoped to this query (measured sweet spot on local[32]: more Python
+    workers processing the per-key calls beats per-partition state-store
+    commit overhead up to ~16, inverts by 32) — 100 TB of history still
+    only needs partitions ~ active-key-cardinality / executor-memory, not
+    the relational default.
     """
     import os
     import shutil
@@ -850,7 +851,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.name == qname:
                 q.stop()
         with nanos_as_long(spark), scoped_conf(
-            spark, **{"spark.sql.shuffle.partitions": "4"}
+            spark, **{"spark.sql.shuffle.partitions": "16"}
         ):
             # no maxFilesPerTrigger: availableNow folds both files into ONE
             # micro-batch — the per-user sentinel closes every real session
