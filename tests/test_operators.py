@@ -377,3 +377,40 @@ def test_line_dedup_removes_boilerplate_preserves_order(spark):
     ).union(docs)
     got = line_dedup(many, max_doc_frequency=3).filter("doc_id = 9").first()
     assert got["text"] == "\n".join(f"line-{i}" for i in range(50))
+
+
+def test_contamination_scores_known_overlap(spark):
+    from kamodo_dask_spark.operators.dedup import contamination_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams with n=2: a b, b c, c d, d e
+            (2, "x y z w"),          # disjoint from benchmark
+            (3, "a b c q r"),        # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_scores(docs, bench, n=2).collect()}
+    # benchmark grams: {a b, b c}
+    assert out[1]["n_grams"] == 4 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination"] == pytest.approx(0.5)
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination"] == 0.0
+    assert out[3]["n_contaminated"] == 2
+
+
+def test_gopher_flags_discriminate(spark):
+    from kamodo_dask_spark.operators.text import gopher_quality_flags
+
+    good = "the " + " ".join(f"word{i} have with that" for i in range(20))
+    bullets = "\n".join("- item" for _ in range(10))
+    symbols = "the of and " + " ".join("#" for _ in range(40))
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols)], "id long, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    rows = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert rows[1]["word_count_ok"] and rows[1]["stopwords_ok"] and rows[1]["symbol_ratio_ok"]
+    assert not rows[2]["bullet_lines_ok"]
+    assert not rows[3]["symbol_ratio_ok"]
+    assert not rows[3]["alpha_word_frac_ok"]
