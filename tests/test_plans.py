@@ -211,3 +211,27 @@ def test_fused_path_boundary(spark, monkeypatch, at_boundary):
     }
     for pid, v in expected.items():
         assert abs(rows[pid] - v) < 1e-9, (pid, rows[pid], v)
+
+
+def test_contamination_plan_broadcast_no_pair_join(spark):
+    """Benchmark grams must reach the corpus via broadcast (semi-join) —
+    never a shuffled or nested-loop pair comparison."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_line_dedup_plan_broadcast_anti(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["line_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_gopher_rules_zero_exchange(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["gopher_rules"](spark, SF))
+    assert "Exchange" not in plan, plan
