@@ -1,8 +1,10 @@
-from kamodo_dask_spark.operators.asof import asof_join
+from kamodo_dask_spark.operators.asof import asof_join, asof_uniform_grid
 from kamodo_dask_spark.operators.dedup import (
+    contamination_scores,
     exact_dedup,
     exact_dup_groups,
     jaccard_pairs,
+    line_dedup,
     minhash_lsh_candidates,
     minhash_signature,
     minhash_signatures,
@@ -10,9 +12,10 @@ from kamodo_dask_spark.operators.dedup import (
     simhash_fingerprints_agg,
     simhash_hamming_candidates,
 )
-from kamodo_dask_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from kamodo_dask_spark.operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from kamodo_dask_spark.operators.text import (
     add_text_features,
+    gopher_quality_flags,
     detect_language,
     fingerprint,
     quality_score,
@@ -23,6 +26,11 @@ from kamodo_dask_spark.operators.multimodal import attach_media, extract_media_f
 
 __all__ = [
     "asof_join",
+    "asof_uniform_grid",
+    "contamination_scores",
+    "line_dedup",
+    "ivf_cosine_topk",
+    "gopher_quality_flags",
     "exact_dedup",
     "exact_dup_groups",
     "jaccard_pairs",
