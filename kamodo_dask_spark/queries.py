@@ -729,6 +729,82 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING dedup (§2.9): the source feeds the events file
+    TWICE (two copies in the stream directory = every row re-delivered, the
+    at-least-once ingestion failure mode), and ``dropDuplicates`` on the
+    event id emits each row exactly once — per-key state bounded by the
+    watermark. Oracle = the plain events relation: a correct streaming dedup
+    returns exactly the original rows. State at 100 TB: one key per event id
+    inside the watermark horizon, evicted as event time advances."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from kamodo_dask_spark.session import scoped_conf
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    ts_unit = parquet_ts_unit(events_path)
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    try:
+        for i in (0, 1):  # the same file delivered twice
+            shutil.copy(events_path, os.path.join(root, f"0{i}_events.parquet"))
+        qname = "streaming_dedup_sink"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        with nanos_as_long(spark), scoped_conf(
+            spark, **{"spark.sql.shuffle.partitions": "16"}
+        ):
+            stream = spark.readStream.schema(raw_schema).parquet(root)
+            ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+            deduped = (
+                ev.withWatermark("ts", "1 hour")
+                .dropDuplicates(["event_id"])
+                .select(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    F.round("value", 6).alias("value"),
+                )
+            )
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(qname)
+
+
 _SESSIONIZE_GAP_S = 1800
 
 _SESSIONIZE_ORACLE = f"""
