@@ -144,3 +144,56 @@ def test_extract_media_features_real_decoder_spark(spark):
     assert rows[1]["mean_intensity"] == pytest.approx(10 / 255.0)
     assert rows[2]["duration_ms"] == 10
     assert rows[2]["mean_intensity"] == pytest.approx(100 / 32768.0)
+
+
+def test_resize_images_roundtrip_matches_numpy_oracle(spark):
+    import numpy as np
+    from kamodo_dask_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.integers(0, 256, (12 + i, 16 + i, 3), dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(png_encode(px))) for i, px in imgs.items()],
+        "img_id long, payload binary",
+    )
+    out = {r["img_id"]: r for r in resize_images(df, width=8, height=6).collect()}
+    for i, px in imgs.items():
+        got = png_decode(bytes(out[i]["resized"]))
+        exp = resize_nearest(px, 8, 6)
+        assert got.shape == (6, 8, 3)
+        assert (got == exp).all()
+        assert out[i]["resized_width"] == 8 and out[i]["resized_height"] == 6
+
+
+def test_sample_frames_kdsv(spark):
+    import numpy as np
+    from kamodo_dask_spark.operators.multimodal import (
+        kdsv_encode,
+        png_decode,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, (4, 5), dtype=np.uint8) for _ in range(7)]
+    df = spark.createDataFrame(
+        [(1, bytearray(kdsv_encode(frames)))], "vid_id long, payload binary"
+    )
+    rows = sorted(sample_frames(df, every_n=3).collect(), key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        assert (png_decode(bytes(r["frame"])) == frames[r["frame_index"]]).all()
+    assert rows[0]["vid_id"] == 1
+
+
+def test_sample_frames_rejects_unknown_container(spark):
+    from kamodo_dask_spark.operators.multimodal import kdsv_decode
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        kdsv_decode(b"\x00\x00\x00\x18ftypmp42...")
