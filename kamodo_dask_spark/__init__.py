@@ -29,9 +29,12 @@ from kamodo_dask_spark.grid.registry import KamodoSpark
 from kamodo_dask_spark.grid.ingest import load_grid_range
 from kamodo_dask_spark.operators import (
     asof_join,
+    asof_uniform_grid,
+    contamination_scores,
     cosine_topk,
     exact_dedup,
     jaccard_pairs,
+    line_dedup,
     minhash_lsh_candidates,
 )
 
@@ -49,6 +52,9 @@ __all__ = [
     "KamodoSpark",
     "load_grid_range",
     "asof_join",
+    "asof_uniform_grid",
+    "contamination_scores",
+    "line_dedup",
     "cosine_topk",
     "exact_dedup",
     "jaccard_pairs",
