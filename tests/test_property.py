@@ -179,3 +179,44 @@ def test_interval_join_invariant_to_bucket_width(spark, seed, bucket_width):
         (pid, iid) for pid, x in pts for iid, s, e in ivs if s <= x <= e
     }
     assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1), max_df=st.integers(1, 4))
+@settings(max_examples=8, deadline=None)
+def test_line_dedup_matches_python_oracle(spark, seed, max_df):
+    """line_dedup ≡ a pure-python reference on random corpora: same
+    surviving docs, same line order, same counts."""
+    import numpy as np
+
+    from kamodo_dask_spark.operators.dedup import line_dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"line{i}" for i in range(6)]
+    docs = {
+        did: [vocab[v] for v in rng.integers(0, len(vocab), rng.integers(1, 8))]
+        for did in range(12)
+    }
+
+    # python oracle
+    from collections import defaultdict
+
+    df_count = defaultdict(set)
+    for did, lines in docs.items():
+        for ln in set(lines):
+            df_count[ln].add(did)
+    boiler = {ln for ln, ds in df_count.items() if len(ds) > max_df}
+    expected = {}
+    for did, lines in docs.items():
+        kept = [ln for ln in lines if ln not in boiler]
+        if kept:
+            expected[did] = ("\n".join(kept), len(kept))
+
+    sdf = spark.createDataFrame(
+        [(did, "\n".join(lines)) for did, lines in docs.items()],
+        "doc_id long, text string",
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"])
+        for r in line_dedup(sdf, max_doc_frequency=max_df).collect()
+    }
+    assert got == expected
