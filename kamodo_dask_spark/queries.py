@@ -1543,6 +1543,49 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantized_similarity_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CASE WHEN m > 0
+                  THEN list_transform(v, x -> sign(x) * floor(abs(x) / (m / 127.0) + 0.5))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+            FROM embeddings)),
+    qq AS (SELECT vec_id AS query_id, q AS v FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, q AS v FROM e),
+    scored AS (
+      SELECT qq.query_id, c.neighbor_id,
+             round(list_dot_product(qq.v, c.v)
+                   / (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS score
+      FROM qq, c WHERE qq.query_id <> c.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def quantized_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index compression path: symmetric int8 quantization of the
+    embedding column (4× smaller than float32), then exact cosine top-k
+    DIRECTLY on the quantized integers — cosine is scale-invariant, so no
+    dequantize pass exists anywhere in the plan. Quantization is row-local
+    JVM array math; retrieval is the same broadcast-matmul top-k as
+    ``similarity_topk``. The oracle reproduces the quantizer bit-for-bit
+    (sign·floor(|x|/scale + 0.5) — spelled explicitly because SQL round()
+    half-modes differ across engines)."""
+    from kamodo_dask_spark.operators.similarity import quantize_embedding
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("embedding")
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v

@@ -414,3 +414,27 @@ def test_gopher_flags_discriminate(spark):
     assert not rows[2]["bullet_lines_ok"]
     assert not rows[3]["symbol_ratio_ok"]
     assert not rows[3]["alpha_word_frac_ok"]
+
+
+def test_quantize_embedding_semantics(spark):
+    from kamodo_dask_spark.operators.similarity import cosine, quantize_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> zeros, no div error
+            (3, [1e-6, 2e-6, -1e-6, 0.0]),  # tiny magnitudes still span [-127, 127]
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["q"] for r in df.select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("q")
+    ).collect()}
+    assert rows[1] == [64, -127, 32, 0]      # 0.5/ (1/127) = 63.5 -> 64 (half away from zero)
+    assert rows[2] == [0, 0, 0, 0]
+    assert max(abs(x) for x in rows[3]) == 127
+    # cosine on quantized ints stays close to cosine on the originals
+    both = df.filter("vec_id = 1").select(
+        cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert both["c"] == pytest.approx(1.0)
