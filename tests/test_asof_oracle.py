@@ -186,3 +186,19 @@ def test_asof_uniform_grid_matches_pandas(spark, direction):
         assert (both_nan | np.isclose(g, e, rtol=1e-12)).all(), (
             f"{direction} {col}:\n{pd.DataFrame({'slot': got['slot'], 'got': g, 'exp': e})}"
         )
+
+
+def test_keyless_asof_with_tolerance(spark):
+    """tolerance composes with the bucketed keyless path: matches farther
+    than the tolerance null out, including carry-patched rows."""
+    left = spark.createDataFrame([(10.0,), (200.0,), (205.0,)], "ts double")
+    right = spark.createDataFrame([(8.0, 1.0), (100.0, 2.0)], "ts double, v double")
+    out = {
+        r["ts"]: (r["v"], r["ts_matched"])
+        for r in asof_join(
+            left, right, on=None, left_ts="ts", tolerance=50.0, time_buckets=4
+        ).collect()
+    }
+    assert out[10.0] == (1.0, 8.0)        # within tolerance
+    assert out[200.0] == (None, None)     # bracket (100.0) is 100 away -> nulled
+    assert out[205.0] == (None, None)
