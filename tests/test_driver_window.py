@@ -1,0 +1,74 @@
+"""The driver's oracle harness truncates the catalog to its first
+``DRIVER_WINDOW`` entries (observed across CORRECTNESS_r01-r03). These tests
+make the window membership a conscious decision: a re-ordering or a new
+registration can never silently evict an entry that still needs its first
+driver-green row.
+"""
+
+from kamodo_dask_spark.queries import DRIVER_WINDOW, ORACLES, PARKED, QUERIES
+
+#: Entries registered in rounds 2-3 past the old window — no driver
+#: CORRECTNESS row exists for them before round 4. They MUST occupy
+#: positions < DRIVER_WINDOW until a driver-green row is on record.
+NEVER_DRIVER_CHECKED = [
+    "ann_ivf_topk",
+    "dataset_split",
+    "text_quality",
+    "language_id",
+    "doc_fingerprints",
+    "multimodal_features",
+    "repetition_scores",
+    "pii_redaction",
+    "bm25_search",
+    "stratified_sample",
+    "multimodal_decode",
+]
+
+
+def test_never_checked_entries_inside_window():
+    order = list(QUERIES)
+    for name in NEVER_DRIVER_CHECKED:
+        assert name in QUERIES, f"{name} vanished from the catalog"
+        pos = order.index(name)
+        assert pos < DRIVER_WINDOW, (
+            f"{name} at position {pos} — outside the driver's "
+            f"{DRIVER_WINDOW}-row window, it will never get a driver row"
+        )
+
+
+def test_only_parked_entries_outside_window():
+    """Anything past the window must be there deliberately (in PARKED)."""
+    order = list(QUERIES)
+    outside = order[DRIVER_WINDOW:]
+    stray = [n for n in outside if n not in PARKED]
+    assert not stray, f"entries evicted from the driver window unintentionally: {stray}"
+
+
+def test_parked_entries_have_three_green_rounds():
+    """Only entries with recorded driver-green rows may be parked."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for r in ("01", "02", "03"):
+        path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                rounds.append(json.load(f))
+    if not rounds:  # fresh checkout without driver artifacts
+        return
+    for name in PARKED:
+        for i, doc in enumerate(rounds):
+            row = doc.get(name)
+            assert row is not None, f"parked {name} missing from round {i + 1}"
+            assert row.get("hash_match") is True, (
+                f"parked {name} was not hash-green in round {i + 1}"
+            )
+
+
+def test_every_entry_has_an_oracle_or_is_known_weak():
+    """Omitting an oracle downgrades the driver check to rows-only — keep
+    the list of such entries explicit and empty."""
+    no_oracle = [n for n in QUERIES if n not in ORACLES]
+    assert no_oracle == [], f"entries without a DuckDB oracle: {no_oracle}"
