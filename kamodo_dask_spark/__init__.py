@@ -30,6 +30,7 @@ from kamodo_dask_spark.grid.ingest import load_grid_range
 from kamodo_dask_spark.operators import (
     asof_join,
     asof_uniform_grid,
+    asof_uniform_grid_both,
     contamination_scores,
     cosine_topk,
     exact_dedup,
@@ -53,6 +54,7 @@ __all__ = [
     "load_grid_range",
     "asof_join",
     "asof_uniform_grid",
+    "asof_uniform_grid_both",
     "contamination_scores",
     "line_dedup",
     "cosine_topk",

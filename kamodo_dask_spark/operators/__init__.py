@@ -1,4 +1,8 @@
-from kamodo_dask_spark.operators.asof import asof_join, asof_uniform_grid
+from kamodo_dask_spark.operators.asof import (
+    asof_join,
+    asof_uniform_grid,
+    asof_uniform_grid_both,
+)
 from kamodo_dask_spark.operators.dedup import (
     contamination_scores,
     exact_dedup,
@@ -27,6 +31,7 @@ from kamodo_dask_spark.operators.multimodal import attach_media, extract_media_f
 __all__ = [
     "asof_join",
     "asof_uniform_grid",
+    "asof_uniform_grid_both",
     "contamination_scores",
     "line_dedup",
     "ivf_cosine_topk",

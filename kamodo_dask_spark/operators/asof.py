@@ -49,7 +49,9 @@ def asof_join(
     ranges so the sort parallelizes. ``time_range=(lo, hi)`` (values in the
     right ts column's own type) skips the bounds-probe aggregation — pass it
     when the caller already knows the span (the grid model validates time
-    bounds anyway). Keyless rows with a NULL timestamp get no match.
+    bounds anyway). Left rows with a NULL timestamp get no match in EITHER
+    direction (explicitly nulled post-fill — forward's DESC NULLS LAST sort
+    would otherwise hand them the earliest right row).
     """
     on = [on] if isinstance(on, str) else list(on or [])
     right_ts = right_ts or left_ts
@@ -117,6 +119,16 @@ def asof_join(
             time_range=time_range,
         )
     out = filled.filter(F.col("_side") == 1).drop("_side")
+    # A NULL left timestamp has no defined bracket — match pandas merge_asof
+    # and return NULLs. Backward sorts happen to give this for free (NULLS
+    # FIRST precedes every right row); forward orders ``_ts`` DESC NULLS
+    # LAST, which would otherwise fill NULL-ts rows with the earliest right
+    # row of their partition/bucket — guard explicitly for both directions.
+    has_ts = F.col(left_ts).isNotNull()
+    out = out.select(
+        *[c for c in left.columns],
+        *[F.when(has_ts, F.col(c)).alias(c) for c in fill_cols],
+    )
     if tolerance is not None:
         gap = (
             F.col(left_ts) - F.col(matched_ts)
@@ -225,6 +237,116 @@ def asof_uniform_grid(
             slot_col,
             *[F.col(f"_r.{c}").alias(c) for c in payload],
             F.col(f"_r.{matched_ts}").alias(matched_ts),
+        )
+    )
+
+
+def asof_uniform_grid_both(
+    right: DataFrame,
+    start,
+    step_seconds: float,
+    n_slots: int,
+    right_ts: str = "ts",
+    suffixes: tuple[str, str] = ("_b", "_f"),
+    slot_col: str = "slot",
+) -> DataFrame:
+    """BACKWARD and FORWARD uniform-grid as-of brackets from ONE scan of the
+    data relation — the both-directions form of :func:`asof_uniform_grid`,
+    for interpolation pipelines that need the surrounding bracket pair
+    (v0 ≤ slot ≤ v1). Running the single-direction operator twice scans and
+    aggregates the data relation twice (or forces a persist to share the
+    scan); here each row emits its (direction, slot-index) pair via a 2-array
+    explode — still map-side arithmetic — and a single ≤ ``2·n_slots``-group
+    ``max_by`` aggregation with map-side partial combine reduces the data in
+    one shuffle. No persist, no second scan.
+
+    Returns one row per slot: ``slot_col``, then per right payload column
+    ``{c}{suffixes[0]}`` / ``{c}{suffixes[1]}`` and the matched timestamps
+    ``{right_ts}_matched{suffixes[0]}`` / ``..{suffixes[1]}`` (NULL where no
+    right row brackets the slot on that side). Tie handling matches
+    :func:`asof_uniform_grid`: max payload tuple at equal timestamps.
+    """
+    import pandas as pd
+
+    ts_type = dict(right.dtypes)[right_ts]
+    is_ts = ts_type.startswith("timestamp")
+    if is_ts:
+        t0 = pd.Timestamp(start).value // 1_000  # µs
+        step = int(round(step_seconds * 1_000_000))
+    else:
+        t0, step = float(start), float(step_seconds)
+
+    payload = [c for c in right.columns if c != right_ts]
+    num = _ts_numeric(F.col(right_ts), ts_type)
+
+    # backward: first slot at-or-after the row serves slots i ≥ ceil(...)
+    idx_b = F.greatest(F.lit(0), F.ceil((num - F.lit(t0)) / F.lit(step)).cast("long"))
+    # forward: last slot at-or-before the row serves slots i ≤ floor(...)
+    idx_f = F.least(
+        F.lit(n_slots - 1), F.floor((num - F.lit(t0)) / F.lit(step)).cast("long")
+    )
+    cand = (
+        right.select(
+            *[F.col(c) for c in right.columns],
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("_dir"), idx_b.alias("_i")),
+                    F.struct(F.lit(1).alias("_dir"), idx_f.alias("_i")),
+                )
+            ).alias("_e"),
+        )
+        .select(*right.columns, F.col("_e._dir").alias("_dir"), F.col("_e._i").alias("_i"))
+        .filter(
+            ((F.col("_dir") == 0) & (F.col("_i") <= n_slots - 1))
+            | ((F.col("_dir") == 1) & (F.col("_i") >= 0))
+        )
+    )
+    # window-order key per direction: backward = latest ts wins, forward =
+    # earliest ts wins; payload breaks timestamp ties (catalog convention)
+    ord_key = F.struct(
+        F.when(F.col("_dir") == 0, num).otherwise(-num).alias("_k"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(payload)],
+    )
+    row_struct = F.struct(
+        *[F.col(c) for c in payload], F.col(right_ts).alias("_mts")
+    )
+    best = cand.groupBy("_i", "_dir").agg(F.max_by(row_struct, ord_key).alias("_r"))
+    # pivot the two directions into one row per slot index (max over a
+    # single non-null struct per group — the other direction's rows are null)
+    merged = best.groupBy("_i").agg(
+        F.max(F.when(F.col("_dir") == 0, F.col("_r"))).alias("_rb"),
+        F.max(F.when(F.col("_dir") == 1, F.col("_r"))).alias("_rf"),
+    )
+
+    spark = right.sparkSession
+    if is_ts:
+        slot_expr = F.expr(f"timestamp_micros({t0} + id * {step})")
+    else:
+        slot_expr = (F.lit(t0) + F.col("id") * F.lit(step)).cast(ts_type)
+    grid = spark.range(n_slots).select(F.col("id").alias("_i"), slot_expr.alias(slot_col))
+
+    # both windows below are single-partition BY CONSTRUCTION over n_slots
+    # rows (the grid, not the data) — bounded state at any corpus size
+    w_b = Window.orderBy(F.col("_i").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_f = Window.orderBy(F.col("_i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sb, sf_ = suffixes
+    return (
+        grid.join(F.broadcast(merged), "_i", "left")
+        .select(
+            slot_col,
+            F.last("_rb", ignorenulls=True).over(w_b).alias("_rb"),
+            F.last("_rf", ignorenulls=True).over(w_f).alias("_rf"),
+        )
+        .select(
+            slot_col,
+            *[F.col(f"_rb.{c}").alias(f"{c}{sb}") for c in payload],
+            F.col("_rb._mts").alias(f"{right_ts}_matched{sb}"),
+            *[F.col(f"_rf.{c}").alias(f"{c}{sf_}") for c in payload],
+            F.col("_rf._mts").alias(f"{right_ts}_matched{sf_}"),
         )
     )
 

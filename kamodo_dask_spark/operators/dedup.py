@@ -515,9 +515,16 @@ def line_dedup(
     Returns ``(id_col, text_col, n_lines)`` — the cleaned text and its
     surviving line count.
     """
+    import re
+
+    # ``F.split`` takes a REGEX but ``array_join`` (and the DuckDB oracle's
+    # string_split) treat the separator as a literal — escape so a separator
+    # containing metacharacters ('|', '.', ...) round-trips exactly.
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(line_sep))).alias(
+            "_pos", "_line"
+        ),
     ).withColumn("_h", F.md5(F.col("_line")))
     boiler = (
         lines.groupBy("_h")

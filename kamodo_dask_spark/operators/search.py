@@ -41,38 +41,45 @@ def bm25_topk(
     from pyspark import StorageLevel
 
     terms = [t.lower() for t in query_terms]
-    # Persist the tokenized relation: both the stats pass and the postings
-    # pass consume it, and tokenization (split + lower over every document)
-    # is the dominant cost — without the persist the corpus is tokenized
-    # TWICE (the stats `.first()` is a separate job from the returned plan).
-    # MEMORY_AND_DISK so a corpus bigger than executor memory spills rather
-    # than recomputes; at 100 TB this trades one extra materialized copy for
-    # halving the scan+tokenize work.
+    # Cache the tokenized relation for the DURATION OF THIS CALL only: both
+    # the stats pass and the postings materialization consume it, and
+    # tokenization (split + lower over every document) is the dominant cost
+    # — without the cache the corpus is tokenized TWICE. MEMORY_AND_DISK so
+    # a corpus bigger than executor memory spills rather than recomputes.
     ws = docs.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        # one pass for corpus stats: N docs, average doc length — a 2-scalar
+        # driver value inlined as literals (metadata-sized, like axis
+        # collects). A scalar crossJoin would plan as
+        # BroadcastNestedLoopJoin (Catalyst folds constant join keys), which
+        # the plan sweep bans outright.
+        n_docs, avgdl = ws.agg(F.count("*"), F.avg(F.size("_ws"))).first()
+        if not n_docs or avgdl is None:
+            # empty corpus: idf/avgdl are undefined — return an empty result
+            # with the contract schema instead of crashing on float(None).
+            return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
 
-    # one pass for corpus stats: N docs, average doc length — a 2-scalar
-    # driver value inlined as literals (metadata-sized, like axis collects).
-    # A scalar crossJoin would plan as BroadcastNestedLoopJoin (Catalyst
-    # folds constant join keys), which the plan sweep bans outright.
-    n_docs, avgdl = ws.agg(
-        F.count("*"), F.avg(F.size("_ws"))
-    ).first()
-    if not n_docs or avgdl is None:
-        # empty corpus: idf/avgdl are undefined — return an empty result with
-        # the contract schema instead of crashing on float(None).
-        ws.unpersist()
-        return (
-            docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+        # Materialize the postings (|docs matching any query term| rows —
+        # corpus-independent small) with an EAGER localCheckpoint: the
+        # returned plan reads the checkpointed relation, so the wide ws
+        # cache can be released before returning instead of leaking with no
+        # handle (r3 ADVICE). Checkpoint blocks are owned by the returned
+        # DataFrame's RDD lineage and are GC-cleaned with it — unlike a
+        # CacheManager entry, which pins until an explicit unpersist that
+        # callers could never issue.
+        postings = (
+            ws.select(
+                F.col(id_col), F.size("_ws").alias("_dl"), F.explode("_ws").alias("term")
+            )
+            .filter(F.col("term").isin(terms))  # before the agg shuffle
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
+            .localCheckpoint(eager=True)
         )
-
-    postings = (
-        ws.select(F.col(id_col), F.size("_ws").alias("_dl"), F.explode("_ws").alias("term"))
-        .filter(F.col("term").isin(terms))  # before the agg shuffle
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
-    )
+    finally:
+        ws.unpersist()
     docfreq = postings.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
 
     scored = (

@@ -1,15 +1,37 @@
-"""Skew mitigation: salted joins.
+"""Skew mitigation: salted joins and two-phase aggregation.
 
 AQE's skew-join splitting handles sort-merge skew transparently (enabled in
 session defaults), but two cases still need explicit salting at 100 TB:
 aggregations on heavy-hitter keys, and joins where one side must be
 replicated per salt. These helpers implement the standard replicate-and-salt
 pattern with built-in expressions only.
+
+Salts are DETERMINISTIC: ``pmod(xxhash64(salt columns), salts)`` — a
+per-row content hash, never ``rand()``. Per-row rand is re-drawn when a
+failed task retries, so a retried partition could route rows to different
+salt partitions than the first attempt; results stay correct for
+joins/decomposable aggregates, but run-to-run (and attempt-to-attempt)
+determinism is this repo's invariant (every other operator salts/splits on
+md5/xxhash64 — see sampling.py). The salt hashes the NON-key payload
+columns by default: hashing the key alone would send every row of the
+heavy-hitter key to ONE salt, re-creating the hot partition the salt exists
+to break up.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _row_salt(df: DataFrame, key_cols: list[str], salts: int, salt_on=None):
+    """Deterministic uniform salt in [0, salts): xxhash64 over ``salt_on``
+    (default: every non-key column — rows identical in all non-key columns
+    co-locate, which only matters when the heavy hitter is byte-identical
+    duplicate rows; pass an explicit high-cardinality ``salt_on`` there)."""
+    cols = list(salt_on) if salt_on else [c for c in df.columns if c not in key_cols]
+    if not cols:  # degenerate: key-only relation — any uniform spread works
+        cols = key_cols
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts)).cast("int")
 
 
 def salted_join(
@@ -18,16 +40,17 @@ def salted_join(
     on: str,
     salts: int = 16,
     how: str = "inner",
+    salt_on=None,
 ) -> DataFrame:
     """Join a skewed fact to a smaller table on ``on``, spreading each key
     over ``salts`` partitions.
 
-    The skewed side gets a uniform random salt per row; the small side is
+    The skewed side gets a deterministic per-row salt; the small side is
     replicated ``salts`` times (explode of a literal range). The join key
     becomes (key, salt) — a heavy-hitter key's rows land in ``salts``
     different tasks instead of one straggler.
     """
-    salted_fact = skewed.withColumn("_salt", (F.rand(seed=42) * salts).cast("int"))
+    salted_fact = skewed.withColumn("_salt", _row_salt(skewed, [on], salts, salt_on))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
@@ -38,12 +61,14 @@ def salted_join(
 def two_phase_agg(
     df: DataFrame,
     key: str,
-    agg_exprs: dict[str, str],
+    agg_exprs: dict,
     salts: int = 16,
+    salt_on=None,
 ) -> DataFrame:
     """Heavy-hitter-safe aggregation: aggregate on (key, salt) first, then
-    merge partials per key. ``agg_exprs`` maps output column → one of
-    sum|count|min|max (the decomposable aggregates).
+    merge partials per key. ``agg_exprs`` maps output column → either a
+    kind string (source column = output name) or a ``(kind, src_col)``
+    tuple; kind is one of sum|count|min|max (the decomposable aggregates).
 
     Spark's hash aggregation already partial-aggregates map-side, which
     covers most skew; this explicit two-phase shape is for pipelines where a
@@ -51,8 +76,8 @@ def two_phase_agg(
     an explode).
     """
     partial_aggs, final_aggs = [], []
-    for out_col, kind in agg_exprs.items():
-        src = out_col
+    for out_col, spec in agg_exprs.items():
+        kind, src = spec if isinstance(spec, tuple) else (spec, out_col)
         if kind == "sum":
             partial_aggs.append(F.sum(src).alias(f"_p_{out_col}"))
             final_aggs.append(F.sum(f"_p_{out_col}").alias(out_col))
@@ -67,6 +92,6 @@ def two_phase_agg(
             final_aggs.append(F.max(f"_p_{out_col}").alias(out_col))
         else:
             raise ValueError(f"non-decomposable aggregate: {kind}")
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salts).cast("int"))
+    salted = df.withColumn("_salt", _row_salt(df, [key], salts, salt_on))
     partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)

@@ -739,11 +739,15 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful STREAMING dedup (§2.9): the source feeds the events file
     TWICE (two copies in the stream directory = every row re-delivered, the
-    at-least-once ingestion failure mode), and ``dropDuplicates`` on the
-    event id emits each row exactly once — per-key state bounded by the
-    watermark. Oracle = the plain events relation: a correct streaming dedup
-    returns exactly the original rows. State at 100 TB: one key per event id
-    inside the watermark horizon, evicted as event time advances."""
+    at-least-once ingestion failure mode), and ``dropDuplicatesWithinWatermark``
+    on the event id emits each row exactly once. The *WithinWatermark*
+    variant is load-bearing: plain ``dropDuplicates`` evicts state only when
+    the event-time column is part of the dedup subset — keying on event_id
+    alone would keep one state row per id FOREVER. With the watermark-aware
+    operator, state for an id is dropped once the watermark passes its event
+    time + delay. Oracle = the plain events relation: a correct streaming
+    dedup returns exactly the original rows. State at 100 TB: one key per
+    event id inside the watermark horizon, evicted as event time advances."""
     import os
     import shutil
     import tempfile
@@ -784,7 +788,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
             deduped = (
                 ev.withWatermark("ts", "1 hour")
-                .dropDuplicates(["event_id"])
+                .dropDuplicatesWithinWatermark(["event_id"])
                 .select(
                     "event_id",
                     "user_id",
@@ -1077,33 +1081,30 @@ def interp_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D linear time interpolation = backward + forward as-of bracket and a
     weighted blend — the per-axis primitive of the N-D interpolator.
 
-    The probe axis is a UNIFORM dense grid, so each direction uses
-    ``asof_uniform_grid``: slot assignment is map-side arithmetic, the data
-    reduces to ≤ n_slots candidates via a partial-combine ``max_by``
+    The probe axis is a UNIFORM dense grid, so both directions come from ONE
+    ``asof_uniform_grid_both`` pass: slot assignment is map-side arithmetic
+    (each row explodes into its backward/forward slot-index pair), the data
+    reduces to ≤ 2·n_slots candidates via a partial-combine ``max_by``
     aggregation, and the as-of fill runs over the 109-row grid relation —
-    the events relation is scanned once per direction, never sorted. (The
-    general keyless ``asof_join`` — arbitrary left — stays bucketed; this is
-    the stronger plan available when the left side IS a regular grid.) The
-    grouped axis relation is persisted so the two directions share its
-    scan+shuffle."""
-    from pyspark import StorageLevel
-
-    from kamodo_dask_spark.operators.asof import asof_uniform_grid
+    the events relation is scanned ONCE, never sorted, never persisted.
+    (The general keyless ``asof_join`` — arbitrary left — stays bucketed;
+    this is the stronger plan available when the left side IS a regular
+    grid.)"""
+    from kamodo_dask_spark.operators.asof import asof_uniform_grid_both
 
     ev = (
         read_table(spark, sf_dir, "events")
         .groupBy("ts")
         .agg(F.avg("value").alias("value"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     start, step_s, n_slots = "2024-01-02 00:00:00", 360 * 60, 109
-    b = asof_uniform_grid(
-        ev, start, step_s, n_slots, right_ts="ts", direction="backward"
-    ).withColumnRenamed("value", "v0").withColumnRenamed("ts_matched", "ts0")
-    f = asof_uniform_grid(
-        ev, start, step_s, n_slots, right_ts="ts", direction="forward"
-    ).withColumnRenamed("value", "v1").withColumnRenamed("ts_matched", "ts1")
-    f = b.join(F.broadcast(f), "slot")
+    f = asof_uniform_grid_both(ev, start, step_s, n_slots, right_ts="ts").select(
+        "slot",
+        F.col("value_b").alias("v0"),
+        F.col("ts_matched_b").alias("ts0"),
+        F.col("value_f").alias("v1"),
+        F.col("ts_matched_f").alias("ts1"),
+    )
     t, t0, t1 = (F.unix_micros(F.col(c)) for c in ("slot", "ts0", "ts1"))
     blend = F.when(F.col("ts1") == F.col("ts0"), F.col("v0")).otherwise(
         F.col("v0")
@@ -1941,6 +1942,164 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("height"),
         F.col("duration_ms").alias("duration_ms"),
         F.col("mean_intensity").alias("mean_intensity"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           4::BIGINT AS out_width, 3::BIGINT AS out_height,
+           round(list_avg([ (n_chars % 256 + (y * (2 + doc_id % 4)) // 3) % 256
+                            for y in range(0, 3) ]) / 255.0, 6) AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize end to end: per document, encode a deterministic
+    row-gradient grayscale PNG (h0 = 2 + doc_id%4, w0 = 2 + doc_id%6, pixel
+    value (n_chars%256 + row) % 256), push it through
+    ``resize_images`` (PNG decode → nearest-neighbor resample to 4×3 → PNG
+    re-encode), then REAL-decode the resized payload and emit its
+    dimensions and mean intensity. The oracle reproduces nearest-neighbor
+    row selection in closed form (``ys[y] = (y*h0)//H``; columns don't
+    affect the mean of a row-constant image), so a resample-index or
+    re-encode bug breaks the hash.
+
+    Plan shape: three chained ``mapInPandas`` stages over the documents
+    scan — encode, resize, decode — no shuffle, no collect; CPU scales
+    with partition count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.multimodal import resize_images
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, v = int(did), int(nc) % 256
+                h0, w0 = 2 + did % 4, 2 + did % 6
+                rows = (v + np.arange(h0, dtype=np.int64)) % 256
+                payloads.append(
+                    png_encode(
+                        np.broadcast_to(
+                            rows[:, None].astype(np.uint8), (h0, w0)
+                        ).copy()
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    resized = resize_images(payloads, width=4, height=3)
+    feats = extract_media_features(
+        resized.select("doc_id", F.col("resized").alias("payload")),
+        use_fake_decoder=False,
+    )
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("out_width"),
+        F.col("height").cast("bigint").alias("out_height"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@register(
+    "video_frame_sample",
+    """
+    WITH f AS (SELECT doc_id, n_chars % 256 AS v,
+                      unnest(range(0, 1 + doc_id % 6)) AS i
+               FROM documents)
+    SELECT doc_id, i AS frame_index,
+           round(((v + i) % 256) / 255.0, 6) AS intensity
+    FROM f WHERE i % 2 = 0
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end to end: per document, pack a KDSV container
+    (the repo's ffmpeg-free length-prefixed-PNG video format) holding
+    ``1 + doc_id%6`` single-pixel frames of value ``(n_chars%256 + i) % 256``,
+    run ``sample_frames(every_n=2)`` — real container parse, one output row
+    per KEPT frame — then REAL-decode each kept frame and emit its
+    intensity. The oracle enumerates kept frame indices and intensities in
+    closed form, so a container-parse or sampling-stride bug breaks the
+    row count and the hash.
+
+    Plan shape: chained ``mapInPandas`` stages (encode → parse/sample →
+    decode) with a row fan-out of ≤ 3× and zero shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.multimodal import kdsv_encode, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, v = int(did), int(nc) % 256
+                frames = [
+                    np.full((1, 1), (v + i) % 256, dtype=np.uint8)
+                    for i in range(1 + did % 6)
+                ]
+                payloads.append(kdsv_encode(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    frames = sample_frames(payloads, every_n=2, id_cols=["doc_id"])
+    feats = extract_media_features(
+        frames.select("doc_id", "frame_index", F.col("frame").alias("payload")),
+        use_fake_decoder=False,
+    )
+    return feats.select(
+        "doc_id",
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.round("mean_intensity", 6).alias("intensity"),
+    )
+
+
+@register(
+    "skewed_event_counts",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter aggregation through the explicit two-phase salted shape
+    (``operators/skew.py::two_phase_agg``): events.event_type has single-digit
+    cardinality, the post-shuffle skew case where one key owns entire
+    partitions. Phase 1 aggregates on (event_type, salt) — the deterministic
+    xxhash64 row salt spreads each key over 16 partial groups — phase 2
+    merges partials per key. Oracle = the plain GROUP BY: salting must be
+    invisible in the result. At 100 TB the first exchange hashes on
+    (key, salt), so no task receives more than ~1/16th of a hot key."""
+    from kamodo_dask_spark.operators.skew import two_phase_agg
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    out = two_phase_agg(
+        ev,
+        "event_type",
+        {
+            "n_events": "count",
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
     )
 
 

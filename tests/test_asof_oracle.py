@@ -188,6 +188,66 @@ def test_asof_uniform_grid_matches_pandas(spark, direction):
         )
 
 
+def test_asof_uniform_grid_both_matches_single_direction(spark):
+    """The one-scan dual-direction form ≡ two single-direction passes (which
+    are themselves merge_asof-verified above), including empty edge slots."""
+    from kamodo_dask_spark.operators.asof import (
+        asof_uniform_grid,
+        asof_uniform_grid_both,
+    )
+
+    rng = np.random.default_rng(23)
+    ev = pd.DataFrame({"ts": np.sort(rng.uniform(200, 700, 300))}).drop_duplicates("ts")
+    ev["v"] = rng.normal(size=len(ev))
+    start, step, n = 0.0, 50.0, 21
+    sdf = spark.createDataFrame(ev, "ts double, v double").repartition(8)
+
+    both = (
+        asof_uniform_grid_both(sdf, start, step, n, right_ts="ts")
+        .toPandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    assert len(both) == n
+    for direction, sfx in (("backward", "_b"), ("forward", "_f")):
+        single = (
+            asof_uniform_grid(sdf, start, step, n, right_ts="ts", direction=direction)
+            .toPandas()
+            .sort_values("slot")
+            .reset_index(drop=True)
+        )
+        for col, bcol in (("v", f"v{sfx}"), ("ts_matched", f"ts_matched{sfx}")):
+            g, e = both[bcol], single[col]
+            both_nan = g.isna() & e.isna()
+            assert (both_nan | np.isclose(g, e, rtol=1e-12)).all(), (direction, col)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("keyed", [True, False])
+def test_null_left_timestamp_gets_no_match(spark, direction, keyed):
+    """pandas merge_asof semantics: a NULL left timestamp has no bracket.
+    Forward mode sorts _ts DESC NULLS LAST, which without the explicit
+    guard would hand NULL-ts rows the earliest right row (ADVICE r3)."""
+    left = spark.createDataFrame(
+        [(1, 50.0), (1, None)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 90.0, 2.0)], "k long, ts double, v double"
+    )
+    on = "k" if keyed else None
+    rows = {
+        (r["ts"]): (r["v"], r["ts_matched"])
+        for r in asof_join(
+            left, right, on=on, left_ts="ts", direction=direction, time_buckets=4
+        ).collect()
+    }
+    assert rows[None] == (None, None), rows
+    if direction == "backward":
+        assert rows[50.0] == (1.0, 10.0)
+    else:
+        assert rows[50.0] == (2.0, 90.0)
+
+
 def test_keyless_asof_with_tolerance(spark):
     """tolerance composes with the bucketed keyless path: matches farther
     than the tolerance null out, including carry-patched rows."""

@@ -379,6 +379,25 @@ def test_line_dedup_removes_boilerplate_preserves_order(spark):
     assert got["text"] == "\n".join(f"line-{i}" for i in range(50))
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    """line_sep containing regex metacharacters ('|') must round-trip: split
+    treats its argument as a regex, so without escaping '|' splits between
+    EVERY character (r3 ADVICE)."""
+    from kamodo_dask_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "BANNER|keep-%d|FOOTER" % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_doc_frequency=3, line_sep="|").collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    for i in range(5):
+        assert out[i]["text"] == f"keep-{i}" and out[i]["n_lines"] == 1
+
+
 def test_contamination_scores_known_overlap(spark):
     from kamodo_dask_spark.operators.dedup import contamination_scores
 

@@ -155,13 +155,18 @@ def test_bm25_topk_plan_shape(spark):
 
 
 def test_bm25_single_tokenize_scan(spark):
-    """bm25_topk persists the tokenized relation: the returned plan must read
-    it from cache (InMemoryTableScan), not re-tokenize the corpus — at 100 TB
-    the second tokenize pass was a full extra scan of documents."""
+    """bm25_topk materializes the postings with an eager localCheckpoint:
+    the returned plan must read the checkpointed relation, NOT re-scan and
+    re-tokenize the documents corpus — at 100 TB the second tokenize pass
+    was a full extra scan. (The transient build-time cache is released
+    before return, so no InMemoryTableScan and no pinned cache either —
+    r3 ADVICE.)"""
     from kamodo_dask_spark.plans.checks import executed_plan
 
     plan = executed_plan(QUERIES["bm25_search"](spark, SF))
-    assert "InMemoryTableScan" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan          # checkpointed postings
+    assert "documents" not in plan, plan             # corpus not re-scanned
+    assert "InMemoryTableScan" not in plan, plan     # no leaked cache
 
 
 def _tiny_grid_and_points(spark):
@@ -235,3 +240,15 @@ def test_gopher_rules_zero_exchange(spark):
 
     plan = executed_plan(QUERIES["gopher_rules"](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_skewed_event_counts_two_level_aggregation(spark):
+    """two_phase_agg plan: the first (wide) exchange hashes on (key, salt)
+    — the hot key spreads over `salts` tasks — and the salt is a
+    deterministic xxhash64, never rand()."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["skewed_event_counts"](spark, SF))
+    assert "xxhash64" in plan, plan
+    assert "rand(" not in plan, plan
+    assert "hashpartitioning(event_type" in plan and "_salt" in plan, plan

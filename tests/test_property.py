@@ -136,6 +136,42 @@ def test_two_phase_agg_equals_plain_agg(spark):
         assert two[k][1] == plain[k][1]
 
 
+def test_salt_is_deterministic_and_spreads_hot_key(spark):
+    """The salt is a content hash, not rand(): two materializations assign
+    every row the SAME salt (task-retry determinism), and a heavy-hitter
+    key's rows still spread across many salt values."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.skew import _row_salt
+
+    df = spark.createDataFrame(
+        [(0, float(i)) for i in range(500)] + [(k, 0.0) for k in range(1, 5)],
+        "k int, v double",
+    )
+    salted = df.withColumn("_salt", _row_salt(df, ["k"], 8))
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, salted.repartition(7).collect()))
+    assert a == b  # same salt per row regardless of physical layout/retries
+    hot = {s for (k, v, s) in a if k == 0}
+    assert len(hot) == 8  # the hot key uses every salt bucket
+
+
+def test_two_phase_agg_run_to_run_identical(spark):
+    """Determinism convention: repeated runs produce IDENTICAL results —
+    the salt fixes each row's partial group. Integer-valued doubles keep the
+    sums exact, so equality is order-independent and the assertion pins the
+    salt assignment, not float addition order."""
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(3000)], "k int, v double"
+    )
+    spec = {"v": "sum", "n": "count", "lo": ("min", "v"), "hi": ("max", "v")}
+    runs = [
+        sorted(map(tuple, two_phase_agg(df, "k", spec, salts=8).collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+
+
 def test_units_roundtrip_through_sink(spark, tmp_path):
     from pyspark.sql import functions as F
     from kamodo_dask_spark.grid.model import normalize_measure_columns, units_of
