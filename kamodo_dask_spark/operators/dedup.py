@@ -540,3 +540,71 @@ def line_dedup(
         F.array_join(ordered, line_sep).alias(text_col),
         F.count("*").alias("n_lines"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the clustering
+    step that turns pairwise matches into dedup groups with one canonical
+    document each (cluster id = the minimum vertex id in the component).
+
+    Hash-min label propagation: every vertex starts labeled with its own
+    id; each round every vertex takes the minimum label among itself and
+    its neighbors; converged when no label changes. Rounds needed = graph
+    diameter, which for near-dup clusters is tiny (dup groups are dense —
+    typically 1-3 rounds). Each round is ONE equi-join (edges ⋈ labels on
+    the destination, both hash-partitioned — no broadcast of data-sized
+    relations) plus a min-aggregation with map-side combine; iterated
+    relations are eagerly ``localCheckpoint``-ed so lineage (and the
+    re-execution cost of a lost executor) stays O(1) in rounds, the
+    standard treatment for iterative Spark algorithms. Convergence is
+    detected by the monotonically decreasing ``sum(label)`` — labels only
+    ever decrease, so an unchanged sum means a fixed point, one cheap
+    scalar aggregate per round instead of a change-count join.
+
+    At 100 TB: work per round is |E| shuffled on a uniform key. For
+    pathological long-chain graphs the large-star/small-star variant
+    halves round counts; dedup graphs don't need it, and ``max_iterations``
+    guards the degenerate case loudly.
+
+    Returns ``(vertex, component)`` with one row per distinct vertex in
+    ``pairs``.
+    """
+    sym = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    edges = sym.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    if prev_sum is None:  # empty graph
+        return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges["d"] == labels["v"]).select(
+            F.col("s").alias("v"), F.col("lbl")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "— graph diameter exceeds the cap (raise max_iterations or use a "
+            "star-contraction variant for chain-shaped graphs)"
+        )
+    return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))

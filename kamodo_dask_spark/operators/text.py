@@ -188,22 +188,54 @@ def top_bigram_fraction(col) -> Column:
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
 
+#: STRICT-mode additions — higher recall, deliberately NOT in the default
+#: set (they trade precision: '+12-34 56' shapes can appear in non-phone
+#: text). Same portability rules: no lookaround/backrefs (RE2-safe for the
+#: DuckDB oracle), explicit case classes instead of inline flags.
+#: International phone: +CC, optional (area), 1-5 separator-joined groups.
+INTL_PHONE_PATTERN = r"\+\d{1,3}[- .]?\(?\d{1,4}\)?(?:[- .]\d{2,4}){1,5}"
+#: Obfuscated email: 'jo [at] corp [dot] io', 'jo(at)corp(dot)io',
+#: 'jo at corp dot io' — bracketed/parenthesized/spaced at+dot tokens.
+OBFUSCATED_EMAIL_PATTERN = (
+    r"[A-Za-z0-9._%+-]+ ?(?:\[at\]|\(at\)| at )"
+    r" ?[A-Za-z0-9-]+ ?(?:\[dot\]|\(dot\)| dot ) ?[A-Za-z]{2,}"
+)
 
-def pii_counts(col) -> tuple[Column, Column]:
-    """(n_emails, n_phones) found in the column."""
+
+def pii_counts(col, strict: bool = False) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column. ``strict`` adds the
+    recall-oriented patterns (obfuscated emails, international phones)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return (
-        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
-        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))),
-    )
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0)))
+    if strict:
+        n_email = n_email + F.size(
+            F.regexp_extract_all(c, F.lit(OBFUSCATED_EMAIL_PATTERN), F.lit(0))
+        )
+        n_phone = n_phone + F.size(
+            F.regexp_extract_all(c, F.lit(INTL_PHONE_PATTERN), F.lit(0))
+        )
+    return n_email, n_phone
 
 
-def redact_pii(col) -> Column:
+def redact_pii(col, strict: bool = False) -> Column:
     """Mask emails then phones with typed placeholders. Pure
-    ``regexp_replace`` — JVM-side, streams through codegen at any scale."""
+    ``regexp_replace`` — JVM-side, streams through codegen at any scale.
+
+    ``strict=True`` additionally masks obfuscated emails and international
+    phone formats (applied AFTER the base patterns, so plain forms always
+    take the base placeholder). Default stays conservative — the
+    oracle-parity catalog entry pins the default set; the strict set has
+    its own entry and cross-engine tests.
+    """
     c = col if isinstance(col, Column) else F.col(col)
     out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
-    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+    if strict:
+        out = F.regexp_replace(out, OBFUSCATED_EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+    if strict:
+        out = F.regexp_replace(out, INTL_PHONE_PATTERN, "[PHONE]")
+    return out
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

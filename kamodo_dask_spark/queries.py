@@ -1329,6 +1329,54 @@ def near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
 
 
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the near-dup pair graph, as a DuckDB
+    recursive CTE: reach = every label reachable from a vertex; the
+    component id is the min. The recursive UNION deduplicates rows, so the
+    fixpoint terminates."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_near_dup_oracle()}),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT s.s, r.lbl FROM sym s JOIN reach r ON s.d = r.v
+    ),
+    lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lab l JOIN sz s USING (cluster_id)
+    """
+
+
+@register("dedup_clusters", _dedup_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: pairwise matches → connected components → one
+    canonical id per dup group (min doc_id) — the step that turns
+    ``near_dup_cascade``'s pair list into actionable keep/drop groups. The
+    Spark side is iterative hash-min label propagation
+    (``operators/dedup.py::connected_components``: one equi-join + min-agg
+    per round, rounds = graph diameter, lineage truncated per round); the
+    oracle computes the same fixpoint as a DuckDB recursive CTE — two
+    genuinely independent formulations of transitive closure."""
+    from kamodo_dask_spark.operators.dedup import connected_components, near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 @register(
     "contamination",
     f"""
@@ -1839,6 +1887,71 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction_strict",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN ' ping admin' || doc_id || ' [at] corp [dot] io now'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN ' dial +44 20 ' || (7000 + doc_id % 1000) || ' 0958'
+                          ELSE '' END
+               AS payload
+      FROM documents)
+    SELECT doc_id,
+           (len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+ ?(?:\\[at\\]|\\(at\\)| at ) ?[A-Za-z0-9-]+ ?(?:\\[dot\\]|\\(dot\\)| dot ) ?[A-Za-z]{2,}')))::BIGINT AS n_emails,
+           (len(regexp_extract_all(payload, '\\d{3}-\\d{3}-\\d{4}'))
+            + len(regexp_extract_all(payload, '\\+\\d{1,3}[- .]?\\(?\\d{1,4}\\)?(?:[- .]\\d{2,4}){1,5}')))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '[A-Za-z0-9._%+-]+ ?(?:\\[at\\]|\\(at\\)| at ) ?[A-Za-z0-9-]+ ?(?:\\[dot\\]|\\(dot\\)| dot ) ?[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
+                 '\\+\\d{1,3}[- .]?\\(?\\d{1,4}\\)?(?:[- .]\\d{2,4}){1,5}', '[PHONE]', 'g')) AS redacted_hash
+    FROM p
+    """,
+)
+def pii_redaction_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-recall PII scrub (r3 ask #9): the base patterns plus
+    obfuscated emails ('jo [at] corp [dot] io') and international phone
+    formats ('+44 20 7946 0958'), still pure JVM-side regexp. Markers are
+    injected deterministically in both engines; the oracle repeats the
+    literal patterns, so a portability break (RE2 vs Java semantics) or a
+    pattern edit on one side breaks the hash. Edge-case accept/reject
+    behavior is additionally pinned per-form in
+    ``tests/test_operators.py::PII_STRICT_CASES``."""
+    from kamodo_dask_spark.operators.text import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" ping admin"), F.col("doc_id"), F.lit(" [at] corp [dot] io now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" dial +44 20 "),
+                (F.lit(7000) + F.col("doc_id") % 1000),
+                F.lit(" 0958"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", payload.alias("payload"))
+    n_emails, n_phones = pii_counts(F.col("payload"), strict=True)
+    return staged.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        F.md5(redact_pii(F.col("payload"), strict=True)).alias("redacted_hash"),
+    )
+
+
+@register(
     "bm25_search",
     f"""
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
@@ -2125,6 +2238,7 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "floor_10min",
     "string_functions",
     "math_functions",
     "null_handling",

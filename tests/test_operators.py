@@ -354,6 +354,69 @@ def test_pii_patterns_edge_cases_match_oracle(spark):
         assert oracle == expected, f"duckdb case {i}: {text!r} -> {oracle!r}"
 
 
+# STRICT-mode cases: recall-oriented extras (international phones,
+# obfuscated emails). Documented tradeoffs are pinned here too — e.g.
+# 'meet at noon dot com' IS masked in strict mode (the price of catching
+# 'jo at corp dot io'); anyone tightening the pattern must update this
+# catalog consciously in BOTH engines.
+PII_STRICT_CASES = [
+    ("ring +1 415 555 2671 today", "ring [PHONE] today"),
+    ("uk +44-20-7946-0958 line", "uk [PHONE] line"),
+    ("fr +33 1 42 68 53 00 paris", "fr [PHONE] paris"),
+    ("obf jo [at] corp [dot] io end", "obf [EMAIL] end"),
+    ("obf2 jo(at)corp(dot)io end", "obf2 [EMAIL] end"),
+    ("obf3 jo at corp dot io end", "obf3 [EMAIL] end"),
+    # base patterns still win for plain forms (strict applies after)
+    ("plain jo.doe@corp.io here", "plain [EMAIL] here"),
+    ("call 555-123-4567 now", "call [PHONE] now"),
+    # NANP core masked by base; the +1- prefix alone is not a strict match
+    ("intl +1-555-123-4567 form", "intl +1-[PHONE] form"),
+    # rejected forms: must stay untouched even in strict mode
+    ("math x+12345 not phone", "math x+12345 not phone"),
+    ("version 2.3.4 safe", "version 2.3.4 safe"),
+    ("cat at home stays", "cat at home stays"),
+    # accepted false positive (documented recall tradeoff)
+    ("meet at noon dot com", "[EMAIL]"),
+]
+
+
+def test_pii_strict_patterns_match_oracle(spark):
+    """Strict-mode redaction agrees between Spark and DuckDB on every
+    accepted AND rejected form (same literal regexes, RE2/Java-portable)."""
+    import duckdb
+
+    from kamodo_dask_spark.operators.text import (
+        EMAIL_PATTERN,
+        INTL_PHONE_PATTERN,
+        OBFUSCATED_EMAIL_PATTERN,
+        PHONE_PATTERN,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(PII_STRICT_CASES)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", redact_pii(F.col("text"), strict=True).alias("r")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    for i, (text, expected) in enumerate(PII_STRICT_CASES):
+        assert got[i] == expected, f"spark case {i}: {text!r} -> {got[i]!r}"
+        (oracle,) = duck.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       ?, ?, '[EMAIL]', 'g'), ?, '[EMAIL]', 'g'),
+                       ?, '[PHONE]', 'g'), ?, '[PHONE]', 'g')
+            """,
+            [text, EMAIL_PATTERN, OBFUSCATED_EMAIL_PATTERN, PHONE_PATTERN, INTL_PHONE_PATTERN],
+        ).fetchone()
+        assert oracle == expected, f"duckdb case {i}: {text!r} -> {oracle!r}"
+
+
 def test_line_dedup_removes_boilerplate_preserves_order(spark):
     from kamodo_dask_spark.operators.dedup import line_dedup
 
@@ -457,3 +520,41 @@ def test_quantize_embedding_semantics(spark):
         cosine(F.col("embedding"), F.col("embedding")).alias("c")
     ).first()
     assert both["c"] == pytest.approx(1.0)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Multi-round convergence: a 6-vertex chain (diameter forces several
+    propagation rounds), a separate triangle, and an isolated pair."""
+    from kamodo_dask_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_empty_and_cap(spark):
+    from kamodo_dask_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
