@@ -58,6 +58,39 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFr
     return df.filter(split_bucket(F.col(key_col)) < int(round(fraction * _BUCKETS)))
 
 
+def weighted_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Dataset MIXING: keep a per-source fraction of rows ("100% en, 50%
+    de, 25% fr...") with deterministic hash-threshold acceptance — the
+    reproducible form of the weighted-mixture sampling every multi-source
+    training pipeline runs before tokenization. A pure projection+filter:
+    zero shuffles, engine-portable (the md5 bucket reproduces in SQL), and
+    stable under retries/cluster resizes, unlike ``df.sample`` weights.
+
+    ``rates`` maps stratum value → acceptance fraction in [0, 1]; strata
+    not listed keep ``default_rate``. Upsampling (rate > 1) is out of
+    scope — repeat-epoch logic belongs to the training loader, not the
+    corpus relation.
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    bucket = split_bucket(F.col(key_col))
+    thr = None
+    for name, rate in rates.items():
+        cond = F.col(stratum_col) == name
+        t = int(round(rate * _BUCKETS))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = int(round(default_rate * _BUCKETS))
+    thr = F.lit(default_t) if thr is None else thr.otherwise(default_t)
+    return df.filter(bucket < thr)
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

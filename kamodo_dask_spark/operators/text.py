@@ -291,3 +291,91 @@ def gopher_quality_flags(col) -> dict[str, Column]:
         "alpha_word_frac_ok": alpha_frac >= 0.8,
         "stopwords_ok": stop_hits >= 2,
     }
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window CHUNKING: split each document's token stream into
+    windows of ``max_tokens`` tokens advancing by ``stride`` (< max_tokens
+    → overlapping windows; default = no overlap) — the pre-tokenization
+    step that fits documents to a model's context length.
+
+    Plan shape: tokenize once per row into a materialized array column,
+    explode a ``sequence(0, n_chunks-1)`` of window indices, then
+    ``slice`` the carried array per index — all JVM array built-ins, zero
+    Python, zero shuffle; output row count is Σ n_chunks. Every document
+    yields ≥ 1 chunk (short/empty docs pass through as their only chunk),
+    so no data silently disappears.
+
+    Returns ``(id_col, chunk_index, n_tokens, chunk_text)``.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be ≥ 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(f"stride must be in [1, max_tokens], got {stride}")
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
+    # number of windows: 1 + ceil(max(n - L, 0) / S); the integer form
+    # (n - L + S - 1) div S is clamped by greatest(), so truncate-vs-floor
+    # on negatives never matters
+    extra = F.greatest(
+        ((F.col("_n") - max_tokens + stride - 1) / stride).cast("int"), F.lit(0)
+    )
+    chunks = base.select(
+        id_col,
+        "_ws",
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_index"),
+    )
+    piece = F.slice(F.col("_ws"), F.col("chunk_index") * stride + 1, max_tokens)
+    return chunks.select(
+        id_col,
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus VOCABULARY with document-frequency filtering: distinct terms,
+    their document frequency, and smoothed idf, dropping rare (< min_df
+    docs) and ubiquitous (> max_df_frac of the corpus) terms — the
+    vocabulary-build step of TF-IDF pipelines and the df side of BM25.
+
+    Plan shape: per-row ``array_distinct`` BEFORE the explode (row-local
+    dedup — the (doc, term) distinct costs no shuffle), then one
+    partial-combined count aggregation on the term; the corpus size is a
+    metadata scalar inlined as a literal (catalog convention — a scalar
+    crossJoin would plan as BroadcastNestedLoopJoin). At 100 TB the only
+    wide exchange carries (term, partial count).
+
+    Returns ``(term, df, idf)`` with ``idf = ln((N+1)/(df+1))`` rounded
+    to 6 (cross-engine convention).
+    """
+    n_docs = df.count()
+    tok = df.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term")
+    )
+    out = tok.groupBy("term").agg(F.count("*").alias("df"))
+    out = out.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs))
+    )
+    return out.select(
+        "term",
+        "df",
+        F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6).alias(
+            "idf"
+        ),
+    )

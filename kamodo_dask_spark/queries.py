@@ -2059,6 +2059,91 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    c AS (SELECT doc_id, ws,
+                 unnest(range(0, 1 + greatest((len(ws) - 32 + 23) // 24, 0))) AS ci
+          FROM w)
+    SELECT doc_id, ci AS chunk_index,
+           len(ws[ci*24+1 : ci*24+32])::BIGINT AS n_tokens,
+           md5(array_to_string(ws[ci*24+1 : ci*24+32], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (``operators/text.py::chunk_documents``):
+    32-token windows advancing by 24 (8-token overlap) — the fit-to-context
+    step before tokenization. All JVM array built-ins (tokenize once,
+    explode window indices, slice the carried array); the oracle recomputes
+    every window by list slicing, so an off-by-one in the stride/window
+    arithmetic breaks both the row count and the hash. Chunk text is
+    compared BY HASH to keep the relation narrow."""
+    from kamodo_dask_spark.operators.text import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, max_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "vocabulary",
+    f"""
+    WITH w AS (SELECT {_sql_words()} AS ws FROM documents),
+    t AS (SELECT unnest(list_distinct(ws)) AS term FROM w),
+    d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT term, df, round(ln((n + 1.0) / (df + 1.0)), 6) AS idf
+    FROM d, tot
+    WHERE df >= 5 AND df <= n * 0.5
+    """,
+)
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with df filtering
+    (``operators/text.py::corpus_vocabulary``): row-local
+    ``array_distinct`` before the explode (the (doc, term) dedup costs no
+    shuffle), one partial-combined term count, corpus size inlined as a
+    literal (no scalar crossJoin → no BNLJ). min_df=5 drops the rare tail,
+    max_df=50% the ubiquitous head."""
+    from kamodo_dask_spark.operators.text import corpus_vocabulary
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_vocabulary(docs, min_df=5, max_df_frac=0.5)
+
+
+@register(
+    "mixture_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+      FROM documents)
+    WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                             WHEN 'fr' THEN 2500 ELSE 1000 END
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixture (``operators/sampling.py::weighted_mixture``):
+    keep 100% of en, 50% of de, 25% of fr, 10% of everything else, by
+    deterministic md5-bucket acceptance — reproducible across engines,
+    runs, and cluster sizes (``df.sample`` is none of those). Zero-shuffle
+    projection+filter; the oracle reproduces the exact per-row bucket, so
+    the comparison pins membership, not just counts."""
+    from kamodo_dask_spark.operators.sampling import weighted_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_mixture(
+        docs, "lang", "doc_id", {"en": 1.0, "de": 0.5, "fr": 0.25}, default_rate=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,
@@ -2238,6 +2323,9 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "median_and_stats",
+    "window_rank",
+    "running_user_totals",
     "floor_10min",
     "string_functions",
     "math_functions",

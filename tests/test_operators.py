@@ -558,3 +558,57 @@ def test_connected_components_empty_and_cap(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=1)
+
+
+def test_chunk_documents_reassembly_and_edges(spark):
+    from kamodo_dask_spark.operators.text import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    # no overlap: chunks partition the token stream exactly
+    rows = sorted(
+        chunk_documents(docs, max_tokens=32).filter("doc_id = 1").collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert [r["n_tokens"] for r in rows] == [32, 32, 32, 4]
+    assert " ".join(r["chunk_text"] for r in rows) == long_text
+    # overlap: window i starts at token i*stride
+    ov = sorted(
+        chunk_documents(docs, max_tokens=32, stride=24).filter("doc_id = 1").collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert len(ov) == 4  # 1 + ceil((100-32)/24) = 1 + 3
+    for r in ov:
+        start = r["chunk_index"] * 24
+        assert r["chunk_text"].split(" ")[0] == f"w{start}"
+    # short and empty docs still yield exactly one chunk
+    short = {r["doc_id"]: r for r in chunk_documents(docs, max_tokens=32).collect()
+             if r["doc_id"] in (2, 3)}
+    assert short[2]["n_tokens"] == 3 and short[2]["chunk_text"] == "only three words"
+    assert short[3]["n_tokens"] == 0 and short[3]["chunk_text"] == ""
+
+
+def test_weighted_mixture_rates_and_determinism(spark):
+    from kamodo_dask_spark.operators.sampling import weighted_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    out = weighted_mixture(df, "lang", "doc_id", {"en": 1.0, "de": 0.5}, default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["en"] == 1000          # rate 1.0 keeps everything
+    assert "xx" not in counts            # default 0.0 drops everything
+    assert 350 <= counts.get("de", 0) <= 650  # ~50%, md5-uniform
+    # deterministic membership: same rows kept on a second run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in weighted_mixture(
+        df.repartition(13), "lang", "doc_id", {"en": 1.0, "de": 0.5}).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="rate"):
+        weighted_mixture(df, "lang", "doc_id", {"en": 1.5})

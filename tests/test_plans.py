@@ -252,3 +252,25 @@ def test_skewed_event_counts_two_level_aggregation(spark):
     assert "xxhash64" in plan, plan
     assert "rand(" not in plan, plan
     assert "hashpartitioning(event_type" in plan and "_salt" in plan, plan
+
+
+def test_doc_chunks_tokenizes_once_no_shuffle(spark):
+    """chunk_documents: the token array is materialized ONCE per row and
+    carried through the Generate as an attribute — the slice-per-chunk must
+    reference the attribute, not re-inline the tokenizer (the Catalyst trap
+    of dedup.py::shingles). Zero exchanges: a pure narrow pipeline."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["doc_chunks"](spark, SF))
+    assert plan.count("split(") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_vocabulary_partial_aggregation_no_bnlj(spark):
+    """corpus_vocabulary: one partial-combined count aggregation; the
+    corpus size is an inlined literal, not a scalar crossJoin."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["vocabulary"](spark, SF))
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
