@@ -177,6 +177,56 @@ class KamodoSpark(dict):
             return
         super().__setitem__(key, value)
 
+    def plot_data(self, name: str, plot_partial: dict | None = None) -> dict:
+        """Plot-READY payload for a registered gridded function — the engine
+        half of the reference's ``kd.plot('rho_ijkl', plot_partial=…)``
+        (docs/interpolator.md:352-386, I7). The reference delegates figure
+        construction to kamodo-core/plotly; this engine ends at the exact
+        structure those front-ends consume: per-free-axis coordinate arrays
+        plus an N-D value tensor in axis order (x/y/z of a plotly
+        Heatmap/Surface, the (x, y) of a line plot).
+
+        ``plot_partial`` fixes axes to scalar values (accepts both the
+        reference's nested ``{name: {axis: v}}`` spelling and a flat
+        ``{axis: v}``); the remaining free axes span the full grid. The
+        mesh is evaluated DISTRIBUTED via the registered ``*_ijkl``
+        function; only the plot-sized result is collected.
+
+        Returns ``{"name", "units", "axes": {axis: np.ndarray}, "values":
+        np.ndarray (shape = free-axis lengths), "fixed": {axis: float}}``.
+        """
+        import numpy as np
+
+        key = name if name.endswith("_ijkl") else f"{name}_ijkl"
+        if key not in self:
+            raise KeyError(f"no gridded function {key!r} registered")
+        measure = key[: -len("_ijkl")]
+        partial = plot_partial or {}
+        if key in partial or measure in partial:  # reference's nested form
+            partial = partial.get(key, partial.get(measure))
+        bad = set(partial) - set(self.axes)
+        if bad:
+            raise ValueError(f"plot_partial axes not in grid: {sorted(bad)}")
+        fixed = {ax: float(v) for ax, v in partial.items()}
+        free = [ax for ax in self.axes if ax not in fixed]
+        if not free:
+            raise ValueError("plot_partial fixes every axis — nothing to plot")
+
+        out = self[key](**fixed)  # unspecified axes default to the full grid
+        pdf = out.toPandas().sort_values(free)
+        axes_arrays = {
+            ax: np.asarray(sorted(pdf[ax].unique()), dtype=float) for ax in free
+        }
+        shape = tuple(len(axes_arrays[ax]) for ax in free)
+        values = pdf[measure].to_numpy(dtype=float).reshape(shape)
+        return {
+            "name": key,
+            "units": self.units.get(measure, ""),
+            "axes": axes_arrays,
+            "values": values,
+            "fixed": fixed,
+        }
+
     def get_bounds(self) -> dict:
         """Per-axis (min, max) — ``get_bounds``, kamodo_dask.py:353-354."""
         return grid_bounds(self.df, self.axes)

@@ -95,3 +95,44 @@ def test_composed_function_point_and_gridded(spark, registry):
 def test_composed_function_rejects_unknown_deps(registry):
     with pytest.raises(ValueError, match="references no registered measure"):
         registry.register("bogus", "x_unknown * 2")
+
+
+def test_plot_data_heatmap_and_line_payloads(registry):
+    """I7: plot_data produces the plotly-consumable payload — free-axis
+    coordinate arrays plus a value tensor in axis order — and its values
+    equal direct gridded evaluation at the same mesh points."""
+    import numpy as np
+
+    t_mid = (GRID_START + timedelta(minutes=40)).timestamp()
+
+    # two free axes (lon, lat) -> heatmap-shaped matrix
+    pd2 = registry.plot_data("rho_ijkl", {"time": t_mid, "h": 325000.0})
+    assert pd2["name"] == "rho_ijkl" and pd2["units"] == "kg/m^3"
+    assert list(pd2["axes"]) == ["lon", "lat"]
+    assert pd2["values"].shape == tuple(len(pd2["axes"][a]) for a in ("lon", "lat"))
+    assert pd2["fixed"] == {"time": t_mid, "h": 325000.0}
+    # cross-check a cell against the gridded function directly
+    lon0, lat0 = float(pd2["axes"]["lon"][1]), float(pd2["axes"]["lat"][2])
+    direct = (
+        registry["rho_ijkl"](time=t_mid, h=325000.0, lon=lon0, lat=lat0)
+        .collect()[0]["rho"]
+    )
+    assert pd2["values"][1, 2] == pytest.approx(direct, rel=1e-12)
+
+    # reference's nested plot_partial spelling; one free axis -> line payload
+    pd1 = registry.plot_data(
+        "rho_ijkl",
+        {"rho_ijkl": {"time": t_mid, "h": 325000.0, "lat": 0.0}},
+    )
+    assert list(pd1["axes"]) == ["lon"]
+    assert pd1["values"].shape == (len(pd1["axes"]["lon"]),)
+    assert np.isfinite(pd1["values"]).all()
+
+    with pytest.raises(ValueError, match="fixes every axis"):
+        registry.plot_data(
+            "rho_ijkl", {"time": t_mid, "h": 325000.0, "lat": 0.0, "lon": 0.0}
+        )
+    with pytest.raises(KeyError):
+        registry.plot_data("nope_ijkl")
+    with pytest.raises(ValueError, match="not in grid"):
+        registry.plot_data("rho_ijkl", {"altitude": 1.0})
