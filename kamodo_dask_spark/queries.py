@@ -634,15 +634,23 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor_10min",
     """
     SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS slot,
-           count(*) AS n, round(avg(value), 6) AS avg_value
+           count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY 1
     """,
 )
 def floor_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6: Timestamp.floor('10T') (kamodo_dask.py:191-192) as a bucketed agg."""
+    """C6: Timestamp.floor('10T') (kamodo_dask.py:191-192) as a bucketed agg.
+
+    The aggregate is SUM, deliberately not AVG: events.value has 2-decimal
+    granularity and the regular time series puts a power-of-two count in
+    every bucket, so avg = sum/2^k lands on EXACT decimal halves at the
+    rounding precision — engines then disagree on the tie (Spark half-even
+    on the binary double vs DuckDB's decimal-string half-up; observed at
+    sf0.1: bucket 04:10, avg 48.3478125 → 48.347812 vs 48.347813).
+    round(sum, 2) is tie-free by construction at this granularity."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy(floor_timestamp("ts", 600).alias("slot")).agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
 
 

@@ -274,3 +274,16 @@ def test_vocabulary_partial_aggregation_no_bnlj(spark):
     plan = executed_plan(QUERIES["vocabulary"](spark, SF))
     assert "partial_count" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interp_1d_single_scan_no_cache(spark):
+    """interp_1d r4 rewrite: BOTH as-of bracket directions come from one
+    asof_uniform_grid_both pass — exactly one FileScan of events (the grid
+    side is spark.range), one explode of the (direction, slot) pairs, and
+    no persisted relation left pinned in the cache."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["interp_1d"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
