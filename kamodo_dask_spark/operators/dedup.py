@@ -578,10 +578,14 @@ def connected_components(
         pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     edges = sym.localCheckpoint(eager=True)
+    # seed each vertex with min(self, neighbors) — one aggregation, no join:
+    # equivalent to running the first propagation round for free (a dense
+    # dup cluster of any size converges immediately when its min vertex is
+    # everyone's neighbor)
     labels = (
-        edges.select(F.col("s").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
+        edges.groupBy(F.col("s").alias("v"))
+        .agg(F.min("d").alias("_nmin"))
+        .select("v", F.least(F.col("v"), F.col("_nmin")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
