@@ -68,3 +68,55 @@ def time_range_scan(
         & (F.col("ts_date") <= F.to_date(F.lit(str(end))))
         & F.col("time").between(str(start), str(end))
     ).drop("ts_date", "ts_hour")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance pass every long-running
+    100 TB ingest needs: streaming/micro-batch writers and per-task commits
+    leave thousands of KB-sized parquet files whose open/footer overhead
+    eventually dominates scan time and the driver's file-listing memory.
+
+    Rewrites ``path`` into ``out_path`` with files sized ~``target_file_bytes``
+    by measuring the ACTUAL on-disk bytes (Hadoop FS content summary — no
+    data scan) and repartitioning to ``ceil(bytes / target)``. With
+    ``partition_cols`` the repartition hashes on those columns so the write
+    produces at most one file per (task, partition-dir) instead of every
+    task writing into every directory. Returns the file count written.
+
+    Compaction is a full rewrite by design (parquet files are immutable);
+    run it per partition-directory in production so only cold partitions
+    rewrite, and swap directories atomically at the catalog/manifest layer.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if partition_cols:
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            .write.partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(n_files).write
+    writer.mode("overwrite").parquet(out_path)
+
+    out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    it = fs.listFiles(out_hpath, True)
+    written = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            written += 1
+    return written

@@ -117,3 +117,45 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
     agg.collect()
     plan = executed_plan(agg)
     assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan}"
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction: 64 tiny files -> ~1 right-sized file, identical rows."""
+    from kamodo_dask_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000, 1, 64).selectExpr(
+        "id", "id * 2 AS v"
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=128 * 1024 * 1024)
+    assert n == 1
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    """Partition-aware compaction: output keeps the hive layout with at
+    most n_files per partition directory."""
+    from kamodo_dask_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "comp_part")
+    spark.range(0, 8_000, 1, 32).selectExpr(
+        "id", "id % 4 AS part", "id * 3 AS v"
+    ).write.partitionBy("part").parquet(src)
+    compact_parquet(
+        spark, src, dst, target_file_bytes=128 * 1024 * 1024, partition_cols=["part"]
+    )
+    import glob
+
+    for p in range(4):
+        files = glob.glob(f"{dst}/part={p}/*.parquet")
+        assert len(files) == 1, files
+    a = sorted((r["id"], r["part"]) for r in spark.read.parquet(src).collect())
+    b = sorted((r["id"], r["part"]) for r in spark.read.parquet(dst).collect())
+    assert a == b
