@@ -30,7 +30,12 @@ BENCH_QUERIES = list(QUERIES)
 
 #: Structured Streaming round trips: dominated by fixed micro-batch/state
 #: machinery that best-of-N can't average away — timed once.
-STREAMING_QUERIES = {"streaming_tumbling_1h", "sessionization", "streaming_dedup"}
+STREAMING_QUERIES = {
+    "streaming_tumbling_1h",
+    "streaming_sliding_30m",
+    "sessionization",
+    "streaming_dedup",
+}
 
 #: A query slower than this factor vs the previous recorded round is flagged
 #: in the "regressions" output key.

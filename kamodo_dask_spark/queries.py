@@ -738,6 +738,72 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_30m",
+    """
+    WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+    x AS (SELECT event_type, value,
+                 unnest([time_bucket(INTERVAL '15 minutes', ts),
+                         time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+                   AS slot
+          FROM e)
+    SELECT slot, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (§2.9): 30-minute windows every
+    15 minutes — each event lands in exactly two overlapping windows —
+    through a real Structured Streaming round trip (file source → windowed
+    agg → complete-mode memory sink, ``Trigger.AvailableNow``). The oracle
+    materializes the overlap explicitly: each event unnests into its two
+    slide-aligned window starts. Same finite-source/complete-mode argument
+    as ``streaming_tumbling_1h``; same footer-detected timestamp unit."""
+    from pyspark.sql import types as T
+
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
+
+    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    with nanos_as_long(spark):
+        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+        agg = (
+            ev.groupBy(
+                F.window("ts", "30 minutes", "15 minutes").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+        )
+        qname = "streaming_sliding_30m_sink"
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
     "streaming_dedup",
     """
     SELECT event_id, user_id, event_type, round(value, 6) AS value
@@ -2331,6 +2397,7 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "semi_join",
     "median_and_stats",
     "window_rank",
     "running_user_totals",
