@@ -287,7 +287,7 @@ def ivf_cosine_topk(
         for cell in cells
     ]
     probes = corpus.sparkSession.createDataFrame(
-        probe_rows, f"query_id long, _qvec array<double>, _cell int"
+        probe_rows, "query_id long, _qvec array<double>, _cell int"
     )
 
     # 4. candidates = corpus rows in probed cells; exact rescore + top-k

@@ -4,7 +4,16 @@ Each entry returns a DataFrame whose column names AND values must match the
 oracle SQL exactly (the verification driver hashes values after sorting
 columns by name). Conventions for cross-engine determinism:
 
-- every computed float column is ``round(x, N)`` in BOTH engines;
+- every computed float column is ``round(x, N)`` in BOTH engines — AND the
+  rounded quantity must not be able to land EXACTLY on a half at digit N+1,
+  or the engines' tie rules diverge (Spark rounds the binary double
+  half-even-ish, DuckDB the decimal string half-up). Concretely: never
+  round an average whose divisor can be a power of two over fixed-decimal
+  data (see ``floor_10min``: events.value has 2-decimal granularity and
+  2^k rows per bucket, so avg hit exact 6-digit halves at sf0.1 — emit the
+  sum instead); sums of fixed-decimal data rounded at coarser-or-equal
+  precision are tie-free by construction, and transcendental outputs
+  (ln, cosine) have measure-zero tie probability;
 - computed integers are cast to ``bigint`` in Spark (DuckDB counts/lens are
   BIGINT);
 - hashes are md5-derived (identical hex in both engines); 48-bit integer
