@@ -262,3 +262,38 @@ def test_keyless_asof_with_tolerance(spark):
     assert out[10.0] == (1.0, 8.0)        # within tolerance
     assert out[200.0] == (None, None)     # bracket (100.0) is 100 away -> nulled
     assert out[205.0] == (None, None)
+
+
+def test_asof_uniform_grid_both_timestamp_axis(spark):
+    """Dual-direction uniform-grid as-of on a TIMESTAMP axis (µs slot
+    arithmetic), cross-checked against pandas merge_asof both ways."""
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-06-01")
+    ev = pd.DataFrame(
+        {"ts": (base + pd.to_timedelta(np.sort(rng.uniform(3600, 86000, 200)), unit="s")
+                ).floor("us")}  # Spark timestamps are µs — align the oracle
+    ).drop_duplicates("ts")
+    ev["v"] = rng.normal(size=len(ev))
+    from kamodo_dask_spark.operators.asof import asof_uniform_grid_both
+
+    start, step, n = "2024-06-01 00:00:00", 1800.0, 49  # 30-min slots over a day
+    sdf = spark.createDataFrame(ev).repartition(4)
+    got = (
+        asof_uniform_grid_both(sdf, start, step, n, right_ts="ts")
+        .toPandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    slots = pd.DataFrame({"slot": pd.Timestamp(start) + pd.to_timedelta(
+        1800.0 * np.arange(n), unit="s")})
+    for direction, sfx in (("backward", "_b"), ("forward", "_f")):
+        exp = pd.merge_asof(
+            slots, ev.rename(columns={"ts": "m"}), left_on="slot", right_on="m",
+            direction=direction,
+        )
+        g, e = got[f"v{sfx}"], exp["v"]
+        both_nan = g.isna() & e.isna()
+        assert (both_nan | np.isclose(g, e, rtol=1e-12)).all(), direction
+        gm = pd.to_datetime(got[f"ts_matched{sfx}"])
+        both_nat = gm.isna() & exp["m"].isna()
+        assert (both_nat | (gm == exp["m"])).all(), direction

@@ -256,3 +256,40 @@ def test_line_dedup_matches_python_oracle(spark, seed, max_df):
         for r in line_dedup(sdf, max_doc_frequency=max_df).collect()
     }
     assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1), L=st.integers(1, 12), off=st.integers(0, 11))
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_matches_python_oracle(spark, seed, L, off):
+    """chunk_documents ≡ a pure-python windower on random corpora for any
+    (max_tokens, stride) combination, including empty and sub-window docs."""
+    import numpy as np
+
+    from kamodo_dask_spark.operators.text import chunk_documents
+
+    S = max(1, min(L, off))
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(20):
+        n = int(rng.integers(0, 40))
+        docs.append((i, " ".join(f"t{rng.integers(0, 9)}" for _ in range(n))))
+
+    def oracle(text):
+        ws = [w for w in text.lower().split() if w]
+        n = len(ws)
+        extra = max(0, -(-(n - L) // S)) if n > L else 0
+        out = []
+        for ci in range(1 + extra):
+            piece = ws[ci * S : ci * S + L]
+            out.append((ci, len(piece), " ".join(piece)))
+        return out
+
+    expected = {
+        (i, ci): (nt, txt) for i, t in docs for ci, nt, txt in oracle(t)
+    }
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(sdf, max_tokens=L, stride=S).collect()
+    }
+    assert got == expected
