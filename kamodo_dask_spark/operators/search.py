@@ -38,48 +38,45 @@ def bm25_topk(
     convention). ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
     Lucene-style always-positive variant).
     """
-    from pyspark import StorageLevel
-
     terms = [t.lower() for t in query_terms]
-    # Cache the tokenized relation for the DURATION OF THIS CALL only: both
-    # the stats pass and the postings materialization consume it, and
-    # tokenization (split + lower over every document) is the dominant cost
-    # — without the cache the corpus is tokenized TWICE. MEMORY_AND_DISK so
-    # a corpus bigger than executor memory spills rather than recomputes.
-    ws = docs.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ONE scan of the corpus serves both the stats and the postings: each
+    # row projects (id, doc length, exploded matching terms) — explode_outer
+    # keeps docs with NO matching term as a single NULL-term row, so corpus
+    # statistics stay complete — and the result (|docs| + |matching
+    # occurrences| rows, text-free) is materialized with an EAGER
+    # localCheckpoint. Everything downstream reads the checkpoint: the
+    # corpus is scanned and tokenized exactly once, and unlike the previous
+    # persist() there is no CacheManager entry left pinned with no handle
+    # (r3 ADVICE) — checkpoint blocks are GC-cleaned with the returned
+    # DataFrame's lineage. (The ws subtree is referenced twice in the
+    # projection — size + filter — which re-evaluates the row-local
+    # tokenizer, far cheaper than a second corpus scan.)
+    ws = words(F.col(text_col))
+    match = F.filter(ws, lambda t: t.isin(*terms)) if terms else F.array().cast(
+        "array<string>"
     )
-    try:
-        # one pass for corpus stats: N docs, average doc length — a 2-scalar
-        # driver value inlined as literals (metadata-sized, like axis
-        # collects). A scalar crossJoin would plan as
-        # BroadcastNestedLoopJoin (Catalyst folds constant join keys), which
-        # the plan sweep bans outright.
-        n_docs, avgdl = ws.agg(F.count("*"), F.avg(F.size("_ws"))).first()
-        if not n_docs or avgdl is None:
-            # empty corpus: idf/avgdl are undefined — return an empty result
-            # with the contract schema instead of crashing on float(None).
-            return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(ws).alias("_dl"),
+        F.explode_outer(match).alias("term"),
+    ).localCheckpoint(eager=True)
 
-        # Materialize the postings (|docs matching any query term| rows —
-        # corpus-independent small) with an EAGER localCheckpoint: the
-        # returned plan reads the checkpointed relation, so the wide ws
-        # cache can be released before returning instead of leaking with no
-        # handle (r3 ADVICE). Checkpoint blocks are owned by the returned
-        # DataFrame's RDD lineage and are GC-cleaned with it — unlike a
-        # CacheManager entry, which pins until an explicit unpersist that
-        # callers could never issue.
-        postings = (
-            ws.select(
-                F.col(id_col), F.size("_ws").alias("_dl"), F.explode("_ws").alias("term")
-            )
-            .filter(F.col("term").isin(terms))  # before the agg shuffle
-            .groupBy(id_col, "term")
-            .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        ws.unpersist()
+    # corpus stats: N docs, average doc length — a 2-scalar driver value
+    # inlined as literals (metadata-sized, like axis collects). A scalar
+    # crossJoin would plan as BroadcastNestedLoopJoin (Catalyst folds
+    # constant join keys), which the plan sweep bans outright.
+    per_doc = exploded.groupBy(id_col).agg(F.first("_dl").alias("_dl"))
+    n_docs, avgdl = per_doc.agg(F.count("*"), F.avg("_dl")).first()
+    if not n_docs or avgdl is None:
+        # empty corpus: idf/avgdl are undefined — return an empty result
+        # with the contract schema instead of crashing on float(None).
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+
+    postings = (
+        exploded.filter(F.col("term").isNotNull())
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
+    )
     docfreq = postings.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
 
     scored = (
