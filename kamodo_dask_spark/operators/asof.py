@@ -177,21 +177,18 @@ def asof_uniform_grid(
     Ties on the bracket timestamp pick the max payload tuple — same
     contract as :func:`asof_join`.
     """
-    import pandas as pd
-
     ts_type = dict(right.dtypes)[right_ts]
-    is_ts = ts_type.startswith("timestamp")
-    if is_ts:
-        t0 = pd.Timestamp(start).value // 1_000  # µs
-        step = int(round(step_seconds * 1_000_000))
-    else:
-        t0, step = float(start), float(step_seconds)
+    t0, step, is_ts = _slot_params(start, step_seconds, ts_type)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     payload = [c for c in right.columns if c != right_ts]
     matched_ts = right_ts + suffix
     num = _ts_numeric(F.col(right_ts), ts_type)
+    # NULL timestamps have no defined bracket; without this filter
+    # greatest/least SKIP the NULL index and assign slot 0 / n_slots-1,
+    # turning NULL-ts rows into ghost candidates at the grid edges
+    right = right.filter(F.col(right_ts).isNotNull())
 
     if direction == "backward":
         # first slot at-or-after the row: serves slots i ≥ ceil((ts-t0)/step)
@@ -221,12 +218,7 @@ def asof_uniform_grid(
         ).alias("_r")
     )
 
-    spark = right.sparkSession
-    if is_ts:
-        slot_expr = F.expr(f"timestamp_micros({t0} + id * {step})")
-    else:
-        slot_expr = (F.lit(t0) + F.col("id") * F.lit(step)).cast(ts_type)
-    grid = spark.range(n_slots).select(F.col("id").alias("_i"), slot_expr.alias(slot_col))
+    grid = _slot_grid(right.sparkSession, t0, step, n_slots, is_ts, ts_type, slot_col)
 
     # the window below is single-partition BY CONSTRUCTION over n_slots rows
     # (the grid, not the data) — bounded state at any corpus size
@@ -266,18 +258,13 @@ def asof_uniform_grid_both(
     right row brackets the slot on that side). Tie handling matches
     :func:`asof_uniform_grid`: max payload tuple at equal timestamps.
     """
-    import pandas as pd
-
     ts_type = dict(right.dtypes)[right_ts]
-    is_ts = ts_type.startswith("timestamp")
-    if is_ts:
-        t0 = pd.Timestamp(start).value // 1_000  # µs
-        step = int(round(step_seconds * 1_000_000))
-    else:
-        t0, step = float(start), float(step_seconds)
+    t0, step, is_ts = _slot_params(start, step_seconds, ts_type)
 
     payload = [c for c in right.columns if c != right_ts]
     num = _ts_numeric(F.col(right_ts), ts_type)
+    # NULL timestamps have no defined bracket (see asof_uniform_grid)
+    right = right.filter(F.col(right_ts).isNotNull())
 
     # backward: first slot at-or-after the row serves slots i ≥ ceil(...)
     idx_b = F.greatest(F.lit(0), F.ceil((num - F.lit(t0)) / F.lit(step)).cast("long"))
@@ -318,12 +305,7 @@ def asof_uniform_grid_both(
         F.max(F.when(F.col("_dir") == 1, F.col("_r"))).alias("_rf"),
     )
 
-    spark = right.sparkSession
-    if is_ts:
-        slot_expr = F.expr(f"timestamp_micros({t0} + id * {step})")
-    else:
-        slot_expr = (F.lit(t0) + F.col("id") * F.lit(step)).cast(ts_type)
-    grid = spark.range(n_slots).select(F.col("id").alias("_i"), slot_expr.alias(slot_col))
+    grid = _slot_grid(right.sparkSession, t0, step, n_slots, is_ts, ts_type, slot_col)
 
     # both windows below are single-partition BY CONSTRUCTION over n_slots
     # rows (the grid, not the data) — bounded state at any corpus size
@@ -356,6 +338,27 @@ def _ts_numeric(col, dtype: str):
     if dtype.startswith("timestamp"):
         return F.unix_micros(col.cast("timestamp"))
     return col.cast("double")
+
+
+def _slot_params(start, step_seconds: float, ts_type: str):
+    """(t0, step, is_ts) in the axis's numeric image — µs integers for
+    timestamp axes, doubles otherwise. Shared by the single- and
+    dual-direction uniform-grid forms so slot arithmetic stays in lockstep."""
+    import pandas as pd
+
+    if ts_type.startswith("timestamp"):
+        return pd.Timestamp(start).value // 1_000, int(round(step_seconds * 1_000_000)), True
+    return float(start), float(step_seconds), False
+
+
+def _slot_grid(spark, t0, step, n_slots: int, is_ts: bool, ts_type: str, slot_col: str):
+    """The n_slots-row grid relation (``_i``, slot value) both uniform-grid
+    forms join their candidates back onto."""
+    if is_ts:
+        slot_expr = F.expr(f"timestamp_micros({t0} + id * {step})")
+    else:
+        slot_expr = (F.lit(t0) + F.col("id") * F.lit(step)).cast(ts_type)
+    return spark.range(n_slots).select(F.col("id").alias("_i"), slot_expr.alias(slot_col))
 
 
 def _keyless_fill(

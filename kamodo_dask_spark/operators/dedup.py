@@ -561,10 +561,14 @@ def connected_components(
     relations) plus a min-aggregation with map-side combine; iterated
     relations are eagerly ``localCheckpoint``-ed so lineage (and the
     re-execution cost of a lost executor) stays O(1) in rounds, the
-    standard treatment for iterative Spark algorithms. Convergence is
-    detected by the monotonically decreasing ``sum(label)`` — labels only
-    ever decrease, so an unchanged sum means a fixed point, one cheap
-    scalar aggregate per round instead of a change-count join.
+    standard treatment for iterative Spark algorithms. Convergence is a
+    COUNT of changed labels: each round's aggregation carries the vertex's
+    previous label alongside the new minimum (the self row is tagged in
+    the union, so no extra join), and ``count(lbl < prev)`` is a cheap
+    scalar job per round. (A ``sum(label)`` probe would be O(1) too but
+    overflows int64 once Σ ids exceeds 2^63 — guaranteed territory for
+    64-bit hash-derived vertex ids — crashing under ANSI mode or silently
+    wrapping otherwise.)
 
     At 100 TB: work per round is |E| shuffled on a uniform key. For
     pathological long-chain graphs the large-star/small-star variant
@@ -588,23 +592,27 @@ def connected_components(
         .select("v", F.least(F.col("v"), F.col("_nmin")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    if prev_sum is None:  # empty graph
+    if labels.isEmpty():  # empty graph
         return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges["d"] == labels["v"]).select(
-            F.col("s").alias("v"), F.col("lbl")
+            F.col("s").alias("v"), F.col("lbl"), F.lit(False).alias("_self")
         )
-        labels = (
-            labels.unionByName(msgs)
+        tagged = labels.select("v", "lbl", F.lit(True).alias("_self"))
+        stepped = (
+            tagged.unionByName(msgs)
             .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                # each vertex has exactly one self row — its previous label
+                F.min(F.when(F.col("_self"), F.col("lbl"))).alias("_prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        changed = stepped.filter(F.col("lbl") < F.col("_prev")).count()
+        labels = stepped.select("v", "lbl")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "

@@ -77,7 +77,7 @@ def weighted_mixture(
     scope — repeat-epoch logic belongs to the training loader, not the
     corpus relation.
     """
-    for name, rate in rates.items():
+    for name, rate in {**rates, "default_rate": default_rate}.items():
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
     bucket = split_bucket(F.col(key_col))

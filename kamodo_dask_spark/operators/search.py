@@ -40,16 +40,16 @@ def bm25_topk(
     """
     terms = [t.lower() for t in query_terms]
     # ONE scan of the corpus serves both the stats and the postings: each
-    # row projects (id, doc length, exploded matching terms) — explode_outer
-    # keeps docs with NO matching term as a single NULL-term row, so corpus
-    # statistics stay complete — and the result (|docs| + |matching
-    # occurrences| rows, text-free) is materialized with an EAGER
-    # localCheckpoint. Everything downstream reads the checkpoint: the
-    # corpus is scanned and tokenized exactly once, and unlike the previous
-    # persist() there is no CacheManager entry left pinned with no handle
-    # (r3 ADVICE) — checkpoint blocks are GC-cleaned with the returned
-    # DataFrame's lineage. (The ws subtree is referenced twice in the
-    # projection — size + filter — which re-evaluates the row-local
+    # row projects (id, doc length, POSITION-exploded matching terms) —
+    # posexplode_outer keeps docs with NO matching term as a single
+    # NULL-term row, so corpus statistics stay complete — and the result
+    # (|docs| + |matching occurrences| rows, text-free) is materialized with
+    # an EAGER localCheckpoint. Everything downstream reads the checkpoint:
+    # the corpus is scanned and tokenized exactly once, and unlike the
+    # previous persist() there is no CacheManager entry left pinned with no
+    # handle (r3 ADVICE) — checkpoint blocks are GC-cleaned with the
+    # returned DataFrame's lineage. (The ws subtree is referenced twice in
+    # the projection — size + filter — which re-evaluates the row-local
     # tokenizer, far cheaper than a second corpus scan.)
     ws = words(F.col(text_col))
     match = F.filter(ws, lambda t: t.isin(*terms)) if terms else F.array().cast(
@@ -58,15 +58,20 @@ def bm25_topk(
     exploded = docs.select(
         F.col(id_col),
         F.size(ws).alias("_dl"),
-        F.explode_outer(match).alias("term"),
+        F.posexplode_outer(match).alias("_pos", "term"),
     ).localCheckpoint(eager=True)
 
     # corpus stats: N docs, average doc length — a 2-scalar driver value
-    # inlined as literals (metadata-sized, like axis collects). A scalar
-    # crossJoin would plan as BroadcastNestedLoopJoin (Catalyst folds
-    # constant join keys), which the plan sweep bans outright.
-    per_doc = exploded.groupBy(id_col).agg(F.first("_dl").alias("_dl"))
-    n_docs, avgdl = per_doc.agg(F.count("*"), F.avg("_dl")).first()
+    # inlined as literals (metadata-sized, like axis collects). Each doc
+    # contributes exactly one first row (_pos 0 or NULL), so the stats stay
+    # a MAP-SIDE global aggregate — no per-doc shuffle. A scalar crossJoin
+    # would plan as BroadcastNestedLoopJoin (Catalyst folds constant join
+    # keys), which the plan sweep bans outright.
+    first_row = (F.col("_pos") == 0) | F.col("_pos").isNull()
+    n_docs, avgdl = exploded.agg(
+        F.count(F.when(first_row, F.lit(1))),
+        F.avg(F.when(first_row, F.col("_dl"))),
+    ).first()
     if not n_docs or avgdl is None:
         # empty corpus: idf/avgdl are undefined — return an empty result
         # with the contract schema instead of crashing on float(None).

@@ -27,10 +27,27 @@ def _row_salt(df: DataFrame, key_cols: list[str], salts: int, salt_on=None):
     """Deterministic uniform salt in [0, salts): xxhash64 over ``salt_on``
     (default: every non-key column — rows identical in all non-key columns
     co-locate, which only matters when the heavy hitter is byte-identical
-    duplicate rows; pass an explicit high-cardinality ``salt_on`` there)."""
+    duplicate rows; pass an explicit high-cardinality ``salt_on`` there).
+
+    Degenerate key-only relations (no non-key columns) fall back to a
+    positional salt — ``xxhash64(keys, partition id, row position)``. A
+    content hash of the keys alone would give every row of the hot key the
+    SAME salt, recreating the hot partition the salt exists to break up.
+    The positional form still spreads uniformly and is stable under task
+    RETRY (a retried task re-reads the same partition in the same order, so
+    positions reproduce), but unlike the content hash it is not stable
+    under a repartition of the input — acceptable because the salt never
+    reaches the output of the aggregates/joins it feeds."""
     cols = list(salt_on) if salt_on else [c for c in df.columns if c not in key_cols]
-    if not cols:  # degenerate: key-only relation — any uniform spread works
-        cols = key_cols
+    if not cols:
+        return F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in key_cols],
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salts),
+        ).cast("int")
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts)).cast("int")
 
 

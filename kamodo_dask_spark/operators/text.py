@@ -204,16 +204,27 @@ OBFUSCATED_EMAIL_PATTERN = (
 
 def pii_counts(col, strict: bool = False) -> tuple[Column, Column]:
     """(n_emails, n_phones) found in the column. ``strict`` adds the
-    recall-oriented patterns (obfuscated emails, international phones)."""
+    recall-oriented patterns (obfuscated emails, international phones).
+
+    Strict counting mirrors ``redact_pii``'s SEQUENTIAL application: the
+    extra patterns are counted on the text with the base matches already
+    masked, so a number like ``+1-555-123-4567`` — whose NANP core matches
+    the base pattern and whose whole span matches the international
+    pattern — counts once, not twice.
+    """
     c = col if isinstance(col, Column) else F.col(col)
     n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0)))
     n_phone = F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0)))
     if strict:
+        after_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
         n_email = n_email + F.size(
-            F.regexp_extract_all(c, F.lit(OBFUSCATED_EMAIL_PATTERN), F.lit(0))
+            F.regexp_extract_all(
+                after_email, F.lit(OBFUSCATED_EMAIL_PATTERN), F.lit(0)
+            )
         )
+        after_phone = F.regexp_replace(c, PHONE_PATTERN, "[PHONE]")
         n_phone = n_phone + F.size(
-            F.regexp_extract_all(c, F.lit(INTL_PHONE_PATTERN), F.lit(0))
+            F.regexp_extract_all(after_phone, F.lit(INTL_PHONE_PATTERN), F.lit(0))
         )
     return n_email, n_phone
 
@@ -358,16 +369,20 @@ def corpus_vocabulary(
     dedup — the (doc, term) distinct costs no shuffle), then one
     partial-combined count aggregation on the term; the corpus size is a
     metadata scalar inlined as a literal (catalog convention — a scalar
-    crossJoin would plan as BroadcastNestedLoopJoin). At 100 TB the only
-    wide exchange carries (term, partial count).
+    crossJoin would plan as BroadcastNestedLoopJoin). The corpus is scanned
+    and tokenized exactly ONCE: the distinct-terms projection (text-free)
+    is eagerly checkpointed, the doc count reads the checkpoint, and the
+    explode derives from it — no second scan for the count, no pinned
+    cache. At 100 TB the only wide exchange carries (term, partial count).
 
     Returns ``(term, df, idf)`` with ``idf = ln((N+1)/(df+1))`` rounded
     to 6 (cross-engine convention).
     """
-    n_docs = df.count()
-    tok = df.select(
-        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term")
-    )
+    base = df.select(
+        F.array_distinct(words(F.col(text_col))).alias("_terms")
+    ).localCheckpoint(eager=True)
+    n_docs = base.count()
+    tok = base.select(F.explode("_terms").alias("term"))
     out = tok.groupBy("term").agg(F.count("*").alias("df"))
     out = out.filter(
         (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs))

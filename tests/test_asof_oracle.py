@@ -297,3 +297,36 @@ def test_asof_uniform_grid_both_timestamp_axis(spark):
         gm = pd.to_datetime(got[f"ts_matched{sfx}"])
         both_nat = gm.isna() & exp["m"].isna()
         assert (both_nat | (gm == exp["m"])).all(), direction
+
+
+def test_uniform_grid_ignores_null_right_timestamps(spark):
+    """A right row with a NULL timestamp must not become a ghost candidate:
+    greatest/least skip NULLs, which would pin it to slot 0 (backward) /
+    the last slot (forward) and then carry it across every empty slot."""
+    from kamodo_dask_spark.operators.asof import (
+        asof_uniform_grid,
+        asof_uniform_grid_both,
+    )
+
+    right = spark.createDataFrame(
+        [(None, 99.0), (120.0, 1.0)], "ts double, v double"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["slot"]: (r["v"], r["ts_matched"])
+            for r in asof_uniform_grid(
+                right, 0.0, 50.0, 5, right_ts="ts", direction=direction
+            ).collect()
+        }
+        if direction == "backward":
+            assert out[0.0] == (None, None) and out[50.0] == (None, None)
+            assert out[150.0] == (1.0, 120.0) and out[200.0] == (1.0, 120.0)
+        else:
+            assert out[200.0] == (None, None) and out[150.0] == (None, None)
+            assert out[0.0] == (1.0, 120.0) and out[100.0] == (1.0, 120.0)
+    both = {
+        r["slot"]: (r["v_b"], r["v_f"])
+        for r in asof_uniform_grid_both(right, 0.0, 50.0, 5, right_ts="ts").collect()
+    }
+    assert both[0.0] == (None, 1.0)
+    assert both[200.0] == (1.0, None)

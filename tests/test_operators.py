@@ -612,3 +612,49 @@ def test_weighted_mixture_rates_and_determinism(spark):
 
     with pytest.raises(ValueError, match="rate"):
         weighted_mixture(df, "lang", "doc_id", {"en": 1.5})
+
+
+def test_pii_counts_strict_no_double_count(spark):
+    """A +CC-prefixed NANP number matches both the base and the intl
+    pattern on raw text — sequential counting (extras counted on the
+    base-masked text) must report ONE phone, mirroring redact_pii."""
+    from kamodo_dask_spark.operators.text import pii_counts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "call +1-555-123-4567 now"),       # base + intl overlap -> 1
+            (2, "call 555-123-4567 and +44 20 7946 0958"),  # distinct -> 2
+            (3, "a@b.co and jo [at] corp [dot] io"),        # distinct emails -> 2
+        ],
+        "id long, text string",
+    )
+    ne, np_ = pii_counts(F.col("text"), strict=True)
+    rows = {r["id"]: r for r in df.select("id", ne.alias("e"), np_.alias("p")).collect()}
+    assert rows[1]["p"] == 1
+    assert rows[2]["p"] == 2
+    assert rows[3]["e"] == 2
+
+
+def test_connected_components_huge_ids_ansi_safe(spark):
+    """Vertex ids near Long.MAX (64-bit hash-derived ids): the convergence
+    probe must not sum labels (Σ ids overflows int64 — ANSI crash or silent
+    wrap); the changed-count probe is magnitude-independent."""
+    from kamodo_dask_spark.operators.dedup import connected_components
+
+    big = 2**62
+    pairs = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (big + 5, big + 6)],
+        "id_a long, id_b long",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r["vertex"]: r["component"] for r in connected_components(pairs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == {
+        big: big, big + 1: big, big + 2: big, big + 5: big + 5, big + 6: big + 5,
+    }

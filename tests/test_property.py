@@ -293,3 +293,24 @@ def test_chunk_documents_matches_python_oracle(spark, seed, L, off):
         for r in chunk_documents(sdf, max_tokens=L, stride=S).collect()
     }
     assert got == expected
+
+
+def test_key_only_relation_still_spreads_hot_key(spark):
+    """Degenerate case: a relation with ONLY the key column must not give
+    every row of the hot key one salt (that would rebuild the hot
+    partition) — the positional fallback spreads them."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.skew import _row_salt, two_phase_agg
+
+    df = spark.range(0, 2000, 1, 8).select((F.col("id") % 2).cast("int").alias("k"))
+    salted = df.withColumn("_salt", _row_salt(df, ["k"], 8))
+    per_key = {
+        r["k"]: r["n"]
+        for r in salted.groupBy("k").agg(
+            F.countDistinct("_salt").alias("n")).collect()
+    }
+    assert per_key[0] == 8 and per_key[1] == 8
+    counts = {r["k"]: r["n"] for r in two_phase_agg(
+        df, "k", {"n": "count"}, salts=8).collect()}
+    assert counts == {0: 1000, 1: 1000}
