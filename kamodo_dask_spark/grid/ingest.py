@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kamodo_dask_spark.functions.time import floor_datetime, ceil_datetime
 from kamodo_dask_spark.grid.model import (
-    assert_time_bounds,
     normalize_measure_columns,
     range_filter,
     snap_range,

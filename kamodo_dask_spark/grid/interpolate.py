@@ -93,15 +93,45 @@ def nlinear_interp(
     return out
 
 
-def _axis_arrays(grid_df: DataFrame, axes: tuple[str, ...]) -> dict[str, np.ndarray]:
-    """Distinct sorted per-axis values as float64 (timestamps → epoch secs)."""
-    vals = grid_axes(grid_df, axes)
+def _session_tz(spark) -> str:
+    """The SQL session timezone — the zone in which ARROW-delivered
+    timestamps (``toPandas``/pandas-UDF inputs) arrive as naive values.
+    Driver-side ``collect()`` is different: it converts to SYSTEM-local
+    naive ``datetime`` objects, whose ``.timestamp()`` is already the true
+    epoch. Mixing the two conventions shifts axes by the tz offset — each
+    conversion site below names which convention its input uses."""
+    return spark.conf.get("spark.sql.session.timeZone", "UTC")
+
+
+def _driver_epoch_seconds(v) -> float:
+    """Epoch seconds of a DRIVER-SIDE datetime-like (``collect()`` output or
+    user-supplied coordinate): naive values are system-local — exactly
+    ``datetime.timestamp()`` semantics, matching how ``createDataFrame``
+    interprets naive datetimes on ingestion. ``pd.Timestamp`` overrides
+    ``.timestamp()`` with naive-as-UTC semantics, so it is unwrapped first."""
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    return v.timestamp()
+
+
+def _axis_arrays(
+    grid_df: DataFrame,
+    axes: tuple[str, ...],
+    levels: dict[str, list] | None = None,
+) -> dict[str, np.ndarray]:
+    """Distinct sorted per-axis values as float64 (timestamps → epoch secs).
+    Pass ``levels`` (a prior :func:`grid_axes` result) to skip re-running
+    the distinct-axis aggregation jobs."""
+    vals = levels if levels is not None else grid_axes(grid_df, axes)
     out = {}
     for ax, vs in vals.items():
         if len(vs) < 2:
             raise ValueError(f"axis {ax!r} needs >= 2 grid values, got {len(vs)}")
         out[ax] = np.asarray(
-            [v.timestamp() if hasattr(v, "timestamp") else float(v) for v in vs],
+            [
+                _driver_epoch_seconds(v) if hasattr(v, "timestamp") else float(v)
+                for v in vs
+            ],
             dtype=np.float64,
         )
     return out
@@ -210,6 +240,11 @@ def _collect_dense_slab(
     )
     if len(ordered) != expected:
         return None
+    # Count alone can't catch a duplicated row masking a missing one (the
+    # reshape would then misalign every value after the gap) — the collected
+    # frame is driver-sized here, so an exact pandas duplicate check is free.
+    if ordered.duplicated(subset=list(axes)).any():
+        return None
     slabs = {
         m: np.nan_to_num(ordered[m].to_numpy(np.float64), nan=fill_value).reshape(shape)
         for m in measures
@@ -237,6 +272,12 @@ def _fused_kernel_map(
     axes_l = list(axes)
     fv = float(fill_value)
     ts_axes = {ax for ax, t in points_df.dtypes if ax in axes_l and t == "timestamp"}
+    # Arrow delivers timestamps NAIVE in the session timezone; the axis
+    # arrays are true UTC epoch seconds — localize before converting or the
+    # kernel evaluates at times shifted by the tz offset (only visible when
+    # the session tz isn't UTC; the corner path casts Spark-side and was
+    # always correct).
+    tz = _session_tz(spark)
     out_schema = T.StructType(
         list(points_df.schema.fields) + [T.StructField(m, T.DoubleType()) for m in measures]
     )
@@ -248,8 +289,17 @@ def _fused_kernel_map(
             for ax in axes_l:
                 s = pdf[ax]
                 if ax in ts_axes:
-                    # datetime64[us] → epoch seconds (reference v.value/1e9)
-                    s = s.astype("datetime64[us]").astype("int64") / 1e6
+                    # naive (session tz) → UTC epoch seconds
+                    s = (
+                        s.dt.tz_localize(
+                            tz, ambiguous=True, nonexistent="shift_forward"
+                        )
+                        .dt.tz_convert("UTC")
+                        .dt.tz_localize(None)
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                        / 1e6
+                    )
                 cols.append(s.astype("float64").to_numpy())
             pts = (
                 np.column_stack(cols)
@@ -329,13 +379,19 @@ def interpolate_points(
     )
 
     # Grid keyed by float64 corner coordinates (exact values — they came from
-    # the grid itself, so float equality is safe). NaN measures become
-    # fill_value BEFORE interpolation (kamodo_dask.py:334) — without nanvl a
-    # single NaN node would poison every cell touching it.
+    # the grid itself, so float equality is safe). NaN AND NULL measures
+    # become fill_value BEFORE interpolation (kamodo_dask.py:334): nanvl
+    # alone passes SQL NULL through (NULL is not NaN), which would zero the
+    # coverage sum and hard-fill the whole point — while the fused path
+    # (np.nan_to_num after toPandas, NULL→NaN) blends fill_value at just
+    # that node. coalesce-to-NaN first keeps the two strategies identical.
     grid_keyed = grid_df.select(
         *[_as_double(ax, grid_df).alias(f"_k_{ax}") for ax in axes],
         *[
-            F.nanvl(F.col(m).cast("double"), F.lit(float(fill_value))).alias(m)
+            F.nanvl(
+                F.coalesce(F.col(m).cast("double"), F.lit(float("nan"))),
+                F.lit(float(fill_value)),
+            ).alias(m)
             for m in measures
         ],
     )
@@ -445,20 +501,33 @@ def gridded_eval(
     arrays = _axis_arrays(grid_df, axes)
     spark = grid_df.sparkSession
 
+    def coerce(v) -> float:
+        """Axis value → float64 in axis units: numerics pass through,
+        datetime-likes (the natural spelling for a timestamp axis) convert
+        to epoch seconds with driver-side (system-local naive) semantics —
+        the same interpretation createDataFrame applies to naive inputs."""
+        if isinstance(v, str):
+            import pandas as pd
+
+            return _driver_epoch_seconds(pd.Timestamp(v))
+        if hasattr(v, "timestamp"):
+            return _driver_epoch_seconds(v)
+        return float(v)
+
     mesh = None
-    n_points = 1
     for ax in axes:
         vals = coords.get(ax)
         if vals is None:
             vals_list = [float(v) for v in arrays[ax]]
-        elif np.isscalar(vals):
-            vals_list = [float(vals)]
+        elif np.isscalar(vals) or hasattr(vals, "timestamp"):
+            vals_list = [coerce(vals)]
         else:
-            vals_list = [float(v) for v in vals]
-        n_points *= len(vals_list)
+            vals_list = [coerce(v) for v in vals]
         ax_df = spark.range(1).select(F.explode(F.lit(vals_list)).alias(ax))
         mesh = ax_df if mesh is None else mesh.crossJoin(ax_df)
 
     if strategy == "broadcast":
-        return interpolate_points_broadcast(grid_df, mesh, axes, measures, fill_value)
+        return interpolate_points_broadcast(
+            grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays
+        )
     return interpolate_points(grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays)

@@ -62,7 +62,9 @@ class KamodoSpark(dict):
         sizes = validate_dense(self.df, self.axes)
         self.shape = tuple(sizes[ax] for ax in self.axes)
         self.levels = grid_axes(self.df, self.axes)
-        self._axis_arrays = _axis_arrays(self.df, self.axes)
+        # derive the float64 arrays from the levels already collected — a
+        # second grid_axes() here would re-run the distinct-axis jobs
+        self._axis_arrays = _axis_arrays(self.df, self.axes, levels=self.levels)
 
         n_rows = 1
         for n in self.shape:
@@ -77,7 +79,12 @@ class KamodoSpark(dict):
             def point_fn(points_df: DataFrame, _m: str = m) -> DataFrame:
                 if self.strategy == "broadcast":
                     return interpolate_points_broadcast(
-                        self.df, points_df, self.axes, [_m], self.fill_value
+                        self.df,
+                        points_df,
+                        self.axes,
+                        [_m],
+                        self.fill_value,
+                        axis_arrays=self._axis_arrays,
                     )
                 return interpolate_points(
                     self.df,
@@ -121,10 +128,10 @@ class KamodoSpark(dict):
         """
         import re
 
-        m = re.fullmatch(r"(\w+)\[(.*?)\]", name)
-        if m:
-            name, parsed_units = m.group(1), m.group(2)
-            units = units or parsed_units
+        from kamodo_dask_spark.grid.model import parse_units
+
+        name, parsed_units = parse_units(name)
+        units = units or parsed_units
 
         deps = [d for d in self.measures if re.search(rf"\b{re.escape(d)}\b", expr)]
         if not deps:
@@ -136,7 +143,12 @@ class KamodoSpark(dict):
         def point_fn(points_df: DataFrame, _deps=tuple(deps), _expr=expr) -> DataFrame:
             if self.strategy == "broadcast":
                 out = interpolate_points_broadcast(
-                    self.df, points_df, self.axes, list(_deps), self.fill_value
+                    self.df,
+                    points_df,
+                    self.axes,
+                    list(_deps),
+                    self.fill_value,
+                    axis_arrays=self._axis_arrays,
                 )
             else:
                 out = interpolate_points(

@@ -93,12 +93,24 @@ class SlabRefresher:
         store_dir: str,
         axes: tuple[str, ...] = ("time", "lon", "lat", "h"),
         fill_value: float = 0.0,
+        retention_seconds: float | None = None,
+        time_col: str = "time",
     ):
         self.store_dir = store_dir
         self.axes = axes
         self.fill_value = fill_value
         self.registry = None
         self.batches_seen = 0
+        #: Trailing-window bound: rows whose time axis is more than this far
+        #: behind the store's max are EXCLUDED from the rebuilt slab. Without
+        #: it the per-batch rebuild cost grows with total history, and a
+        #: producer-side grid-shape change (new resolution) poisons the
+        #: union forever — with retention, old-shape rows age out. The
+        #: parquet files themselves are append-only; reclaim disk with a
+        #: periodic ``sources.sinks.compact_parquet`` maintenance pass over
+        #: the still-live window.
+        self.retention_seconds = retention_seconds
+        self.time_col = time_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # A micro-batch DataFrame is only valid within its batch — append it
@@ -110,7 +122,13 @@ class SlabRefresher:
             return
         batch_df.write.mode("append").parquet(self.store_dir)
         spark = batch_df.sparkSession
-        slab = spark.read.parquet(self.store_dir).dropDuplicates(list(self.axes))
+        slab = spark.read.parquet(self.store_dir)
+        if self.retention_seconds is not None:
+            tnum = F.col(self.time_col).cast("double")
+            hi = slab.agg(F.max(tnum)).first()[0]
+            if hi is not None:
+                slab = slab.filter(tnum >= hi - float(self.retention_seconds))
+        slab = slab.dropDuplicates(list(self.axes))
         self.registry = KamodoSpark(slab, self.axes, self.fill_value)
 
     def current(self):

@@ -16,15 +16,23 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
-    ]
-)
+def session_schema(key_field: T.StructField) -> T.StructType:
+    """Output schema parameterized on the grouping key — the key keeps its
+    input name and type (a hardcoded LongType 'user_id' would break Arrow
+    conversion for any other key column)."""
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+
+#: Fixed-shape variant for the catalog's (user_id long) events relation.
+SESSION_SCHEMA = session_schema(T.StructField("user_id", T.LongType()))
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -44,14 +52,39 @@ def sessionize(
     value_col: str = "value",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Session windows with an inactivity gap over a streaming DataFrame.
+    """Session windows with an inactivity gap over a STREAMING DataFrame.
 
     Emits one row per CLOSED session (sessions still open at the watermark
-    stay in state). Batch DataFrames work too (all sessions flush at end).
+    stay in state). Batch DataFrames must use :func:`sessionize_batch`
+    instead: in a batch query event-time timeouts never fire and state is
+    discarded at the end, so every key's final open session would silently
+    vanish — this function raises rather than drop data.
     """
     import pandas as pd
 
+    if not events.isStreaming:
+        raise ValueError(
+            "sessionize() requires a streaming DataFrame — batch queries "
+            "never fire event-time timeouts, silently dropping each key's "
+            "final session; use sessionize_batch() for batch relations"
+        )
+
     gap_us = gap_seconds * 1_000_000
+    # Arrow hands the UDF NAIVE timestamps in the SESSION timezone, but
+    # GroupState.setTimeoutTimestamp compares against the UTC-epoch
+    # watermark — localize before converting, or every timeout shifts by
+    # the tz offset (west-of-UTC sessions would crash with 'timeout earlier
+    # than watermark'). The session tz is captured at plan build.
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def _epoch_ms(local_us: int) -> int:
+        stamp = pd.Timestamp(local_us, unit="us").tz_localize(
+            tz, ambiguous=True, nonexistent="shift_forward"
+        )
+        return int(stamp.value // 1_000_000)
+
+    key_field = events.schema[key_col]
+    out_schema = session_schema(key_field)
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -60,7 +93,7 @@ def sessionize(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    key_col: [user_id],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(end_us, unit="us")],
                     "n_events": [n],
@@ -86,7 +119,7 @@ def sessionize(
             if state.exists:
                 cur = list(state.get)
                 state.update(tuple(cur))
-                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+                state.setTimeoutTimestamp(_epoch_ms(cur[1]) + gap_seconds * 1000)
             return
         ts = np.concatenate([c[0] for c in chunks])
         vals = np.concatenate([c[1] for c in chunks])
@@ -124,7 +157,7 @@ def sessionize(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": user_id,
+                    key_col: user_id,
                     "session_start": [pd.Timestamp(r[0], unit="us") for r in closed],
                     "session_end": [pd.Timestamp(r[1], unit="us") for r in closed],
                     "n_events": [int(r[2]) for r in closed],
@@ -132,14 +165,14 @@ def sessionize(
                 }
             )
         state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
-        state.setTimeoutTimestamp(int(cur[1]) // 1000 + gap_seconds * 1000)
+        state.setTimeoutTimestamp(_epoch_ms(int(cur[1])) + gap_seconds * 1000)
 
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -234,3 +234,95 @@ def test_nlinear_edge_semantics():
     assert out[0] == 10.0 and out[1] == 30.0
     assert out[2] == -1.0 and out[3] == -1.0
     assert out[4] == pytest.approx(25.0)
+
+
+def test_null_grid_cell_strategies_agree(spark):
+    """A SQL NULL measure cell (parquet null) must blend fill_value at just
+    that node in BOTH strategies — nanvl alone passes NULL through, zeroing
+    the corner path's coverage and hard-filling the whole point."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import interpolate_points
+
+    rows = []
+    for x1 in (0.0, 1.0):
+        for x2 in (0.0, 1.0):
+            v = None if (x1, x2) == (1.0, 1.0) else x1 + 2 * x2
+            rows.append((x1, x2, v))
+    grid = spark.createDataFrame(rows, "x1 double, x2 double, val double")
+    pts = spark.createDataFrame([(0, 0.5, 0.5)], "point_id long, x1 double, x2 double")
+    results = {}
+    for strategy in ("auto", "corner"):
+        out = interpolate_points(
+            grid, pts, axes=("x1", "x2"), measures=["val"],
+            fill_value=7.0, strategy=strategy,
+        ).collect()[0]["val"]
+        results[strategy] = out
+    # NULL node contributes fill_value=7 with weight 0.25:
+    # 0.25*(0 + 2 + 1 + 7) = 2.5
+    assert results["auto"] == pytest.approx(2.5)
+    assert results["corner"] == pytest.approx(results["auto"])
+
+
+def test_duplicate_slab_row_not_silently_reshaped(spark):
+    """A duplicated grid row compensating a missing one passes the row-count
+    check; the duplicate check must reject the dense collect (falling back
+    to the coverage-accounting corner join) instead of misaligning the
+    reshape."""
+    from kamodo_dask_spark.grid.interpolate import _axis_arrays, _collect_dense_slab
+
+    rows = [(x1, x2, x1 + 2 * x2) for x1 in (0.0, 1.0) for x2 in (0.0, 1.0)]
+    rows.remove((1.0, 1.0, 3.0))
+    rows.append((0.0, 0.0, 0.0))  # duplicate keeps the count at 4
+    grid = spark.createDataFrame(rows, "x1 double, x2 double, val double")
+    arrays = _axis_arrays(grid, ("x1", "x2"))
+    assert _collect_dense_slab(grid, ("x1", "x2"), ["val"], arrays, 0.0) is None
+
+
+def test_fused_timestamp_axis_non_utc_session_tz(spark):
+    """The fused kernel localizes Arrow's naive (session-tz) timestamps
+    before converting to epoch — under a non-UTC session tz, evaluation at
+    an exact grid node must return the node value, not a shifted time (the
+    pre-fix behavior evaluated hours off and returned fill)."""
+    import pandas as pd
+
+    from kamodo_dask_spark.grid.interpolate import interpolate_points
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        times = pd.to_datetime(["2024-03-01 00:00:00", "2024-03-01 01:00:00"])
+        rows = [
+            (t.to_pydatetime(), x, float(i) + x)
+            for i, t in enumerate(times)
+            for x in (0.0, 1.0)
+        ]
+        grid = spark.createDataFrame(rows, "time timestamp, x double, val double")
+        pts = spark.createDataFrame(
+            [(0, times[1].to_pydatetime(), 1.0)], "point_id long, time timestamp, x double"
+        )
+        out = interpolate_points(
+            grid, pts, axes=("time", "x"), measures=["val"], fill_value=-99.0
+        ).collect()[0]["val"]
+        assert out == pytest.approx(2.0)  # node value, not fill/-shifted
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_gridded_eval_accepts_datetime_coords(spark):
+    """The natural time=<datetime> spelling for a timestamp axis converts
+    to epoch seconds instead of raising TypeError."""
+    import pandas as pd
+
+    from kamodo_dask_spark.grid.interpolate import gridded_eval
+
+    times = pd.to_datetime(["2024-03-01 00:00:00", "2024-03-01 01:00:00"])
+    rows = [
+        (t.to_pydatetime(), x, float(i) + x)
+        for i, t in enumerate(times)
+        for x in (0.0, 1.0)
+    ]
+    grid = spark.createDataFrame(rows, "time timestamp, x double, val double")
+    out = gridded_eval(grid, {"time": times[0].to_pydatetime()}, axes=("time", "x"))
+    got = {r["x"]: r["val"] for r in out.collect()}
+    assert got == {0.0: pytest.approx(0.0), 1.0: pytest.approx(1.0)}

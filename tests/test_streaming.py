@@ -158,3 +158,34 @@ def test_slab_refresher_foreachbatch(spark, grid_dir, tmp_path):
     )
     got = reg["T"](pts).collect()[0]["T"]
     assert got == pytest.approx(temp_fn(t_query, 90.0, 0.0, 325000.0), rel=1e-6)
+
+
+def test_slab_refresher_retention_ages_out_old_rows(spark, tmp_path):
+    """retention_seconds bounds the rebuilt slab to the trailing window:
+    rows older than (max time - retention) leave the registry, so the
+    per-batch rebuild cost stops growing with history and a producer-side
+    grid-shape change ages out instead of poisoning every later rebuild."""
+    import pandas as pd
+
+    refresher = SlabRefresher(
+        str(tmp_path / "slab_store_ret"),
+        axes=("time", "x"),
+        retention_seconds=3600.0,
+    )
+
+    def batch(t0_epoch, n_times=2):
+        rows = [
+            (pd.Timestamp(t0_epoch + 600 * i, unit="s").to_pydatetime(), x, float(x))
+            for i in range(n_times)
+            for x in (0.0, 1.0)
+        ]
+        return spark.createDataFrame(rows, "time timestamp, x double, val double")
+
+    base = 1_700_000_000
+    refresher(batch(base), 0)
+    assert len(refresher.current().levels["time"]) == 2
+    # second batch 2h later: the first batch's rows fall out of the window
+    refresher(batch(base + 7200), 1)
+    times = refresher.current().levels["time"]
+    assert len(times) == 2
+    assert min(t.timestamp() for t in times) >= base + 7200
