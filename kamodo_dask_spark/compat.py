@@ -189,6 +189,14 @@ def df_from_parquet(
     index is reset before the rows continue through the engine.
     """
     spark = _session(client)
+    # h bounds: both-or-neither. A silent between(NULL, NULL) would filter
+    # out EVERY row (NULL predicate) — worse than the reference, which at
+    # least crashes on 'h >= None'. No bounds → no h filter.
+    if (h_start is None) != (h_end is None):
+        raise ValueError(
+            f"h_start and h_end must be given together (got h_start={h_start!r}, "
+            f"h_end={h_end!r})"
+        )
     filenames, date_range = fetch_file_range(
         start, end, parquet_endpoint, ".parquet", spark=spark, fmt=fmt
     )
@@ -206,7 +214,7 @@ def df_from_parquet(
                 yield out.reset_index()[col_order]
 
         sdf = sdf.mapInPandas(batches, schema)
-    else:
+    elif h_start is not None:
         sdf = sdf.filter(F.col("h").between(h_start, h_end))
     from kamodo_dask_spark.sources.parquet import with_file_timestamp
 
@@ -262,6 +270,11 @@ def df_from_dask(
     )
     if not filenames:
         raise IOError(f"No files found matching query\n start: {start}\n end: {end}")
+    # STRICT bounds (> and <, not >=/<=) replicate the reference verbatim
+    # (kamodo_dask.py:218-224): the window must be strictly bracketed by
+    # file timestamps, so a start/end landing exactly on a file boundary is
+    # rejected. Deliberate drop-in parity — widen the request by one
+    # round_time step if the boundary case matters.
     if not start > date_range.min():
         raise IOError(f"start time out of bounds: {start} !> {date_range.min()}")
     if not end < date_range.max():

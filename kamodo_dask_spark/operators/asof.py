@@ -55,6 +55,10 @@ def asof_join(
     """
     on = [on] if isinstance(on, str) else list(on or [])
     right_ts = right_ts or left_ts
+    # a NULL right timestamp defines no bracket position — drop such rows
+    # up front (backward's NULLS-FIRST sort would otherwise let them
+    # ghost-fill left rows that precede every valid right row)
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_ts = right_ts + suffix
@@ -94,6 +98,11 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     fill_cols = [out_names[c] for c in payload] + [matched_ts]
+    # Whole-ROW fill: the matched right row travels as ONE struct (NULL for
+    # left rows), so a matched row with NULL payload fields is returned
+    # verbatim — per-column last(ignorenulls) would stitch those fields
+    # from OLDER right rows, a row pandas merge_asof never produces.
+    row_struct = F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in fill_cols]))
 
     if on:
         w = (
@@ -101,10 +110,18 @@ def asof_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = unioned.select(
-            *[c for c in left.columns],
-            F.col("_side"),
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+        filled = (
+            unioned.withColumn("_row", row_struct)
+            .select(
+                *[c for c in left.columns],
+                F.col("_side"),
+                F.last("_row", ignorenulls=True).over(w).alias("_row"),
+            )
+            .select(
+                *[c for c in left.columns],
+                "_side",
+                *[F.col(f"_row.{c}").alias(c) for c in fill_cols],
+            )
         )
     else:
         filled = _keyless_fill(
@@ -386,10 +403,10 @@ def _keyless_fill(
        relation: the per-bucket last right row in window order, computed as
        a ``max_by`` hash aggregation (map-side partial combine — no second
        sort of the right side), ≤ ``n_buckets`` rows collected to the
-       driver, cumulated in plain Python, and broadcast back. The carry
-       patch applies the WHOLE carried row (pandas ``merge_asof``
-       semantics); within a bucket the per-column last(ignorenulls) fill of
-       the keyed path is kept.
+       driver, cumulated in plain Python, and broadcast back. Both the
+       carry patch AND the in-bucket fill apply the WHOLE matched row as a
+       struct (pandas ``merge_asof`` semantics — NULL payload fields of the
+       matched row are returned verbatim, never stitched from older rows).
 
     The plan contains no single-partition Exchange: the only wide exchange
     hashes on ``_bkt``, and the carry join is a broadcast of metadata-sized
@@ -426,11 +443,23 @@ def _keyless_fill(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = b.select(
-        *left_cols,
-        F.col("_side"),
-        F.col("_bkt"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+    # whole-row struct fill — same rationale as the keyed path: the matched
+    # right row is returned verbatim, NULL payload fields included
+    row_struct = F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in fill_cols]))
+    filled = (
+        b.withColumn("_row", row_struct)
+        .select(
+            *left_cols,
+            F.col("_side"),
+            F.col("_bkt"),
+            F.last("_row", ignorenulls=True).over(w).alias("_row"),
+        )
+        .select(
+            *left_cols,
+            "_side",
+            "_bkt",
+            *[F.col(f"_row.{c}").alias(c) for c in fill_cols],
+        )
     )
 
     # carry: per-bucket last right row in window order, computed as a hash

@@ -81,7 +81,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     ``md5(text)`` as the shuffle key keeps wide text out of the exchange.
     """
-    h = F.md5(F.col(text_col)).alias("_h")
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("_h", F.md5(F.col(text_col)))

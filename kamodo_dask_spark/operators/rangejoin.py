@@ -32,9 +32,17 @@ def interval_join(
     pass ``unix_micros`` values — integer µs keeps boundary comparisons
     exact). Output: point columns + interval columns (caller ensures
     disjoint names).
+
+    ``how``: ``inner`` (default) or ``left`` (points matching no interval
+    survive with NULL interval columns). Right/full outer are rejected —
+    the exact-predicate refine runs AFTER the bucketed join, so an outer
+    join there would silently degrade to inner (NULL-extended rows fail
+    the BETWEEN); ``left`` is reconstructed explicitly instead.
     """
     if bucket_width is None:
         raise ValueError("bucket_width is required (≈ typical interval length)")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     on = [on] if isinstance(on, str) else list(on or [])
 
     p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
@@ -47,8 +55,16 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(i, on=on + ["_b"], how=how)
-    refined = joined.filter(
+    joined = p.join(i, on=on + ["_b"], how="inner")
+    inner = joined.filter(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
-    )
-    return refined.drop("_b")
+    ).drop("_b")
+    if how == "inner":
+        return inner
+    # left: re-attach points with no surviving match (either no bucket hit
+    # or every bucket hit failed the refine) with NULL interval columns
+    matched = inner.select(*points.columns).distinct()
+    missing = points.join(matched, on=points.columns, how="left_anti")
+    for c, t in intervals.dtypes:
+        missing = missing.withColumn(c, F.lit(None).cast(t))
+    return inner.unionByName(missing)

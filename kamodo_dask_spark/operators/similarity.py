@@ -51,9 +51,16 @@ def cosine_topk(
 
     ``impl='expr'``: pure-DataFrame fallback (broadcast crossJoin +
     ``zip_with``/``aggregate`` dot products), useful where Python workers
-    are unavailable.
+    are unavailable. Non-integral id columns fall back to it automatically
+    — the matmul path's Arrow schema declares long ids.
     """
     query_id_col = query_id_col or id_col
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if impl == "matmul" and (
+        dict(corpus.dtypes)[id_col] not in integral
+        or dict(queries.dtypes)[query_id_col] not in integral
+    ):
+        impl = "expr"
     if impl == "expr":
         q = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -240,6 +247,15 @@ def ivf_cosine_topk(
     """
     import pandas as pd
     from pyspark.sql import types as T
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if dict(corpus.dtypes)[id_col] not in integral:
+        raise TypeError(
+            f"ivf_cosine_topk requires an integral {id_col!r} column "
+            f"(got {dict(corpus.dtypes)[id_col]}); map string ids to a "
+            "surrogate long (e.g. xxhash64) before calling, or use "
+            "cosine_topk(impl='expr') for the exact path"
+        )
 
     # 1. train the quantizer on a deterministic hash-ordered sample: order by
     # md5(id) and take the first train_sample rows. Plans as

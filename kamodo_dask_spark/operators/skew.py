@@ -66,7 +66,14 @@ def salted_join(
     replicated ``salts`` times (explode of a literal range). The join key
     becomes (key, salt) — a heavy-hitter key's rows land in ``salts``
     different tasks instead of one straggler.
+
+    ``how``: ``inner`` or ``left`` only. Right/full outer over the salted
+    key would emit one NULL-extended row per (key, salt) the fact side
+    never occupies — up to ``salts-1`` phantom rows per small-side key
+    that the plain join would not produce.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left for a salted join, got {how!r}")
     salted_fact = skewed.withColumn("_salt", _row_salt(skewed, [on], salts, salt_on))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -94,15 +94,32 @@ def fetch_file_range(
     return [p for p, _ in found], [ts for _, ts in found]
 
 
+#: Concurrent existence probes — the reference uses a 20-thread HEAD pool
+#: (kamodo_dask.py:31-60); serial s3a round-trips at ~30-50 ms each would
+#: stall the driver for minutes on a month-long 10-minute-cadence window.
+_EXISTS_POOL_THREADS = 20
+
+
 def _hadoop_exists(spark, paths: list[str]) -> list[bool]:
-    """Existence probe through the JVM Hadoop FileSystem (s3a/hdfs/file)."""
+    """Existence probe through the JVM Hadoop FileSystem (s3a/hdfs/file).
+
+    Probes run on a driver-side thread pool: Hadoop ``FileSystem`` instances
+    are thread-safe for reads and py4j serves concurrent calls, so the wall
+    clock is ~``len(paths)/threads`` RPCs instead of ``len(paths)``.
+    """
+    if not paths:
+        return []
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    out = []
-    fs = None
-    for p in paths:
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        if fs is None:
-            fs = jpath.getFileSystem(hconf)
-        out.append(bool(fs.exists(jpath)))
-    return out
+    first = jvm.org.apache.hadoop.fs.Path(paths[0])
+    fs = first.getFileSystem(hconf)
+    if len(paths) == 1:
+        return [bool(fs.exists(first))]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(p: str) -> bool:
+        return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(p)))
+
+    with ThreadPoolExecutor(max_workers=min(_EXISTS_POOL_THREADS, len(paths))) as pool:
+        return list(pool.map(probe, paths))

@@ -330,3 +330,38 @@ def test_uniform_grid_ignores_null_right_timestamps(spark):
     }
     assert both[0.0] == (None, 1.0)
     assert both[200.0] == (1.0, None)
+
+
+@pytest.mark.parametrize("keyed", [True, False])
+def test_null_payload_fields_not_stitched(spark, keyed):
+    """merge_asof returns the matched right row VERBATIM — a NULL payload
+    field must stay NULL, not be filled from an older right row (the
+    per-column fill produced such Frankenstein rows)."""
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 1.0, 2.0), (1, 2.0, None, 3.0)],
+        "k long, ts double, a double, b double",
+    )
+    on = "k" if keyed else None
+    row = asof_join(left, right, on=on, left_ts="ts", time_buckets=4).collect()[0]
+    assert row["ts_matched"] == 2.0
+    assert row["a"] is None          # matched row's NULL, not 1.0 from ts=1
+    assert row["b"] == 3.0
+
+
+@pytest.mark.parametrize("keyed", [True, False])
+def test_null_right_timestamp_never_matches(spark, keyed):
+    """A right row with NULL ts has no bracket position: backward's
+    NULLS-FIRST sort must not let it ghost-fill left rows that precede
+    every valid right row."""
+    left = spark.createDataFrame([(1, 5.0), (1, 50.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, None, 7.0), (1, 10.0, 2.0)], "k long, ts double, v double"
+    )
+    on = "k" if keyed else None
+    rows = {
+        r["ts"]: (r["v"], r["ts_matched"])
+        for r in asof_join(left, right, on=on, left_ts="ts", time_buckets=4).collect()
+    }
+    assert rows[5.0] == (None, None)   # before every REAL right row
+    assert rows[50.0] == (2.0, 10.0)

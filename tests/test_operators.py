@@ -658,3 +658,45 @@ def test_connected_components_huge_ids_ansi_safe(spark):
     assert got == {
         big: big, big + 1: big, big + 2: big, big + 5: big + 5, big + 6: big + 5,
     }
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    """how='left': points with no interval (no bucket hit, or bucket hits
+    that all fail the exact refine) survive with NULL interval columns —
+    previously the post-join refine silently degraded any outer join to
+    inner."""
+    from kamodo_dask_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 999.0)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        # [0,10] catches x=5; [20,22] shares x=25's bucket but fails refine
+        [(100, 0.0, 10.0), (200, 20.0, 22.0)], "iid long, lo double, hi double"
+    )
+    out = {
+        r["pid"]: r["iid"]
+        for r in interval_join(
+            points, intervals, "x", "lo", "hi", bucket_width=10.0, how="left"
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner\\|left"):
+        interval_join(points, intervals, "x", "lo", "hi", bucket_width=10.0, how="full")
+
+
+def test_cosine_topk_string_ids_fall_back_to_expr(spark):
+    """Non-integral id columns can't ride the matmul path's long-typed
+    Arrow schema — the impl falls back to 'expr' instead of crashing."""
+    from kamodo_dask_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = cosine_topk(df, df.filter("vec_id = 'a'"), k=1)
+    rows = out.collect()
+    assert rows[0]["neighbor_id"] == "b"
