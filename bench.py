@@ -251,7 +251,7 @@ def run() -> dict:
 
     # best-of-N per query: single runs showed 3-10× outliers on trivial
     # queries from transient host contention; the minimum is the signal.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

@@ -21,9 +21,14 @@ def floor_timestamp(col, seconds: int = 600) -> Column:
 
 
 def ceil_timestamp(col, seconds: int = 600) -> Column:
-    """Ceil a timestamp column to a fixed bucket (default 10 min)."""
+    """Ceil a timestamp column to a fixed bucket (default 10 min).
+
+    Works at µs precision: ``unix_timestamp`` TRUNCATES to whole seconds,
+    which would floor a fractional timestamp sitting just past an exact
+    bucket boundary (00:10:00.5 → 00:10:00 instead of 00:20:00)."""
     c = col if isinstance(col, Column) else F.col(col)
-    return F.timestamp_seconds(-F.floor(-F.unix_timestamp(c) / seconds) * seconds)
+    us = seconds * 1_000_000
+    return F.timestamp_micros(-F.floor(-F.unix_micros(c) / us).cast("long") * us)
 
 
 def epoch_seconds(col) -> Column:

@@ -46,13 +46,18 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
 
 
 def assert_partition_filters(df: DataFrame, *fragments: str) -> None:
-    """Assert partition pruning happens at the source (PartitionFilters)."""
+    """Assert SOME scan prunes partitions at the source (PartitionFilters).
+    Per-scan, like :func:`assert_pushed_filters`: an unpartitioned side of
+    a join legitimately shows ``PartitionFilters: []`` and must not fail
+    the check — only the absence of a pruning scan does."""
     plan = executed_plan(df)
-    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    joined = "\n".join(lines)
-    assert lines and "PartitionFilters: []" not in joined, (
-        f"no partition filters in plan:\n{plan}"
-    )
+    pruning = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters: [" in line and "PartitionFilters: []" not in line
+    ]
+    joined = "\n".join(pruning)
+    assert pruning, f"no partition filters in plan:\n{plan}"
     for frag in fragments:
         assert frag in joined, f"partition fragment {frag!r} missing; got:\n{joined}"
 

@@ -51,7 +51,6 @@ from kamodo_dask_spark.operators.text import (
     quality_score,
     regex_token_count,
     whitespace_token_count,
-    words,
 )
 from kamodo_dask_spark.sources.parquet import read_table
 
@@ -681,6 +680,44 @@ def tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raw_events_schema():
+    """Raw events-file schema for STREAMING readers: ``ts`` read as int64 in
+    the file's own unit (normalized after read via
+    ``raw_int64_to_timestamp``). Shared by every streaming entry — a
+    fixture schema change is edited once, not four times."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw int64 in the file's unit
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _run_to_memory_sink(df: DataFrame, qname: str, mode: str) -> DataFrame:
+    """Run a streaming plan to completion into a memory sink
+    (``Trigger.AvailableNow``) and return the sink table; stops a
+    same-named leftover query from a previous harness invocation first."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
 @register(
     "streaming_tumbling_1h",
     """
@@ -700,8 +737,6 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     here.) The events fixture's timestamp unit varies across regenerations
     (ns and µs have both shipped): the stream reads the column as raw int64
     and scales by the unit detected from the parquet footer."""
-    from pyspark.sql import types as T
-
     from kamodo_dask_spark.sources.parquet import (
         nanos_as_long,
         parquet_ts_unit,
@@ -709,41 +744,21 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     # conf scoped: the streaming query runs to completion inside the block
     # (awaitTermination), and the memory-sink table needs no parquet conf.
     with nanos_as_long(spark):
         # a glob, not the bare file: the file source requires its basePath
         # (the non-glob prefix) to be a directory
-        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+        stream = spark.readStream.schema(_raw_events_schema()).parquet(
+            f"{sf_dir}/events*.parquet"
+        )
         ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
         agg = (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
             .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
         )
-        qname = "streaming_tumbling_1h_sink"
-        for q in spark.streams.active:
-            if q.name == qname:
-                q.stop()
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(qname)
+        return _run_to_memory_sink(agg, "streaming_tumbling_1h_sink", "complete")
 
 
 @register(
@@ -767,8 +782,6 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the overlap explicitly: each event unnests into its two
     slide-aligned window starts. Same finite-source/complete-mode argument
     as ``streaming_tumbling_1h``; same footer-detected timestamp unit."""
-    from pyspark.sql import types as T
-
     from kamodo_dask_spark.sources.parquet import (
         nanos_as_long,
         parquet_ts_unit,
@@ -776,18 +789,10 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     with nanos_as_long(spark):
-        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+        stream = spark.readStream.schema(_raw_events_schema()).parquet(
+            f"{sf_dir}/events*.parquet"
+        )
         ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
         agg = (
             ev.groupBy(
@@ -797,19 +802,7 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
             .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
         )
-        qname = "streaming_sliding_30m_sink"
-        for q in spark.streams.active:
-            if q.name == qname:
-                q.stop()
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(qname)
+        return _run_to_memory_sink(agg, "streaming_sliding_30m_sink", "complete")
 
 
 @register(
@@ -835,8 +828,6 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
-
     from kamodo_dask_spark.session import scoped_conf
     from kamodo_dask_spark.sources.parquet import (
         nanos_as_long,
@@ -846,28 +837,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_path = os.path.join(sf_dir, "events.parquet")
     ts_unit = parquet_ts_unit(events_path)
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     root = tempfile.mkdtemp(prefix="stream_dedup_src_")
     try:
         for i in (0, 1):  # the same file delivered twice
             shutil.copy(events_path, os.path.join(root, f"0{i}_events.parquet"))
-        qname = "streaming_dedup_sink"
-        for q in spark.streams.active:
-            if q.name == qname:
-                q.stop()
         with nanos_as_long(spark), scoped_conf(
             spark, **{"spark.sql.shuffle.partitions": "16"}
         ):
-            stream = spark.readStream.schema(raw_schema).parquet(root)
+            stream = spark.readStream.schema(_raw_events_schema()).parquet(root)
             ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
             deduped = (
                 ev.withWatermark("ts", "1 hour")
@@ -879,17 +856,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 6).alias("value"),
                 )
             )
-            query = (
-                deduped.writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination()
+            return _run_to_memory_sink(deduped, "streaming_dedup_sink", "append")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.table(qname)
 
 
 _SESSIONIZE_GAP_S = 1800
@@ -945,11 +914,9 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql import types as T
-
-    import pandas as pd
 
     from kamodo_dask_spark.session import scoped_conf
     from kamodo_dask_spark.sources.parquet import (
@@ -999,49 +966,27 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.write_table(sentinel, spath)
         os.utime(spath, (2_000, 2_000))
 
-        raw_schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),  # raw int64 in ts_unit
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        qname = "sessionization_sink"
-        for q in spark.streams.active:
-            if q.name == qname:
-                q.stop()
         with nanos_as_long(spark), scoped_conf(
             spark, **{"spark.sql.shuffle.partitions": "16"}
         ):
             # no maxFilesPerTrigger: availableNow folds both files into ONE
             # micro-batch — the per-user sentinel closes every real session
             # via gap logic within it
-            stream = spark.readStream.schema(raw_schema).parquet(root)
+            stream = spark.readStream.schema(_raw_events_schema()).parquet(root)
             ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
             sess = sessionize(ev, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
-            query = (
-                sess.writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination()
+            sink = _run_to_memory_sink(sess, "sessionization_sink", "append")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return (
-        spark.table(qname)
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "user_id",
-            "session_start",
-            "session_end",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.round("sum_value", 2).alias("sum_value"),
-        )
+    # no output filtering: sentinel rows never surface as sessions (their
+    # timeout sits past the final watermark), and filtering would silently
+    # drop legitimately negative user ids in a regenerated fixture
+    return sink.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
     )
 
 

@@ -44,7 +44,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
+    if master:
+        builder = builder.master(master)
+    else:
+        # builder options OVERRIDE spark-submit's --master, so only default
+        # to local when no master was supplied externally — otherwise a
+        # cluster deploy would silently run local[N] on the driver host
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)

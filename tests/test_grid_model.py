@@ -44,6 +44,17 @@ def test_timestamp_floor_ceil_boundaries(spark):
     assert rows[1]["f"] == datetime(2024, 3, 1, 0, 20)
     assert rows[1]["c"] == datetime(2024, 3, 1, 0, 30)
 
+    # sub-second just past a boundary: unix_timestamp TRUNCATES to whole
+    # seconds, which used to FLOOR this value instead of ceiling it
+    frac = datetime(2024, 3, 1, 0, 20, 0, 500_000)
+    rows = (
+        spark.createDataFrame([(frac,)], "ts timestamp")
+        .select(floor_timestamp("ts").alias("f"), ceil_timestamp("ts").alias("c"))
+        .collect()
+    )
+    assert rows[0]["f"] == datetime(2024, 3, 1, 0, 20)
+    assert rows[0]["c"] == datetime(2024, 3, 1, 0, 30)
+
 
 def test_coerce_numeric_null_on_error(spark):
     """F3 parity: malformed values coerce to NULL (the reference's
