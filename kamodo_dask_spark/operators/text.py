@@ -394,3 +394,50 @@ def corpus_vocabulary(
             "idf"
         ),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram distribution — the engine-native proxy for the perplexity
+    filtering step of pre-training pipelines (a doc of globally-rare tokens
+    scores low; boilerplate of ubiquitous tokens scores high). A real
+    deployment swaps the corpus distribution for a KenLM model via the same
+    join shape.
+
+    Plan shape: the corpus is tokenized ONCE into a checkpointed (doc,
+    term) relation; term counts are one partial-combined aggregation over
+    it; the corpus token total is a scalar aggregate of the (small) count
+    relation inlined as a literal; scoring joins the checkpointed tokens
+    back to the counts on the term — a hash-uniform shuffle of |tokens|
+    rows, the honest cost of the operation at any scale — then aggregates
+    per document. Empty documents drop out (no tokens → no rows).
+
+    Returns ``(id_col, n_tokens, avg_logprob)`` with avg_logprob rounded
+    to 6 (cross-engine convention; ln of a count ratio is transcendental,
+    so rounding ties have measure zero).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).localCheckpoint(eager=True)
+    cnt = tok.groupBy("term").agg(F.count("*").alias("_c"))
+    n_total = cnt.agg(F.sum("_c")).first()[0]
+    if not n_total:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0.0).alias("avg_logprob"),
+        ).limit(0)
+    return (
+        tok.join(cnt, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_c") / F.lit(float(n_total)))), 6
+            ).alias("avg_logprob"),
+        )
+    )

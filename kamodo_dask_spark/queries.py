@@ -2176,6 +2176,32 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(c / n)), 6) AS avg_logprob
+    FROM tok t JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score
+    (``operators/text.py::unigram_logprob``): per-document average unigram
+    log-probability under the corpus's own distribution — the join shape a
+    KenLM perplexity filter uses, with the LM replaced by the corpus
+    unigram counts so the oracle can recompute it exactly. One checkpointed
+    tokenize pass feeds both the count aggregation and the scoring join."""
+    from kamodo_dask_spark.operators.text import unigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,
@@ -2355,6 +2381,7 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "anti_join",
     "semi_join",
     "median_and_stats",
     "window_rank",
