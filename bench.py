@@ -35,6 +35,7 @@ STREAMING_QUERIES = {
     "streaming_sliding_30m",
     "sessionization",
     "streaming_dedup",
+    "stream_static_enrich",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged

@@ -323,6 +323,28 @@ def ivf_cosine_topk(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """``n_planes`` hyperplanes with ±1 (Rademacher) components derived from
+    md5 — NOT a numpy RNG. Rademacher directions satisfy the same
+    Johnson-Lindenstrauss sign-projection guarantees as Gaussian planes
+    (Achlioptas 2001), and the md5 derivation makes every component
+    reproducible in ANY engine (``md5(f"{p}-{j}")`` first hex nibble ≥ 8 →
+    +1): the DuckDB oracle for the LSH catalog entry regenerates the exact
+    planes as SQL literals. Combined with int8-quantized vectors the
+    plane·vector dot product is exact integer arithmetic in float64 —
+    signatures are bit-identical across engines regardless of summation
+    order, so LSH bucketing itself becomes hash-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}-{j}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
     """Sign bits of the vector against each hyperplane, packed into a bigint."""
     sig = F.lit(0).cast("bigint")
@@ -343,6 +365,7 @@ def lsh_cosine_topk(
     dim: int = 64,
     seed: int = 42,
     exclude_self: bool = True,
+    tables: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing a
     random-hyperplane signature bucket with the query in ANY of ``n_tables``
@@ -351,9 +374,14 @@ def lsh_cosine_topk(
     The bucket join is an equi-join on (table, signature) — shuffle keys are
     uniform hashes, so this scales linearly with corpus size. Recall is
     tunable via n_planes (bucket granularity) and n_tables (OR-amplification).
+
+    ``tables`` overrides the seeded Gaussian planes with caller-supplied
+    plane matrices (e.g. :func:`rademacher_planes` for engine-reproducible
+    bucketing); n_planes/n_tables/dim/seed are then ignored.
     """
-    rng = np.random.default_rng(seed)
-    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    if tables is None:
+        rng = np.random.default_rng(seed)
+        tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
     def signatures(df: DataFrame, ident: str) -> DataFrame:
         sigs = F.array(

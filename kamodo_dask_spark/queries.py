@@ -861,6 +861,59 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "stream_static_enrich",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts::TIMESTAMP) AS slot,
+           n.n_name AS nation,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join (§2.9): the canonical streaming
+    pattern at 100 TB — an unbounded fact stream joined to a slowly-changing
+    dimension. The static side (customer ⋈ nation, pre-joined batch) is
+    BROADCAST to every task, so the stream side never shuffles for the join:
+    per-batch cost is a map-side hash probe regardless of stream volume.
+    The windowed aggregation after the join is the only stateful operator.
+    Runs through a real Structured Streaming round trip (file source →
+    broadcast join → tumbling agg → complete-mode memory sink,
+    ``Trigger.AvailableNow``); finite source + complete mode = the batch
+    join-aggregate, which the DuckDB oracle states directly. Same
+    footer-detected timestamp unit handling as ``streaming_tumbling_1h``."""
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
+
+    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(F.col("c_custkey"), F.col("n_name").alias("nation"))
+    with nanos_as_long(spark):
+        stream = spark.readStream.schema(_raw_events_schema()).parquet(
+            f"{sf_dir}/events*.parquet"
+        )
+        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+        enriched = ev.join(
+            F.broadcast(dim), ev["user_id"] == dim["c_custkey"]
+        )
+        agg = (
+            enriched.groupBy(F.window("ts", "1 hour").alias("w"), F.col("nation"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("slot"), "nation", "n", "sum_value")
+        )
+        return _run_to_memory_sink(agg, "stream_static_enrich_sink", "complete")
+
+
 _SESSIONIZE_GAP_S = 1800
 
 _SESSIONIZE_ORACLE = f"""
@@ -1702,6 +1755,79 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _lsh_ann_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB oracle for ``lsh_ann_topk`` — regenerates the EXACT md5-derived
+    ±1 hyperplanes as SQL literals, so the oracle replicates the LSH
+    bucketing itself (not just the rescoring): signature dot products are
+    integer arithmetic on int8-quantized vectors, bit-identical in any
+    engine regardless of summation order."""
+    from kamodo_dask_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dim)
+    sig_expr = " + ".join(
+        "(CASE WHEN list_dot_product(q, ["
+        + ", ".join(str(int(v)) for v in plane)
+        + "]::DOUBLE[]) >= 0 THEN " + str(1 << p) + " ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             CASE WHEN m > 0
+                  THEN list_transform(v, x -> sign(x) * floor(abs(x) / (m / 127.0) + 0.5))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+            FROM embeddings)),
+    s AS (SELECT vec_id, q, {sig_expr} AS sig FROM e),
+    qq AS (SELECT vec_id AS query_id, q AS v, sig FROM s WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, q AS v, sig FROM s),
+    scored AS (
+      SELECT qq.query_id, c.neighbor_id,
+             round(list_dot_product(qq.v, c.v)
+                   / (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS score
+      FROM qq JOIN c ON qq.sig = c.sig AND qq.query_id <> c.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register("lsh_ann_topk", _lsh_ann_sql())
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH ANN — the brief's "LSH-bucketed variant"
+    of similarity search, complementing ``ann_ivf_topk``: vectors sharing a
+    sign-projection signature land in the same bucket; candidates come from
+    a bucket EQUI-JOIN (uniform hash keys — linear scale-out, never
+    all-pairs); exact cosine rescoring within candidates.
+
+    Uniquely among LSH implementations, the bucketing here is
+    ORACLE-CHECKABLE end-to-end: planes are md5-derived ±1
+    (``rademacher_planes``) and vectors are int8-quantized first, so every
+    signature is exact integer math reproduced bit-for-bit by the DuckDB
+    SQL — a hash mismatch would catch a bucketing bug, not just a scoring
+    one. Recall at production settings (fewer planes collide more, more
+    tables OR-amplify) is tested in tests/test_operators.py."""
+    from kamodo_dask_spark.operators.similarity import (
+        lsh_cosine_topk,
+        quantize_embedding,
+        rademacher_planes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_embedding(F.col("embedding")).alias("embedding")
+    )
+    out = lsh_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        tables=[rademacher_planes(6, 64)],
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @register(
     "dataset_split",
     """
@@ -2381,6 +2507,8 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "midpoint",  # A2; green r1-r3 — parked for lsh_ann_topk
+    "axis_values",  # A3; green r1-r3 — parked for stream_static_enrich
     "anti_join",
     "semi_join",
     "median_and_stats",

@@ -156,6 +156,34 @@ def test_lsh_cosine_topk_recalls_near_neighbor(spark):
     assert rows and rows[0]["neighbor_id"] == 7
 
 
+def test_rademacher_planes_deterministic_and_lsh_recall(spark):
+    """md5-derived ±1 planes: engine-independent (no numpy RNG), stable
+    across calls, and usable as LSH tables — a planted near-dup shares the
+    query's bucket and is recalled at rank 1."""
+    import numpy as np
+
+    from kamodo_dask_spark.operators.similarity import rademacher_planes
+
+    p1 = rademacher_planes(6, 64)
+    assert p1 == rademacher_planes(6, 64)
+    assert {v for plane in p1 for v in plane} == {1.0, -1.0}
+    # not degenerate: planes differ from each other
+    assert len({tuple(p) for p in p1}) == 6
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((50, 64)).astype("float32")
+    base[11] = base[4] + rng.standard_normal(64).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_cosine_topk(
+        df, df.filter("vec_id = 4"), k=1, tables=[rademacher_planes(6, 64)]
+    )
+    rows = out.collect()
+    assert rows and rows[0]["neighbor_id"] == 11
+
+
 # ---------- text ----------
 
 def test_text_functions(spark):
