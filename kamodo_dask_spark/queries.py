@@ -743,10 +743,17 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_int64_to_timestamp,
     )
 
+    from kamodo_dask_spark.session import scoped_conf
+
     ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     # conf scoped: the streaming query runs to completion inside the block
     # (awaitTermination), and the memory-sink table needs no parquet conf.
-    with nanos_as_long(spark):
+    # 8 state partitions: per-partition state-store commit overhead dominates
+    # windowed aggs at fixture scale (measured: 1.8 s @ 32 → 0.86 s @ 8 at
+    # sf0.1); production sizing scales partitions with active-state volume.
+    with nanos_as_long(spark), scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": "8"}
+    ):
         # a glob, not the bare file: the file source requires its basePath
         # (the non-glob prefix) to be a directory
         stream = spark.readStream.schema(_raw_events_schema()).parquet(
@@ -788,8 +795,14 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_int64_to_timestamp,
     )
 
+    from kamodo_dask_spark.session import scoped_conf
+
     ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
-    with nanos_as_long(spark):
+    # 8 state partitions: same commit-overhead argument as
+    # streaming_tumbling_1h (measured 1.4 s @ 32 → 0.80 s @ 8 at sf0.1)
+    with nanos_as_long(spark), scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": "8"}
+    ):
         stream = spark.readStream.schema(_raw_events_schema()).parquet(
             f"{sf_dir}/events*.parquet"
         )
@@ -891,6 +904,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_int64_to_timestamp,
     )
 
+    from kamodo_dask_spark.session import scoped_conf
+
     ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
@@ -898,7 +913,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation),
         customer["c_nationkey"] == nation["n_nationkey"],
     ).select(F.col("c_custkey"), F.col("n_name").alias("nation"))
-    with nanos_as_long(spark):
+    # 8 state partitions for the windowed agg (the broadcast join itself is
+    # shuffle-free); same commit-overhead argument as streaming_tumbling_1h
+    with nanos_as_long(spark), scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": "8"}
+    ):
         stream = spark.readStream.schema(_raw_events_schema()).parquet(
             f"{sf_dir}/events*.parquet"
         )
