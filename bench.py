@@ -28,8 +28,12 @@ from kamodo_dask_spark.session import get_spark
 #: execution of its operator family).
 BENCH_QUERIES = list(QUERIES)
 
-#: Structured Streaming round trips: dominated by fixed micro-batch/state
-#: machinery that best-of-N can't average away — timed once.
+#: Structured Streaming round trips: each run is a full query lifecycle
+#: (source listing → micro-batch → state commit → sink), so they get the
+#: same best-of-N as batch entries — the FIRST run in a session also pays
+#: one-time streaming-machinery class-loading/codegen (observed ~2x), which
+#: is session setup, not query cost. They are excluded from the sub-second
+#: extra-runs loop (each run costs whole seconds).
 STREAMING_QUERIES = {
     "streaming_tumbling_1h",
     "streaming_sliding_30m",
@@ -58,6 +62,12 @@ SF01_BUDGETS = {
     "sessionization": 6.0,  # 3.5 s typical; headroom for host contention —
     # the budget exists to catch the 12.6 s per-batch-state-churn class
     "interp_1d": 2.0,
+    # tuned r4: scoped 8-partition state stores (~0.8-1.2 s typical);
+    # budgets catch a return of the 32-partition commit-overhead shape
+    "streaming_tumbling_1h": 3.0,
+    "streaming_sliding_30m": 3.0,
+    "stream_static_enrich": 3.5,
+    "dedup_clusters": 4.5,
 }
 
 
@@ -258,7 +268,7 @@ def run() -> dict:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(1 if name in STREAMING_QUERIES else runs):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
