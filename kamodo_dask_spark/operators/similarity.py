@@ -345,8 +345,11 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
-    """Sign bits of the vector against each hyperplane, packed into a bigint."""
+def hyperplane_signature(vec_col, planes) -> Column:
+    """Sign bits of the vector against each hyperplane, packed into a bigint.
+
+    ``planes`` is any row-iterable of plane vectors (ndarray or list of
+    lists, e.g. :func:`rademacher_planes`)."""
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         d = dot(vec_col, F.lit([float(x) for x in plane]))
