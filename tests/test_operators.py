@@ -184,6 +184,20 @@ def test_rademacher_planes_deterministic_and_lsh_recall(spark):
     assert rows and rows[0]["neighbor_id"] == 11
 
 
+def test_lsh_cosine_topk_degenerate_inputs(spark):
+    """Empty corpus and self-only corpus return empty results, not errors."""
+    from kamodo_dask_spark.operators.similarity import rademacher_planes
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    planes = [rademacher_planes(6, 64)]
+    assert lsh_cosine_topk(empty, empty, k=5, tables=planes).count() == 0
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "vec_id long, embedding array<float>"
+    )
+    # a single vector is its own only bucket-mate; exclude_self leaves nothing
+    assert lsh_cosine_topk(one, one, k=5, tables=planes).count() == 0
+
+
 # ---------- text ----------
 
 def test_text_functions(spark):
