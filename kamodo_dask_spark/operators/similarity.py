@@ -323,22 +323,29 @@ def ivf_cosine_topk(
     )
 
 
-def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+def rademacher_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """``n_planes`` hyperplanes with ±1 (Rademacher) components derived from
     md5 — NOT a numpy RNG. Rademacher directions satisfy the same
     Johnson-Lindenstrauss sign-projection guarantees as Gaussian planes
     (Achlioptas 2001), and the md5 derivation makes every component
-    reproducible in ANY engine (``md5(f"{p}-{j}")`` first hex nibble ≥ 8 →
-    +1): the DuckDB oracle for the LSH catalog entry regenerates the exact
-    planes as SQL literals. Combined with int8-quantized vectors the
+    reproducible in ANY engine (``md5(f"{table}:{p}:{j}")`` first hex nibble
+    ≥ 8 → +1): the DuckDB oracle for the LSH catalog entry regenerates the
+    exact planes as SQL literals. Combined with int8-quantized vectors the
     plane·vector dot product is exact integer arithmetic in float64 —
     signatures are bit-identical across engines regardless of summation
-    order, so LSH bucketing itself becomes hash-checkable."""
+    order, so LSH bucketing itself becomes hash-checkable.
+
+    ``table`` salts the derivation: OR-amplified multi-table LSH needs
+    INDEPENDENT tables, so pass a distinct ``table`` per entry of the
+    ``tables=`` list (two calls with the same ``table`` return the same
+    planes — that's the reproducibility contract, not a bug)."""
     import hashlib
 
     return [
         [
-            1.0 if int(hashlib.md5(f"{p}-{j}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            1.0
+            if int(hashlib.md5(f"{table}:{p}:{j}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
             for j in range(dim)
         ]
         for p in range(n_planes)
@@ -349,12 +356,28 @@ def hyperplane_signature(vec_col, planes) -> Column:
     """Sign bits of the vector against each hyperplane, packed into a bigint.
 
     ``planes`` is any row-iterable of plane vectors (ndarray or list of
-    lists, e.g. :func:`rademacher_planes`)."""
+    lists, e.g. :func:`rademacher_planes`). All planes must share one
+    length, and every vector must match it: a shorter/longer vector would
+    make ``zip_with`` null-pad, the dot sum go NULL, and every bit fall to
+    0 — silently degrading the bucketed join to a cross product — so the
+    mismatch raises per-row instead."""
+    dims = {len(plane) for plane in planes}
+    if len(dims) != 1:
+        raise ValueError(f"planes have inconsistent lengths: {sorted(dims)}")
+    (dim,) = dims
+    v = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        d = dot(vec_col, F.lit([float(x) for x in plane]))
+        d = dot(v, F.lit([float(x) for x in plane]))
         sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+    return F.when(F.size(v) == F.lit(dim), sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_signature: plane dim {dim} != vector dim "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
 
 
 def lsh_cosine_topk(

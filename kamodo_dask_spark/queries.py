@@ -699,6 +699,14 @@ def _raw_events_schema():
     )
 
 
+#: Shuffle/state partition count scoped inside entries whose exchanges AQE
+#: cannot coalesce (streaming state stores; eager iterative rounds): the
+#: measured fixture-scale sweet spot, where per-partition task/state-commit
+#: overhead dominates data volume. Production sizing scales with active
+#: state / |E|, not this constant. One definition so retuning is one edit.
+FIXTURE_STATE_PARTITIONS = "8"
+
+
 def _run_to_memory_sink(df: DataFrame, qname: str, mode: str) -> DataFrame:
     """Run a streaming plan to completion into a memory sink
     (``Trigger.AvailableNow``) and return the sink table; stops a
@@ -752,7 +760,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windowed aggs at fixture scale (measured: 1.8 s @ 32 → 0.86 s @ 8 at
     # sf0.1); production sizing scales partitions with active-state volume.
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": "8"}
+        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
         # a glob, not the bare file: the file source requires its basePath
         # (the non-glob prefix) to be a directory
@@ -801,7 +809,7 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state partitions: same commit-overhead argument as
     # streaming_tumbling_1h (measured 1.4 s @ 32 → 0.80 s @ 8 at sf0.1)
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": "8"}
+        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
         stream = spark.readStream.schema(_raw_events_schema()).parquet(
             f"{sf_dir}/events*.parquet"
@@ -916,7 +924,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state partitions for the windowed agg (the broadcast join itself is
     # shuffle-free); same commit-overhead argument as streaming_tumbling_1h
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": "8"}
+        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
         stream = spark.readStream.schema(_raw_events_schema()).parquet(
             f"{sf_dir}/events*.parquet"
@@ -1465,12 +1473,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamodo_dask_spark.session import scoped_conf
 
     docs = read_table(spark, sf_dir, "documents")
-    # 8 shuffle partitions: each CC round is a join+agg over a ~10²-edge
-    # graph here — per-partition task/commit overhead × rounds dominates at
-    # fixture scale (measured 3.4 → 2.4 s at sf0.1). Production sizing
-    # scales partitions with |E|; the iterated relations are checkpointed,
-    # so the conf only shapes this entry's exchanges.
-    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": "8"}):
+    # Scoped shuffle partitions: each CC round is a join+agg over a
+    # ~10²-edge graph here — per-partition task/commit overhead × rounds
+    # dominates at fixture scale (measured 3.4 → 2.5 s at sf0.1).
+    # Production sizing scales partitions with |E|. The tail join/agg is
+    # localCheckpoint-ed EAGERLY so every exchange executes while the conf
+    # is scoped (scoped_conf's contract: execution completes in the block;
+    # a lazily returned plan would run its tail at the session default).
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}):
         pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
         cc = connected_components(pairs.select("id_a", "id_b"))
         sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -1481,6 +1491,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("component").alias("cluster_id"),
                 "cluster_size",
             )
+            .localCheckpoint(eager=True)
         )
 
 
@@ -1698,17 +1709,26 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.2, block_col="label")
 
 
-@register(
-    "quantized_similarity_topk",
-    """
-    WITH e AS (
+#: DuckDB spelling of ``quantize_embedding`` (int8 symmetric quantization,
+#: sign·floor(|x|/scale + 0.5) rounding): the load-bearing cross-engine
+#: contract, shared by every oracle that retrieves on quantized vectors so
+#: a rounding fix can never fork between entries.
+_QUANTIZE_CTE = """
+    e AS (
       SELECT vec_id,
              CASE WHEN m > 0
                   THEN list_transform(v, x -> sign(x) * floor(abs(x) / (m / 127.0) + 0.5))
                   ELSE list_transform(v, x -> 0.0) END AS q
       FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
                    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
-            FROM embeddings)),
+            FROM embeddings))
+"""
+
+
+@register(
+    "quantized_similarity_topk",
+    f"""
+    WITH {_QUANTIZE_CTE},
     qq AS (SELECT vec_id AS query_id, q AS v FROM e WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, q AS v FROM e),
     scored AS (
@@ -1797,14 +1817,7 @@ def _lsh_ann_sql(n_planes: int = 6, dim: int = 64) -> str:
         for p, plane in enumerate(planes)
     )
     return f"""
-    WITH e AS (
-      SELECT vec_id,
-             CASE WHEN m > 0
-                  THEN list_transform(v, x -> sign(x) * floor(abs(x) / (m / 127.0) + 0.5))
-                  ELSE list_transform(v, x -> 0.0) END AS q
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
-                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
-            FROM embeddings)),
+    WITH {_QUANTIZE_CTE},
     s AS (SELECT vec_id, q, {sig_expr} AS sig FROM e),
     qq AS (SELECT vec_id AS query_id, q AS v, sig FROM s WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, q AS v, sig FROM s),
