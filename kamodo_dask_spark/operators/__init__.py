@@ -16,7 +16,13 @@ from kamodo_dask_spark.operators.dedup import (
     simhash_fingerprints_agg,
     simhash_hamming_candidates,
 )
-from kamodo_dask_spark.operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+from kamodo_dask_spark.operators.maintenance import upsert_snapshot
+from kamodo_dask_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    rademacher_planes,
+)
 from kamodo_dask_spark.operators.text import (
     add_text_features,
     gopher_quality_flags,
@@ -47,6 +53,8 @@ __all__ = [
     "simhash_hamming_candidates",
     "cosine_topk",
     "lsh_cosine_topk",
+    "rademacher_planes",
+    "upsert_snapshot",
     "add_text_features",
     "detect_language",
     "fingerprint",

@@ -1,0 +1,45 @@
+"""Dataset maintenance operators: incremental snapshot refresh.
+
+The reference recomputes its whole working set per run (sliding wall-clock
+window, docs/interpolator.md:25-31); a 100 TB corpus can't — it applies a
+small delta to a large snapshot. Vanilla Spark has no MERGE INTO without a
+table format (Delta/Iceberg), but SCD-1 upsert is expressible as pure
+DataFrame algebra, and that is the form that scales: one anti-join on the
+key plus a union, no full rewrite of unmatched data paths when combined
+with partition-scoped writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def upsert_snapshot(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key: str,
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """SCD-1 merge: rows from ``updates`` win on key collision, unmatched
+    ``snapshot`` rows survive — ``updates ∪ (snapshot ⟕̸ updates)``.
+
+    Scale shape: the only wide operation is the LEFT ANTI join on ``key``
+    (uniform hash shuffle). The common case — a delta that is orders of
+    magnitude smaller than the snapshot — should pass
+    ``broadcast_updates=True`` so the anti-join is a map-side hash probe
+    and the snapshot never shuffles at all; AQE also picks this up when
+    the delta's size is known to be under the broadcast threshold.
+
+    Both inputs must share a schema (column order is aligned by name).
+    """
+    cols = snapshot.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: snapshot {sorted(cols)} vs updates "
+            f"{sorted(updates.columns)}"
+        )
+    keys = updates.select(key)
+    if broadcast_updates:
+        keys = F.broadcast(keys)
+    survivors = snapshot.join(keys, on=key, how="left_anti")
+    return updates.select(*cols).unionByName(survivors.select(*cols))

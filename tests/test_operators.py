@@ -742,3 +742,30 @@ def test_cosine_topk_string_ids_fall_back_to_expr(spark):
     out = cosine_topk(df, df.filter("vec_id = 'a'"), k=1)
     rows = out.collect()
     assert rows[0]["neighbor_id"] == "b"
+
+
+# ---------- maintenance ----------
+
+def test_upsert_snapshot(spark):
+    from kamodo_dask_spark.operators import upsert_snapshot
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id long, v string"
+    )
+    out = {r["id"]: r["v"] for r in upsert_snapshot(old, new, "id").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # broadcast path gives the same result
+    out_b = {
+        r["id"]: r["v"]
+        for r in upsert_snapshot(old, new, "id", broadcast_updates=True).collect()
+    }
+    assert out_b == out
+    # schema mismatch refuses loudly
+    bad = spark.createDataFrame([(9, "x", 1)], "id long, v string, extra long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        upsert_snapshot(old, bad, "id")
