@@ -235,6 +235,16 @@ def test_line_dedup_plan_broadcast_anti(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_incremental_upsert_broadcast_anti_join(spark):
+    """The SCD-1 merge's only wide op is the key anti-join, and with a
+    broadcast delta the snapshot side never shuffles."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["incremental_upsert"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_gopher_rules_zero_exchange(spark):
     from kamodo_dask_spark.plans.checks import executed_plan
 
