@@ -44,6 +44,14 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+#: PARITY_STRICT=1 demands BIT-EXACT float equality (repr-level), the bar
+#: the external driver's value hash effectively applies. The default stays
+#: 1e-9-tolerant so an engine-version bump that shifts a last-ulp doesn't
+#: block the suite; run strict before a round ships. As of round 4 all 75
+#: entries pass strict at sf0.01.
+STRICT = os.environ.get("PARITY_STRICT", "") == "1"
+
+
 def assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
@@ -55,7 +63,15 @@ def assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFra
     d = canonicalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        if STRICT and (pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv)):
+            sv_r = pd.to_numeric(sv, errors="coerce").map(lambda v: repr(float(v)))
+            dv_r = pd.to_numeric(dv, errors="coerce").map(lambda v: repr(float(v)))
+            mismatch = sv_r != dv_r
+            assert not mismatch.any(), (
+                f"{name}.{col}: {mismatch.sum()} bit-exact mismatches\n"
+                f"{pd.DataFrame({'spark': sv, 'duck': dv})[mismatch].head(10)}"
+            )
+        elif pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             sv_f = pd.to_numeric(sv, errors="coerce")
             dv_f = pd.to_numeric(dv, errors="coerce")
             both_nan = sv_f.isna() & dv_f.isna()
