@@ -18,19 +18,28 @@ from kamodo_dask_spark.operators.text import words
 #: float64, DuckDB) while keeping collision odds negligible at corpus scale.
 _HASH_HEX_DIGITS = 12
 
-#: Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
-#: 40-bit base hash. a_i < 2^20 keeps a·x < 2^60 — exact int64 in every
-#: engine. Constants from a fixed LCG so Spark and the SQL oracle share them.
-MINHASH_PRIME = (1 << 61) - 1
+#: Universal-hash family for MinHash: h_i(x) = (a_i·(x mod P) + b_i) mod P,
+#: Carter-Wegman over the 31-bit Mersenne prime. P MUST be small enough that
+#: a·x actually WRAPS the modulus in exact int64 (a, x < 2^31 → a·x < 2^62):
+#: with a larger prime (2^61−1) and bounded a, a·x+b never exceeds P, the
+#: reduction is a no-op, every h_i is MONOTONE in x, and all k "independent"
+#: minima collapse onto the single minimum shingle — the signature
+#: degenerates to one permutation and the Jaccard estimator to {0,1}
+#: (caught by review in round 4; the est_jaccard calibration entry now pins
+#: non-degeneracy cross-engine). a_i is drawn from the full [1, P) range —
+#: small multipliers are near-monotone over [0, P) and re-correlate the
+#: minima. Constants from a fixed LCG so Spark and the SQL oracle share
+#: them.
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def _lcg_constants(k: int) -> list[tuple[int, int]]:
     state, out = 88172645463325252, []
     for _ in range(k):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state >> 20) % ((1 << 20) - 1) + 1
+        a = (state >> 16) % (MINHASH_PRIME - 1) + 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % (1 << 40)
+        b = state % MINHASH_PRIME
         out.append((a, b))
     return out
 
@@ -144,7 +153,10 @@ def minhash_signature(col, k: int = 16, shingle_n: int = 3) -> Column:
     consts = _lcg_constants(k)
     sigs = [
         F.array_min(
-            F.transform(base, (lambda a, b: lambda h: (a * h + b) % MINHASH_PRIME)(a, b))
+            F.transform(
+                base,
+                (lambda a, b: lambda h: (a * (h % MINHASH_PRIME) + b) % MINHASH_PRIME)(a, b),
+            )
         )
         for a, b in consts
     ]
@@ -170,7 +182,10 @@ def minhash_signatures(
         "_h", hash48(F.col("_s"), digits=10)
     )
     aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        F.min(
+            (F.lit(a) * (F.col("_h") % F.lit(MINHASH_PRIME)) + F.lit(b))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(_lcg_constants(k))
     ]
     return tok.groupBy(id_col).agg(*aggs)
@@ -183,16 +198,22 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via MinHash + LSH.
 
     shingle → k-minhash → band → self-equi-join on (band, band_hash).
     The join key is a uniform hash → no skew; at 100 TB this is the only
     subquadratic route to near-dup detection.
+
+    ``sigs`` supplies a precomputed :func:`minhash_signatures` relation
+    (columns ``id_col, m0..m{k-1}``) so callers that also need the
+    signatures (e.g. the estimator entry) tokenize and hash the corpus
+    exactly once instead of twice.
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    sig = sigs if sigs is not None else minhash_signatures(df, text_col, id_col, k, shingle_n)
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"m{b * r + j}") for j in range(r)]
@@ -298,6 +319,8 @@ def near_dup_pairs(
     threshold: float = 0.6,
     k: int = 16,
     bands: int = 4,
+    sigs: DataFrame | None = None,
+    keep_zero_overlap: bool = False,
 ) -> DataFrame:
     """The production near-dup cascade: MinHash+LSH candidate generation,
     then exact shingle-Jaccard verification ON CANDIDATES ONLY.
@@ -307,8 +330,17 @@ def near_dup_pairs(
     k/bands vs threshold). This is the shape that scales: candidate count is
     ~linear in corpus size, and the quadratic verify work touches only
     bucket-collided pairs.
+
+    ``sigs`` forwards a precomputed signature relation to the candidate
+    stage (one corpus tokenize+hash pass when the caller needs signatures
+    too). ``keep_zero_overlap`` keeps candidate pairs whose shingle sets
+    are disjoint (band collision without overlap — possible once per-band
+    hash collisions are considered) as jaccard = 0.0 rows instead of
+    dropping them in the inner verify join; the estimator entry needs those
+    rows because they are exactly the sketch-overestimation cases it
+    exists to measure (only meaningful with ``threshold == 0``).
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n, sigs=sigs)
     sh = _widen(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
     ).withColumn("_size", F.size("_sh"))
@@ -329,10 +361,16 @@ def near_dup_pairs(
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
-    return (
-        common.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    verified = common.withColumn("jaccard", F.round(jac, 6)).select(
+        "id_a", "id_b", "jaccard"
+    )
+    if keep_zero_overlap:
+        verified = (
+            cand.join(verified, on=["id_a", "id_b"], how="left")
+            .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -38,8 +38,14 @@ def upsert_snapshot(
             f"schema mismatch: snapshot {sorted(cols)} vs updates "
             f"{sorted(updates.columns)}"
         )
-    keys = updates.select(key)
+    keys = updates.select(F.col(key).alias("_upsert_key"))
     if broadcast_updates:
         keys = F.broadcast(keys)
-    survivors = snapshot.join(keys, on=key, how="left_anti")
+    # null-SAFE equality: with plain `=`, a NULL key in updates matches
+    # nothing, so a NULL-keyed snapshot row would survive ALONGSIDE the
+    # NULL-keyed update — both versions in the output. <=> makes NULL a
+    # key value like any other: the update wins there too.
+    survivors = snapshot.join(
+        keys, on=snapshot[key].eqNullSafe(keys["_upsert_key"]), how="left_anti"
+    )
     return updates.select(*cols).unionByName(survivors.select(*cols))

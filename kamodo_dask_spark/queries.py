@@ -1365,7 +1365,8 @@ def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     r = k // bands
     consts = _lcg_constants(k)
     mins = ", ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(consts)
+        f"min(({a} * (hv % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS b, "
@@ -1402,7 +1403,8 @@ def _near_dup_oracle(
     r = k // bands
     consts = _lcg_constants(k)
     mins = ", ".join(
-        f"min(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(consts)
+        f"min(({a} * (hv % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS b, "
@@ -1411,15 +1413,20 @@ def _near_dup_oracle(
         for b in range(bands)
     )
     if with_estimate:
+        # cand LEFT JOIN common: a band collision with DISJOINT shingle sets
+        # (possible via per-band hash collisions) must surface as jaccard=0 —
+        # those are exactly the sketch-overestimation rows the calibration
+        # entry measures; an inner join would silently drop them.
         agree = " + ".join(f"(sa0.m{i} = sb0.m{i})::INT" for i in range(k))
         final = f"""
-    SELECT c.id_a, c.id_b,
-           round(c.common / (c.sa + c.sb - c.common), 6) AS jaccard,
+    SELECT cd.id_a, cd.id_b,
+           coalesce(round(c.common / (c.sa + c.sb - c.common), 6), 0.0) AS jaccard,
            round(({agree}) / {k}.0, 6) AS est_jaccard
-    FROM common c
-    JOIN sig sa0 ON sa0.doc_id = c.id_a
-    JOIN sig sb0 ON sb0.doc_id = c.id_b
-    WHERE round(c.common / (c.sa + c.sb - c.common), 6) >= {threshold}"""
+    FROM cand cd
+    LEFT JOIN common c ON c.id_a = cd.id_a AND c.id_b = cd.id_b
+    JOIN sig sa0 ON sa0.doc_id = cd.id_a
+    JOIN sig sb0 ON sb0.doc_id = cd.id_b
+    WHERE coalesce(round(c.common / (c.sa + c.sb - c.common), 6), 0.0) >= {threshold}"""
     else:
         final = f"""
     SELECT id_a, id_b, round(common / (sa + sb - common), 6) AS jaccard
@@ -1446,17 +1453,22 @@ def _near_dup_oracle(
     """
 
 
-@register("near_dup_cascade", _near_dup_oracle())
+@register("near_dup_cascade", _near_dup_oracle(bands=8))
 def near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production dedup shape: LSH candidates → exact Jaccard verify on
-    candidates only (subquadratic end to end)."""
+    candidates only (subquadratic end to end). 8 bands × 2 rows puts the
+    LSH S-curve near the 0.35 verify threshold (candidate probability
+    1−(1−J²)⁸ ≈ 65% at J=0.35, ≈100% at J≥0.6) — band/row geometry must
+    track the threshold it gates for recall claims to hold."""
     from kamodo_dask_spark.operators.dedup import near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
+    return near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=8)
 
 
-@register("minhash_est_jaccard", _near_dup_oracle(threshold=0.0, with_estimate=True))
+@register(
+    "minhash_est_jaccard", _near_dup_oracle(bands=8, threshold=0.0, with_estimate=True)
+)
 def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash as an ESTIMATOR, oracle-checked against ground truth: for
     every LSH candidate pair, the sketch estimate (fraction of agreeing
@@ -1464,18 +1476,28 @@ def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact shingle Jaccard. This is the calibration surface a production
     pipeline uses to decide when the sketch alone suffices (skip the exact
     verify entirely) vs when to cascade — the entry pins BOTH numbers per
-    pair cross-engine, so estimator drift (a broken hash family, a band/row
-    mix-up) is a hash mismatch, not a silent recall change.
+    pair cross-engine. It also pins NON-degeneracy of the hash family:
+    round 4's review caught that the previous (a·h+b) mod 2^61−1 family
+    never wrapped its modulus (a·h+b < 2^60), making every hash monotone in
+    h and the estimate collapse to {0, 1}; with the wrap-safe 31-bit family
+    the estimate takes intermediate values and a regressed family fails the
+    non-degeneracy test (tests/test_operators.py::
+    test_minhash_family_not_degenerate), not just parity.
 
-    Scale shape: candidates from the band equi-join (uniform keys), exact
-    verify restricted to candidates, and the estimate is two signature
-    equi-joins on doc id — k integer equality checks per candidate pair,
-    no token data touched."""
+    Scale shape: ONE corpus tokenize+hash pass produces the signatures;
+    candidates come from the band equi-join over them (uniform keys); the
+    exact verify is restricted to candidates; the estimate itself adds only
+    two signature equi-joins on doc id — k integer equality checks per
+    candidate pair. Zero-overlap band collisions are kept as jaccard=0 rows
+    (the sketch-overestimation cases this surface measures)."""
     from kamodo_dask_spark.operators.dedup import minhash_signatures, near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.0, k=16, bands=4)
     sigs = minhash_signatures(docs, k=16, shingle_n=3)
+    pairs = near_dup_pairs(
+        docs, shingle_n=3, threshold=0.0, k=16, bands=8, sigs=sigs,
+        keep_zero_overlap=True,
+    )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"_a{i}") for i in range(16)]
     )
@@ -1550,7 +1572,7 @@ def _dedup_clusters_oracle() -> str:
     component id is the min. The recursive UNION deduplicates rows, so the
     fixpoint terminates."""
     return f"""
-    WITH RECURSIVE pairs AS ({_near_dup_oracle()}),
+    WITH RECURSIVE pairs AS ({_near_dup_oracle(bands=8)}),
     sym AS (SELECT id_a AS s, id_b AS d FROM pairs
             UNION ALL SELECT id_b, id_a FROM pairs),
     verts AS (SELECT DISTINCT s AS v FROM sym),
@@ -1588,7 +1610,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is scoped (scoped_conf's contract: execution completes in the block;
     # a lazily returned plan would run its tail at the session default).
     with scoped_conf(spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}):
-        pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=4)
+        pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=8)
         cc = connected_components(pairs.select("id_a", "id_b"))
         sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
         return (

@@ -769,3 +769,43 @@ def test_upsert_snapshot(spark):
 
     with _pytest.raises(ValueError, match="schema mismatch"):
         upsert_snapshot(old, bad, "id")
+
+
+def test_minhash_family_not_degenerate(docs, spark):
+    """Round-4 regression guard: the universal-hash family must actually
+    wrap its modulus. The old (a·h+b) mod 2^61−1 family with a < 2^20 and
+    h < 2^40 never wrapped, so every h_i was monotone in h, every signature
+    component was determined by the single minimum shingle, and the Jaccard
+    estimate collapsed to {0, 1} (all-agree or none). A genuine family
+    gives a NEAR dup (J ≈ 0.5-0.9) partial signature agreement."""
+    from kamodo_dask_spark.operators.dedup import minhash_signatures
+
+    sigs = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(16)]
+        for r in minhash_signatures(docs, k=16).collect()
+    }
+    # exact dups agree everywhere (sanity)
+    assert sigs[1] == sigs[2] == sigs[5]
+    # the near dup (doc 3 vs doc 1) agrees on SOME but not ALL components
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert 0 < agree < 16, (
+        f"signature agreement {agree}/16 — the hash family is degenerate "
+        "(all components move together)"
+    )
+    # distinct components per doc: a monotone family yields k affine images
+    # of ONE shingle hash; a real family draws minima from many shingles
+    assert len(set(sigs[1])) > 1
+
+
+def test_upsert_snapshot_null_key(spark):
+    """NULL keys are matched null-safely: the update version wins, the
+    stale NULL-keyed snapshot row does not survive alongside it."""
+    from kamodo_dask_spark.operators import upsert_snapshot
+
+    old = spark.createDataFrame([(None, "stale"), (1, "a")], "id long, v string")
+    new = spark.createDataFrame([(None, "fresh")], "id long, v string")
+    rows = sorted(
+        ((r["id"], r["v"]) for r in upsert_snapshot(old, new, "id").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert rows == [(1, "a"), (None, "fresh")]

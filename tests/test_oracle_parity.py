@@ -64,8 +64,20 @@ def assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFra
     for col in s.columns:
         sv, dv = s[col], d[col]
         if STRICT and (pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv)):
-            sv_r = pd.to_numeric(sv, errors="coerce").map(lambda v: repr(float(v)))
-            dv_r = pd.to_numeric(dv, errors="coerce").map(lambda v: repr(float(v)))
+            sv_f = pd.to_numeric(sv, errors="coerce")
+            dv_f = pd.to_numeric(dv, errors="coerce")
+            # coercion failures must not masquerade as NaN==NaN: a value
+            # that coerced to NaN without spelling a float NaN is garbage
+            for side, raw, num in (("spark", sv, sv_f), ("duck", dv, dv_f)):
+                bad = num.isna() & ~raw.astype(str).str.strip().str.lower().isin(
+                    ["nan", "none", "<na>", ""]
+                )
+                assert not bad.any(), (
+                    f"{name}.{col} ({side}): non-numeric values in a float "
+                    f"column: {raw[bad].head(5).tolist()}"
+                )
+            sv_r = sv_f.map(lambda v: repr(float(v)))
+            dv_r = dv_f.map(lambda v: repr(float(v)))
             mismatch = sv_r != dv_r
             assert not mismatch.any(), (
                 f"{name}.{col}: {mismatch.sum()} bit-exact mismatches\n"
