@@ -172,9 +172,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures via explode + partial-aggregated groupBy.
 
-    One md5 per shingle (the universal-hash family ``(a·h+b) mod P`` derives
-    all k functions from that one base hash); the k mins map-side combine,
-    so the shuffle carries k longs per document. This is the 100 TB shape.
+    One md5 per shingle (the Carter-Wegman family ``(a·(h mod P)+b) mod P``
+    derives all k functions from that one base hash — see the
+    ``MINHASH_PRIME`` note for why P must be small enough to actually
+    wrap); the k mins map-side combine, so the shuffle carries k longs per
+    document. This is the 100 TB shape.
     Output: (id_col, m0..m{k-1}). Docs with no shingles drop out.
     """
     sh = _widen(df).select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
