@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 # pandas-boundary transfer, and nanos-as-long so nanosecond-precision Parquet
 # timestamps (unsupported by Spark's reader) are readable and normalizable.
 DEFAULT_CONF = {
+    # Spark's local-mode default driver heap is 1g regardless of host RAM —
+    # a 100x-fixture dedup run GC-thrashes there (GCLocker retry storms)
+    # while the host sits at 128 GiB. Only effective at JVM launch; ignored
+    # (harmlessly) when attaching to an existing session, and irrelevant on
+    # a real cluster where spark-submit sizes the driver.
+    "spark.driver.memory": "16g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
