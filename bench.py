@@ -262,8 +262,10 @@ def run() -> dict:
     )
 
     # best-of-N per query: single runs showed 3-10× outliers on trivial
-    # queries from transient host contention; the minimum is the signal.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # queries from transient host contention (shared-host load spikes have
+    # produced 3.6× phantom "regressions" on multi-second entries at n=2);
+    # the minimum is the signal.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

@@ -126,7 +126,12 @@ def shingles(col, n: int = 3) -> Column:
     """
     ws = words(col)
     if n == 1:
-        return F.array_distinct(ws)
+        # same empty-text contract as n >= 2: [""] — otherwise empty docs
+        # silently drop out of n=1 consumers (simhash default) while
+        # surviving every n >= 2 consumer
+        return F.array_distinct(
+            F.when(F.size(ws) == 0, F.array(F.lit(""))).otherwise(ws)
+        )
     m = F.greatest(F.size(ws) - (n - 1), F.lit(1))
     grams = F.slice(ws, 1, m)
     for j in range(1, n):
@@ -343,6 +348,11 @@ def near_dup_pairs(
     exists to measure (only meaningful with ``threshold == 0``).
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n, sigs=sigs)
+    if keep_zero_overlap:
+        # the zero-overlap branch references cand twice (verify lineage +
+        # the left join below); checkpoint the small pair-id relation so
+        # the LSH candidate pipeline isn't executed twice in one action
+        cand = cand.localCheckpoint(eager=True)
     sh = _widen(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
     ).withColumn("_size", F.size("_sh"))
@@ -434,6 +444,12 @@ def simhash_hamming_candidates(
     any pair within ``max_hamming < blocks`` distance shares at least one
     exact chunk → equi-join per chunk, then verify true Hamming distance."""
     assert bits % blocks == 0
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < blocks: a pair at distance "
+            f"{max_hamming} can differ in every one of {blocks} chunks and "
+            "would be silently missed — raise blocks or lower max_hamming"
+        )
     width = bits // blocks
     fp = simhash_fingerprints_agg(df, text_col, id_col, bits).withColumnRenamed(
         "simhash", "_fp"
@@ -492,12 +508,15 @@ def contamination_scores(
     standard n-gram-overlap test-set-leakage check (n=13 is the common
     choice for real corpora).
 
-    Shape at 100 TB: the corpus side is explode + per-doc aggregation (the
-    minhash shuffle pattern — map-side combine on (doc, gram)); the
-    benchmark n-gram set is DISTINCT'd and broadcast (eval/test suites are
-    MBs against a corpus of TBs — set ``broadcast_benchmark=False`` to
-    shuffle-join an unusually large one). A left anti/semi split keeps the
-    contaminated-gram count an aggregation, never a per-pair comparison.
+    Shape at 100 TB: ONE pass over the corpus — explode, LEFT-join the
+    broadcast benchmark gram set (map-side hash probe; the distinct'd
+    benchmark contributes at most one row per gram, so no fanout), then a
+    single per-doc aggregation counting total and matched grams together.
+    Eval/test suites are MBs against a corpus of TBs; set
+    ``broadcast_benchmark=False`` to shuffle-join an unusually large one
+    (the single-aggregation shape is unchanged). The earlier two-branch
+    form (semi-join hits + separate totals) consumed the exploded relation
+    twice, tokenizing the full corpus twice per call.
 
     Returns ``(id_col, n_grams, n_contaminated, contamination)`` for every
     document with at least one gram.
@@ -511,22 +530,15 @@ def contamination_scores(
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    flagged = doc_sh.join(bench_sh, "gram", "left_semi")
-    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = flagged.groupBy(id_col).agg(F.count("*").alias("n_contaminated"))
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"), 6
-            ).alias("contamination"),
-        )
+    marked = doc_sh.join(bench_sh, "gram", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("_hit").alias("n_contaminated"),
+        F.round(F.count("_hit") / F.count("*"), 6).alias("contamination"),
     )
 
 
@@ -553,6 +565,13 @@ def line_dedup(
 
     Returns ``(id_col, text_col, n_lines)`` — the cleaned text and its
     surviving line count.
+
+    The ``lines`` relation is deliberately NOT checkpointed even though the
+    census and the anti-join both consume it: exploded lines are the size
+    of the corpus text, so materializing them costs more storage than the
+    second columnar scan costs IO — the opposite trade from
+    ``corpus_vocabulary``'s checkpoint, whose distinct-terms projection is
+    much smaller than its source.
     """
     import re
 

@@ -96,7 +96,11 @@ def detect_language(col) -> Column:
     winner = F.lit(langs[-1])
     for lang in reversed(langs[:-1]):  # first lang reaching the max wins
         winner = F.when(counts[lang] == max_hits, F.lit(lang)).otherwise(winner)
-    return F.when(max_hits <= 0, F.lit("und")).otherwise(winner)
+    # positively gate on hits: for NULL text the aggregate (and max_hits)
+    # is NULL, and a `max_hits <= 0 → und` spelling would evaluate NULL →
+    # false and fall through the winner chain to the LAST language code —
+    # confidently mislabeling every NULL document
+    return F.when(max_hits > 0, winner).otherwise(F.lit("und"))
 
 
 def fingerprint(col) -> Column:
@@ -206,23 +210,30 @@ def pii_counts(col, strict: bool = False) -> tuple[Column, Column]:
     """(n_emails, n_phones) found in the column. ``strict`` adds the
     recall-oriented patterns (obfuscated emails, international phones).
 
-    Strict counting mirrors ``redact_pii``'s SEQUENTIAL application: the
-    extra patterns are counted on the text with the base matches already
-    masked, so a number like ``+1-555-123-4567`` — whose NANP core matches
-    the base pattern and whose whole span matches the international
-    pattern — counts once, not twice.
+    Counting mirrors ``redact_pii``'s SEQUENTIAL application exactly —
+    each pattern is counted on the text with every EARLIER pattern already
+    masked. Two consequences: a digit run inside an email local-part
+    (``555-123-4567@mail.com``) is an email, not a phone (the email mask
+    consumes it first, so n_phones agrees with the redacted output); and
+    in strict mode a number like ``+1-555-123-4567`` — whose NANP core
+    matches the base pattern and whose whole span matches the
+    international pattern — counts once, not twice.
     """
     c = col if isinstance(col, Column) else F.col(col)
     n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0)))
+    after_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
     if strict:
-        after_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
         n_email = n_email + F.size(
             F.regexp_extract_all(
                 after_email, F.lit(OBFUSCATED_EMAIL_PATTERN), F.lit(0)
             )
         )
-        after_phone = F.regexp_replace(c, PHONE_PATTERN, "[PHONE]")
+        after_email = F.regexp_replace(
+            after_email, OBFUSCATED_EMAIL_PATTERN, "[EMAIL]"
+        )
+    n_phone = F.size(F.regexp_extract_all(after_email, F.lit(PHONE_PATTERN), F.lit(0)))
+    if strict:
+        after_phone = F.regexp_replace(after_email, PHONE_PATTERN, "[PHONE]")
         n_phone = n_phone + F.size(
             F.regexp_extract_all(after_phone, F.lit(INTL_PHONE_PATTERN), F.lit(0))
         )
@@ -358,7 +369,6 @@ def corpus_vocabulary(
     min_df: int = 1,
     max_df_frac: float = 1.0,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus VOCABULARY with document-frequency filtering: distinct terms,
     their document frequency, and smoothed idf, dropping rare (< min_df
@@ -384,8 +394,15 @@ def corpus_vocabulary(
     n_docs = base.count()
     tok = base.select(F.explode("_terms").alias("term"))
     out = tok.groupBy("term").agg(F.count("*").alias("df"))
+    # cutoff spelled exactly as the oracle spells it (`df <= n * frac`,
+    # IEEE float64 product): for integer df this is equivalent to the old
+    # int() truncation, but the shared spelling makes the boundary contract
+    # visible — a decimal frac that is not float-representable (0.29·100 =
+    # 28.999…96) drops the exact-boundary term in BOTH engines, by IEEE,
+    # not by engine accident
     out = out.filter(
-        (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_docs))
+        (F.col("df") >= min_df)
+        & (F.col("df") <= F.lit(float(max_df_frac)) * F.lit(float(n_docs)))
     )
     return out.select(
         "term",

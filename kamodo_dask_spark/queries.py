@@ -2173,7 +2173,10 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id,
            len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(payload, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(
+                 regexp_replace(payload,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\d{3}-\\d{3}-\\d{4}'))::BIGINT AS n_phones,
            md5(regexp_replace(regexp_replace(payload,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_hash
@@ -2220,22 +2223,30 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN ' dial +44 20 ' || (7000 + doc_id % 1000) || ' 0958'
                           ELSE '' END
                AS payload
-      FROM documents)
+      FROM documents),
+    q AS (
+      SELECT doc_id, payload,
+             regexp_replace(
+               regexp_replace(payload,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[A-Za-z0-9._%+-]+ ?(?:\\[at\\]|\\(at\\)| at ) ?[A-Za-z0-9-]+ ?(?:\\[dot\\]|\\(dot\\)| dot ) ?[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS emasked
+      FROM p)
     SELECT doc_id,
            (len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
             + len(regexp_extract_all(
                 regexp_replace(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                 '[A-Za-z0-9._%+-]+ ?(?:\\[at\\]|\\(at\\)| at ) ?[A-Za-z0-9-]+ ?(?:\\[dot\\]|\\(dot\\)| dot ) ?[A-Za-z]{2,}')))::BIGINT AS n_emails,
-           (len(regexp_extract_all(payload, '\\d{3}-\\d{3}-\\d{4}'))
+           (len(regexp_extract_all(emasked, '\\d{3}-\\d{3}-\\d{4}'))
             + len(regexp_extract_all(
-                regexp_replace(payload, '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
+                regexp_replace(emasked, '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
                 '\\+\\d{1,3}[- .]?\\(?\\d{1,4}\\)?(?:[- .]\\d{2,4}){1,5}')))::BIGINT AS n_phones,
            md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '[A-Za-z0-9._%+-]+ ?(?:\\[at\\]|\\(at\\)| at ) ?[A-Za-z0-9-]+ ?(?:\\[dot\\]|\\(dot\\)| dot ) ?[A-Za-z]{2,}', '[EMAIL]', 'g'),
                  '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
                  '\\+\\d{1,3}[- .]?\\(?\\d{1,4}\\)?(?:[- .]\\d{2,4}){1,5}', '[PHONE]', 'g')) AS redacted_hash
-    FROM p
+    FROM q
     """,
 )
 def pii_redaction_strict(spark: SparkSession, sf_dir: str) -> DataFrame:

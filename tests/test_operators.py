@@ -809,3 +809,74 @@ def test_upsert_snapshot_null_key(spark):
         key=lambda t: (t[0] is None, t),
     )
     assert rows == [(1, "a"), (None, "fresh")]
+
+
+# ---------- round-4 review regression pins ----------
+
+def test_detect_language_null_text(spark):
+    """NULL text → 'und', not the last language code in the chain."""
+    df = spark.createDataFrame([(1, None), (2, "the of and is in")], "id long, text string")
+    out = {r["id"]: r["lang"] for r in df.select(
+        "id", detect_language(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "und"
+    assert out[2] == "en"
+
+
+def test_pii_counts_sequential_with_redaction(spark):
+    """A digit run inside an email local-part is an email, not a phone:
+    counts must agree with what redact_pii actually masks."""
+    from kamodo_dask_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach me: 555-123-4567@mail.com"), (2, "call 555-123-4567")],
+        "id long, text string",
+    )
+    n_e, n_p = pii_counts(F.col("text"))
+    rows = {r["id"]: r for r in df.select(
+        "id", n_e.alias("ne"), n_p.alias("np"),
+        redact_pii(F.col("text")).alias("red")).collect()}
+    assert rows[1]["ne"] == 1 and rows[1]["np"] == 0
+    assert "[PHONE]" not in rows[1]["red"] and "[EMAIL]" in rows[1]["red"]
+    assert rows[2]["np"] == 1 and "[PHONE]" in rows[2]["red"]
+
+
+def test_shingles_n1_empty_contract(spark):
+    """n=1 shingles follow the documented empty-text contract ([''])."""
+    from kamodo_dask_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(1, ""), (2, "one two")], "id long, text string")
+    out = {r["id"]: r["sh"] for r in df.select(
+        "id", shingles(F.col("text"), 1).alias("sh")).collect()}
+    assert out[1] == [""]
+    assert sorted(out[2]) == ["one", "two"]
+
+
+def test_simhash_hamming_candidates_precondition(spark):
+    """max_hamming >= blocks breaks the pigeonhole guarantee — must raise."""
+    from kamodo_dask_spark.operators.dedup import simhash_hamming_candidates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_candidates(df, blocks=4, max_hamming=5)
+
+
+def test_corpus_vocabulary_exact_boundary(spark):
+    """The max_df cutoff is the IEEE product `df <= frac·N`, spelled the
+    same way the DuckDB oracle spells it. Representable fractions keep the
+    exact-boundary term (0.5·100 = 50.0); non-representable ones drop it
+    in BOTH engines by IEEE rounding (0.29·100 = 28.999…96 < 29) — the
+    contract is engine-agreement, not decimal intuition."""
+    from kamodo_dask_spark.operators.text import corpus_vocabulary
+
+    rows = [
+        (i, ("half " if i < 50 else "") + ("pt29 " if i < 29 else "") + f"word{i}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    at_half = {r["term"]: r["df"] for r in
+               corpus_vocabulary(df, min_df=1, max_df_frac=0.5).collect()}
+    assert at_half.get("half") == 50          # representable boundary kept
+    at_29 = {r["term"]: r["df"] for r in
+             corpus_vocabulary(df, min_df=1, max_df_frac=0.29).collect()}
+    assert "pt29" not in at_29                # 0.29·100 < 29 in float64
+    assert 0.29 * 100 < 29                    # the IEEE fact this pins
