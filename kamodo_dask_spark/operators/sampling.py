@@ -14,11 +14,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 _BUCKETS = 10_000
 
 
-def split_bucket(col) -> Column:
-    """Deterministic bucket in [0, 10000) from a key column (md5-derived)."""
+def split_bucket(col, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from a key column (md5-derived).
+
+    COMPOSITION HAZARD — every operator in this module derives its
+    threshold from this same hash, so two unsalted operators applied to the
+    same key are perfectly correlated, not independent:
+    ``deterministic_sample(df, k, 0.2)`` keeps exactly buckets < 2000, and
+    a subsequent ``hash_split(sample, k, {"train": .8, "test": .2})``
+    assigns every survivor to train — the test split is silently EMPTY.
+    Pass a distinct ``salt`` per purpose (mixed into the md5 input) to
+    decorrelate stages; the default stays unsalted because each catalog
+    oracle reproduces the unsalted spelling.
+    """
     c = col if isinstance(col, Column) else F.col(col)
+    seeded = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("bigint")
         % _BUCKETS
     )
 
@@ -28,6 +40,7 @@ def hash_split(
     key_col: str,
     weights: dict[str, float],
     split_col: str = "split",
+    salt: str = "",
 ) -> DataFrame:
     """Assign each row to a named split by hashed key.
 
@@ -39,7 +52,7 @@ def hash_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = split_bucket(F.col(key_col))
+    bucket = split_bucket(F.col(key_col), salt)
     expr = None
     cum = 0.0
     names = list(weights)
@@ -51,11 +64,17 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
-def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
     """Keep a deterministic ~``fraction`` of rows by hashed key — the
     repeatable alternative to ``df.sample()`` (stable under retries,
-    re-runs, and engine changes)."""
-    return df.filter(split_bucket(F.col(key_col)) < int(round(fraction * _BUCKETS)))
+    re-runs, and engine changes). Pass a ``salt`` when composing with any
+    other operator in this module on the same key (see
+    :func:`split_bucket`'s composition hazard)."""
+    return df.filter(
+        split_bucket(F.col(key_col), salt) < int(round(fraction * _BUCKETS))
+    )
 
 
 def weighted_mixture(
@@ -64,6 +83,7 @@ def weighted_mixture(
     key_col: str,
     rates: dict[str, float],
     default_rate: float = 0.0,
+    salt: str = "",
 ) -> DataFrame:
     """Dataset MIXING: keep a per-source fraction of rows ("100% en, 50%
     de, 25% fr...") with deterministic hash-threshold acceptance — the
@@ -80,7 +100,7 @@ def weighted_mixture(
     for name, rate in {**rates, "default_rate": default_rate}.items():
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
-    bucket = split_bucket(F.col(key_col))
+    bucket = split_bucket(F.col(key_col), salt)
     thr = None
     for name, rate in rates.items():
         cond = F.col(stratum_col) == name

@@ -39,6 +39,10 @@ def bm25_topk(
     Lucene-style always-positive variant).
     """
     terms = [t.lower() for t in query_terms]
+    # NULL-text rows are excluded from the index: under non-ANSI Spark
+    # size(words(NULL)) is -1, which would enter avgdl and count the doc
+    # in N — corrupting every score's length normalization and idf
+    docs = docs.filter(F.col(text_col).isNotNull())
     # ONE scan of the corpus serves both the stats and the postings: each
     # row projects (id, doc length, POSITION-exploded matching terms) —
     # posexplode_outer keeps docs with NO matching term as a single

@@ -29,6 +29,30 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _round6_half_away(arr: np.ndarray) -> np.ndarray:
+    """Engine-portable 6-decimal rounding for the numpy paths:
+    sign·floor(|x|·10⁶ + 0.5)/10⁶ — the same HALF_UP convention as
+    ``F.round`` and DuckDB ``round``. ``np.round`` is half-to-EVEN, so an
+    exact half at the 6th decimal (reachable with integer-quantized
+    vectors) would make the numpy and expression implementations disagree
+    on a threshold/rank boundary."""
+    return np.sign(arr) * np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6
+
+
+def _window_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k epilogue shared by every retrieval operator: rank by
+    the TOTAL order (score desc, neighbor_id asc) so batch-local and
+    bucket-local top-k compose exactly, and ties are deterministic."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,10 +86,16 @@ def cosine_topk(
     ):
         impl = "expr"
     if impl == "expr":
+        # zero-norm vectors are EXCLUDED on both sides (cosine undefined):
+        # without the filter the expr path scores them NULL (sorted last)
+        # while the matmul path would score NaN (sorted FIRST by Spark's
+        # NaN-is-largest ordering) — contradictory results across impls
         q = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-        )
-        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        ).filter(norm(F.col("_qvec")) > 0)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ).filter(norm(F.col("_cvec")) > 0)
         scored = F.broadcast(q).crossJoin(c)
         if exclude_self:
             scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -76,14 +106,7 @@ def cosine_topk(
         )
     else:
         scored = _matmul_scores(corpus, queries, k, id_col, vec_col, query_id_col, exclude_self)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _window_topk(scored, k)
 
 
 def _matmul_scores(
@@ -99,12 +122,6 @@ def _matmul_scores(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
-    qids = qpdf[query_id_col].to_numpy()
-    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
-
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -113,6 +130,21 @@ def _matmul_scores(
         ]
     )
 
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        # np.vstack raises on zero arrays; the expr path returns empty —
+        # match it
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = qpdf[query_id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(Q, axis=1)
+    keep = qnorm > 0  # zero-norm queries excluded (cosine undefined)
+    qids, Q, qnorm = qids[keep], Q[keep], qnorm[keep]
+    if len(qids) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    Qn = Q / qnorm[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+
     def batches(it):
         q_ids, q_mat = bc.value
         for pdf in it:
@@ -120,8 +152,13 @@ def _matmul_scores(
                 continue
             ids = pdf[id_col].to_numpy()
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = np.round(Xn @ q_mat.T, 6)  # (batch, |Q|)
+            xnorm = np.linalg.norm(X, axis=1)
+            ok = xnorm > 0  # zero-norm corpus rows excluded, as in expr
+            if not ok.any():
+                continue
+            ids, X, xnorm = ids[ok], X[ok], xnorm[ok]
+            Xn = X / xnorm[:, None]
+            S = _round6_half_away(Xn @ q_mat.T)  # (batch, |Q|)
             rows = []
             for j, qid in enumerate(q_ids):
                 s = S[:, j]
@@ -185,8 +222,19 @@ def cosine_near_dup_pairs(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = np.round(Xn @ Xn.T, 6)
+        xnorm = np.linalg.norm(X, axis=1)
+        ok = xnorm > 0  # zero-norm rows excluded (cosine undefined)
+        ids, X, xnorm = ids[ok], X[ok], xnorm[ok]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype="int64"),
+                    "id_b": np.array([], dtype="int64"),
+                    "score": np.array([], dtype="float64"),
+                }
+            )
+        Xn = X / xnorm[:, None]
+        S = _round6_half_away(Xn @ Xn.T)
         ia, ib = np.triu_indices(len(ids), 1)  # ids sorted → id_a < id_b
         scores = S[ia, ib]
         mask = scores >= thr
@@ -269,6 +317,7 @@ def ivf_cosine_topk(
         .toPandas()
     )
     Xs = np.vstack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    Xs = Xs[np.linalg.norm(Xs, axis=1) > 0]  # zero vectors corrupt k-means
     Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
     C = _kmeans_lite(Xs, n_centroids, iters=10, seed=seed)
     bc = corpus.sparkSession.sparkContext.broadcast(C)
@@ -285,17 +334,32 @@ def ivf_cosine_topk(
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            out = pdf.copy()
-            out["_cell"] = np.argmax(Xn @ cents.T, axis=1).astype("int32")
-            yield out
+            xnorm = np.linalg.norm(X, axis=1)
+            ok = xnorm > 0  # zero-norm rows excluded from the index
+            if not ok.any():
+                continue
+            pdf, X, xnorm = pdf[ok].copy(), X[ok], xnorm[ok]
+            Xn = X / xnorm[:, None]
+            pdf["_cell"] = np.argmax(Xn @ cents.T, axis=1).astype("int32")
+            yield pdf
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
 
     # 3. probe lists per query (queries are small — driver-side)
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(Q, axis=1)
+    keep = qnorm > 0  # zero-norm queries excluded (cosine undefined)
+    qpdf, Q, qnorm = qpdf[keep].reset_index(drop=True), Q[keep], qnorm[keep]
+    if len(qpdf) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
+    Qn = Q / qnorm[:, None]
     probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
     probe_rows = [
         (int(qid), [float(x) for x in vec], int(cell))
@@ -306,7 +370,11 @@ def ivf_cosine_topk(
         probe_rows, "query_id long, _qvec array<double>, _cell int"
     )
 
-    # 4. candidates = corpus rows in probed cells; exact rescore + top-k
+    # 4. candidates = corpus rows in probed cells; exact rescore + top-k.
+    # Pairs are unique by construction — each corpus row lives in exactly
+    # one cell and a query's probe list has distinct cells — so there is no
+    # dedup step: a dropDuplicates here would shuffle the full candidate
+    # set (the largest relation in the job) for zero semantic effect.
     cand = F.broadcast(probes).join(assigned, on="_cell")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
@@ -314,13 +382,8 @@ def ivf_cosine_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
     )
+    return _window_topk(scored, k)
 
 
 def rademacher_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
@@ -361,6 +424,12 @@ def hyperplane_signature(vec_col, planes) -> Column:
     make ``zip_with`` null-pad, the dot sum go NULL, and every bit fall to
     0 — silently degrading the bucketed join to a cross product — so the
     mismatch raises per-row instead."""
+    planes = list(planes)
+    if len(planes) > 63:
+        raise ValueError(
+            f"{len(planes)} planes exceed the 63-bit signature budget "
+            "(bits 0..62 of a signed bigint; 1 << 63 overflows LongType)"
+        )
     dims = {len(plane) for plane in planes}
     if len(dims) != 1:
         raise ValueError(f"planes have inconsistent lengths: {sorted(dims)}")
@@ -439,14 +508,7 @@ def lsh_cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _window_topk(scored, k)
 
 
 def quantize_embedding(vec_col) -> Column:

@@ -38,6 +38,8 @@ def _row_salt(df: DataFrame, key_cols: list[str], salts: int, salt_on=None):
     positions reproduce), but unlike the content hash it is not stable
     under a repartition of the input — acceptable because the salt never
     reaches the output of the aggregates/joins it feeds."""
+    if isinstance(salt_on, str):  # a bare column name, not an iterable of
+        salt_on = [salt_on]  # them — list('value') would salt on 'v','a',…
     cols = list(salt_on) if salt_on else [c for c in df.columns if c not in key_cols]
     if not cols:
         return F.pmod(
@@ -106,7 +108,11 @@ def two_phase_agg(
             partial_aggs.append(F.sum(src).alias(f"_p_{out_col}"))
             final_aggs.append(F.sum(f"_p_{out_col}").alias(out_col))
         elif kind == "count":
-            partial_aggs.append(F.count("*").alias(f"_p_{out_col}"))
+            # SQL count semantics: count(*) for the bare string form (out
+            # column named after itself), count(col) — non-NULLs only —
+            # when the tuple form names a source column
+            src_count = F.count("*") if not isinstance(spec, tuple) else F.count(src)
+            partial_aggs.append(src_count.alias(f"_p_{out_col}"))
             final_aggs.append(F.sum(f"_p_{out_col}").alias(out_col))
         elif kind == "min":
             partial_aggs.append(F.min(src).alias(f"_p_{out_col}"))

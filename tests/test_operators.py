@@ -880,3 +880,75 @@ def test_corpus_vocabulary_exact_boundary(spark):
              corpus_vocabulary(df, min_df=1, max_df_frac=0.29).collect()}
     assert "pt29" not in at_29                # 0.29·100 < 29 in float64
     assert 0.29 * 100 < 29                    # the IEEE fact this pins
+
+
+def test_cosine_topk_zero_norm_and_empty_queries(spark):
+    """Zero-norm vectors are excluded in BOTH impls (matmul would rank a
+    NaN score FIRST under Spark's NaN-is-largest ordering, expr would sort
+    its NULL last — contradictory); empty query sets return empty."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("matmul", "expr"):
+        out = cosine_topk(df, df.filter("vec_id = 1"), k=3, impl=impl).collect()
+        assert [r["neighbor_id"] for r in out] == [2], impl
+        assert cosine_topk(df, df.filter("vec_id = 99"), k=3, impl=impl).count() == 0
+
+
+def test_two_phase_agg_count_source_column(spark):
+    """('count', src) counts non-NULLs like SQL count(col), not count(*)."""
+    from kamodo_dask_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 2.0), (2, None)], "k int, v double"
+    )
+    out = {r["k"]: (r["n_all"], r["n_v"]) for r in
+           two_phase_agg(df, "k", {"n_all": "count", "n_v": ("count", "v")}).collect()}
+    assert out[1] == (3, 2)
+    assert out[2] == (1, 0)
+
+
+def test_salted_join_string_salt_on(spark):
+    """salt_on='colname' means the named column, not its characters."""
+    from kamodo_dask_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "xx"), (1, "yy"), (2, "zz")], "k int, value string")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, d string")
+    rows = sorted((r["k"], r["value"], r["d"]) for r in
+                  salted_join(fact, dim, on="k", salt_on="value").collect())
+    assert rows == [(1, "xx", "a"), (1, "yy", "a"), (2, "zz", "b")]
+
+
+def test_split_bucket_salt_decorrelates(spark):
+    """Salted buckets are independent of the unsalted ones: composing
+    sample→split with a salt leaves both splits populated."""
+    from kamodo_dask_spark.operators.sampling import deterministic_sample, hash_split
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    sample = deterministic_sample(df, "doc_id", 0.2)
+    splits = hash_split(sample, "doc_id", {"train": 0.8, "test": 0.2}, salt="split")
+    counts = {r["split"]: r["n"] for r in
+              splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("test", 0) > 0 and counts.get("train", 0) > 0
+    # and the documented hazard is real: unsalted composition leaves test empty
+    unsalted = hash_split(sample, "doc_id", {"train": 0.8, "test": 0.2})
+    u = {r["split"]: r["n"] for r in
+         unsalted.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert u.get("test", 0) == 0
+
+
+def test_bm25_null_text_excluded(spark):
+    """NULL-text docs must not corrupt avgdl/N (size(NULL) = -1)."""
+    from kamodo_dask_spark.operators.search import bm25_topk
+
+    clean = spark.createDataFrame(
+        [(1, "spark engine fast"), (2, "slow boat"), (3, "spark spark")],
+        "doc_id long, text string",
+    )
+    with_null = clean.unionByName(
+        spark.createDataFrame([(4, None)], "doc_id long, text string")
+    )
+    a = [(r["doc_id"], r["score"]) for r in bm25_topk(clean, ["spark"]).collect()]
+    b = [(r["doc_id"], r["score"]) for r in bm25_topk(with_null, ["spark"]).collect()]
+    assert a == b
