@@ -454,31 +454,13 @@ def interpolate_points_broadcast(
             f"(= {' * '.join(map(str, shape))})"
         )
     axis_list, slabs = collected
-    spark = grid_df.sparkSession
-    bc = spark.sparkContext.broadcast((axis_list, slabs))
-
-    axes_l = list(axes)
-    fv = float(fill_value)
-
-    # Timestamps in point columns need epoch-seconds before the kernel.
-    pts_df = points_df
-    for ax in axes_l:
-        if dict(points_df.dtypes).get(ax) == "timestamp":
-            pts_df = pts_df.withColumn(ax, F.col(ax).cast("double"))
-    out_schema = T.StructType(
-        list(pts_df.schema.fields) + [T.StructField(m, T.DoubleType()) for m in measures]
-    )
-
-    def eval_batches(batches):
-        ax_arrs, slab_map = bc.value
-        for pdf in batches:
-            pts = pdf[axes_l].astype("float64").to_numpy()
-            res = pdf.copy()
-            for m, slab in slab_map.items():
-                res[m] = nlinear_interp(ax_arrs, slab, pts, fv)
-            yield res
-
-    return pts_df.mapInPandas(eval_batches, out_schema)
+    # Delegate to the fused kernel mapper: it preserves the input point
+    # schema EXACTLY (timestamp axes convert to epoch seconds inside the
+    # kernel, session-tz-aware). The earlier local implementation cast
+    # timestamp point columns to double in the OUTPUT, so the same query
+    # returned different schemas depending on which strategy the registry's
+    # size threshold picked.
+    return _fused_kernel_map(points_df, axes, measures, axis_list, slabs, fill_value)
 
 
 def gridded_eval(
@@ -488,6 +470,7 @@ def gridded_eval(
     measures: list[str] | None = None,
     fill_value: float = 0.0,
     strategy: str = "auto",
+    axis_arrays: dict[str, np.ndarray] | None = None,
 ) -> DataFrame:
     """Gridded (meshgrid) evaluation — the reference's ``@gridify`` functions
     ``var_ijkl(time=…, lon=…, lat=…, h=…)`` (kamodo_dask.py:343-348).
@@ -496,9 +479,15 @@ def gridded_eval(
     scalar or list. The query-point relation is the cross join of per-axis
     value sets (tiny inputs → cheap ``explode`` + ``crossJoin``), then point
     interpolation. Result stays a DataFrame: one row per mesh point.
+
+    ``strategy`` is forwarded to :func:`interpolate_points` (auto | corner |
+    broadcast — and validated there, so typos raise instead of silently
+    running auto). Pass ``axis_arrays`` (e.g. the registry's cached arrays)
+    to skip re-running the distinct-axis aggregation on every call — on a
+    big grid that is a full-table job per invocation.
     """
     coords = coords or {}
-    arrays = _axis_arrays(grid_df, axes)
+    arrays = axis_arrays or _axis_arrays(grid_df, axes)
     spark = grid_df.sparkSession
 
     def coerce(v) -> float:
@@ -530,4 +519,7 @@ def gridded_eval(
         return interpolate_points_broadcast(
             grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays
         )
-    return interpolate_points(grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays)
+    return interpolate_points(
+        grid_df, mesh, axes, measures, fill_value, axis_arrays=arrays,
+        strategy=strategy,
+    )

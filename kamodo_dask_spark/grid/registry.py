@@ -103,6 +103,7 @@ class KamodoSpark(dict):
                     [_m],
                     self.fill_value,
                     strategy="broadcast" if self.strategy == "broadcast" else "auto",
+                    axis_arrays=self._axis_arrays,
                 )
 
             point_fn.units = self.units[m]
@@ -169,6 +170,7 @@ class KamodoSpark(dict):
                 list(_deps),
                 self.fill_value,
                 strategy="broadcast" if self.strategy == "broadcast" else "auto",
+                axis_arrays=self._axis_arrays,
             )
             keep = [c for c in out.columns if c not in _deps]
             return out.select(*keep, F.expr(_expr).alias(name))

@@ -18,8 +18,35 @@ broadcast back. No single-partition Exchange anywhere in the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
+
+
+def _valid_ts(col: Column, dtype: str) -> Column:
+    """A timestamp value that defines a bracket position: non-NULL, and on
+    float axes non-NaN too — Spark sorts NaN GREATER than every double, so
+    an unguarded NaN would win every forward sort / ``max_by`` carry and
+    ghost-fill real matches (pandas ``merge_asof`` refuses NaN keys)."""
+    ok = col.isNotNull()
+    if dtype in ("double", "float"):
+        ok = ok & ~F.isnan(col)
+    return ok
+
+
+def _driver_epoch_micros(v) -> int:
+    """Epoch µs of a driver-side datetime-like (or ISO string): naive
+    values are SYSTEM-LOCAL — ``datetime.timestamp()`` semantics, matching
+    how ``createDataFrame`` ingests naive datetimes and the convention of
+    ``grid/interpolate._driver_epoch_seconds``. (``pd.Timestamp.value``
+    reads naive as UTC, which would shift every slot by the system's tz
+    offset on non-UTC drivers.)"""
+    import pandas as pd
+
+    if isinstance(v, str):
+        v = pd.Timestamp(v)
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    return int(round(v.timestamp() * 1_000_000))
 
 
 def asof_join(
@@ -55,13 +82,31 @@ def asof_join(
     """
     on = [on] if isinstance(on, str) else list(on or [])
     right_ts = right_ts or left_ts
-    # a NULL right timestamp defines no bracket position — drop such rows
-    # up front (backward's NULLS-FIRST sort would otherwise let them
-    # ghost-fill left rows that precede every valid right row)
-    right = right.filter(F.col(right_ts).isNotNull())
+    # a NULL (or, on double axes, NaN — Spark sorts NaN GREATER than every
+    # value, so a NaN-ts row would win the carry/slot max_by and ghost-fill
+    # real matches) right timestamp defines no bracket position — drop up
+    # front
+    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
     payload = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_ts = right_ts + suffix
+    # fail fast on output-name collisions: an opaque duplicate-column
+    # AnalysisException deep in the union/struct plan otherwise (e.g. a
+    # previous asof output fed back as the new left already has ts_matched)
+    taken = set(left.columns)
+    produced = []
+    for c in payload:
+        if out_names[c] in taken or out_names[c] in produced:
+            raise ValueError(
+                f"as-of output column {out_names[c]!r} collides — rename "
+                f"{c!r} on the right side (or the same name on the left)"
+            )
+        produced.append(out_names[c])
+    if matched_ts in taken or matched_ts in produced:
+        raise ValueError(
+            f"matched-timestamp column {matched_ts!r} collides with an "
+            "existing column — rename it or pass a different suffix"
+        )
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -141,7 +186,7 @@ def asof_join(
     # FIRST precedes every right row); forward orders ``_ts`` DESC NULLS
     # LAST, which would otherwise fill NULL-ts rows with the earliest right
     # row of their partition/bucket — guard explicitly for both directions.
-    has_ts = F.col(left_ts).isNotNull()
+    has_ts = _valid_ts(F.col(left_ts), dict(left.dtypes)[left_ts])
     out = out.select(
         *[c for c in left.columns],
         *[F.when(has_ts, F.col(c)).alias(c) for c in fill_cols],
@@ -205,7 +250,7 @@ def asof_uniform_grid(
     # NULL timestamps have no defined bracket; without this filter
     # greatest/least SKIP the NULL index and assign slot 0 / n_slots-1,
     # turning NULL-ts rows into ghost candidates at the grid edges
-    right = right.filter(F.col(right_ts).isNotNull())
+    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
 
     if direction == "backward":
         # first slot at-or-after the row: serves slots i ≥ ceil((ts-t0)/step)
@@ -281,7 +326,7 @@ def asof_uniform_grid_both(
     payload = [c for c in right.columns if c != right_ts]
     num = _ts_numeric(F.col(right_ts), ts_type)
     # NULL timestamps have no defined bracket (see asof_uniform_grid)
-    right = right.filter(F.col(right_ts).isNotNull())
+    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
 
     # backward: first slot at-or-after the row serves slots i ≥ ceil(...)
     idx_b = F.greatest(F.lit(0), F.ceil((num - F.lit(t0)) / F.lit(step)).cast("long"))
@@ -364,7 +409,7 @@ def _slot_params(start, step_seconds: float, ts_type: str):
     import pandas as pd
 
     if ts_type.startswith("timestamp"):
-        return pd.Timestamp(start).value // 1_000, int(round(step_seconds * 1_000_000)), True
+        return _driver_epoch_micros(start), int(round(step_seconds * 1_000_000)), True
     return float(start), float(step_seconds), False
 
 
@@ -420,7 +465,7 @@ def _keyless_fill(
         import pandas as pd
 
         if ts_type.startswith("timestamp"):
-            lo, hi = (pd.Timestamp(v).value // 1_000 for v in time_range)
+            lo, hi = (_driver_epoch_micros(v) for v in time_range)
         else:
             lo, hi = (float(v) for v in time_range)
     else:

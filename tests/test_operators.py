@@ -952,3 +952,51 @@ def test_bm25_null_text_excluded(spark):
     a = [(r["doc_id"], r["score"]) for r in bm25_topk(clean, ["spark"]).collect()]
     b = [(r["doc_id"], r["score"]) for r in bm25_topk(with_null, ["spark"]).collect()]
     assert a == b
+
+
+def test_asof_rejects_nan_right_ts_and_name_collisions(spark):
+    """NaN right timestamps are dropped (Spark sorts NaN greater than
+    everything — an unguarded NaN row would ghost-fill carries), and
+    output-name collisions fail fast instead of deep in the plan."""
+    left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, float("nan"), "ghost"), (1, 8.0, "real")], "k int, ts double, v string"
+    )
+    row = asof_join(left, right, on="k", left_ts="ts").collect()[0]
+    assert row["v"] == "real" and row["ts_matched"] == 8.0
+    # NaN LEFT ts gets no match either
+    left_nan = spark.createDataFrame([(1, float("nan"))], "k int, ts double")
+    row2 = asof_join(left_nan, right, on="k", left_ts="ts").collect()[0]
+    assert row2["v"] is None and row2["ts_matched"] is None
+
+    poisoned = left.withColumn("ts_matched", F.lit("taken"))
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(poisoned, right, on="k", left_ts="ts")
+
+
+def test_interpolate_broadcast_preserves_timestamp_schema(spark):
+    """All strategies return the SAME schema: the broadcast path used to
+    rewrite timestamp axis columns to double in the output, so the
+    registry's size threshold silently flipped schemas."""
+    from datetime import datetime
+
+    from kamodo_dask_spark.grid.interpolate import (
+        interpolate_points,
+        interpolate_points_broadcast,
+    )
+
+    import itertools
+    rows = [
+        (datetime(2024, 1, 1, 0, 10 * i), float(x), 1.0 + i + x)
+        for i, x in itertools.product(range(3), range(3))
+    ]
+    grid = spark.createDataFrame(rows, "time timestamp, x double, rho double")
+    pts = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 5), 0.5)], "time timestamp, x double"
+    )
+    b = interpolate_points_broadcast(grid, pts, ("time", "x"), ["rho"])
+    c = interpolate_points(grid, pts, ("time", "x"), ["rho"], strategy="corner")
+    assert dict(b.dtypes)["time"] == "timestamp"
+    assert dict(b.dtypes) == dict(c.dtypes)
+    bv, cv = b.collect()[0]["rho"], c.collect()[0]["rho"]
+    assert abs(bv - cv) < 1e-9
