@@ -111,6 +111,80 @@ def weighted_mixture(
     return df.filter(bucket < thr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    seq_len: int,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Training-SEQUENCE PACKING: lay every document's token stream end to
+    end in a deterministic order and cut the concatenation into fixed
+    ``seq_len``-token training sequences — the GPT-style
+    concat-and-chunk packing step between tokenization and batching.
+
+    Sequences are scoped **per shard**: each row is assigned to one of
+    ``n_shards`` streams by md5 bucket of its key, documents are laid out
+    within their shard in md5-rank order, and a sequence id is the pair
+    ``(shard, first_seq)``. Per-shard scoping is the scale design — a
+    single global stream would need a global sort plus a global running
+    sum (one task finishes last no matter the cluster), while shards give
+    ONE hash shuffle and an embarrassingly parallel per-partition running
+    sum; ``n_shards`` scales with the cluster, and shard streams are
+    consumed independently by data loaders. Everything is a pure function
+    of the keys, so retries, re-runs, and engine ports produce identical
+    layouts (the DuckDB oracle reproduces every offset exactly).
+
+    Rows with a non-positive token count are dropped — an empty document
+    occupies no tokens in the stream and would otherwise produce a
+    degenerate ``last_seq < first_seq`` row.
+
+    Returns the input's key plus ``shard``, ``n_tokens``, ``token_offset``
+    (position of the document's first token within its shard stream),
+    ``first_seq`` and ``last_seq`` (the range of ``seq_len``-token
+    training sequences the document's tokens land in; a document longer
+    than ``seq_len`` spans several).
+    """
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be ≥ 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    seeded = F.concat(F.lit(f"{salt}|"), key) if salt else key
+    rank_key = F.md5(seeded)
+    shard = F.conv(F.substring(rank_key, 1, 8), 16, 10).cast("bigint") % n_shards
+    n_tok = F.col(token_count_col).cast("bigint")
+    staged = (
+        df.filter(n_tok > 0)
+        .select(
+            F.col(key_col),
+            n_tok.alias("n_tokens"),
+            shard.alias("shard"),
+            rank_key.alias("_rk"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_rk", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        staged.withColumn("_cum", cum)
+        .select(
+            key_col,
+            "shard",
+            "n_tokens",
+            (F.col("_cum") - F.col("n_tokens")).alias("token_offset"),
+            F.expr(f"(_cum - n_tokens) DIV {seq_len}").alias("first_seq"),
+            F.expr(f"(_cum - 1) DIV {seq_len}").alias("last_seq"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -941,6 +941,84 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory_sink(agg, "stream_static_enrich_sink", "complete")
 
 
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (§2.9): attribute each purchase to the
+    click events by the same user in the preceding 2 hours — the funnel /
+    attribution join, run as a real Structured Streaming symmetric hash
+    join. Both sides are unbounded watermarked streams; the join key is the
+    EQUALITY on user_id (state is hash-partitioned on it — one shuffle per
+    side, uniform), and the 2-hour event-time range condition plus the
+    watermarks bound the buffered state: rows older than
+    ``watermark − 2 h`` can never match a future row and are evicted, so
+    state is proportional to the time window, not the stream history.
+    Inner-join matches emit as soon as both rows arrive (append mode).
+    Over a finite source the result equals the batch interval join, which
+    the DuckDB oracle states directly; the lag is compared in exact integer
+    microseconds so no float rounding is involved."""
+    from kamodo_dask_spark.sources.parquet import (
+        nanos_as_long,
+        parquet_ts_unit,
+        raw_int64_to_timestamp,
+    )
+
+    from kamodo_dask_spark.session import scoped_conf
+
+    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
+    with nanos_as_long(spark), scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
+    ):
+        def _event_stream():
+            s = spark.readStream.schema(_raw_events_schema()).parquet(
+                f"{sf_dir}/events*.parquet"
+            )
+            return s.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+
+        clicks = (
+            _event_stream()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            _event_stream()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner",
+        ).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+        return _run_to_memory_sink(joined, "stream_stream_join_sink", "append")
+
+
 _SESSIONIZE_GAP_S = 1800
 
 _SESSIONIZE_ORACLE = f"""
@@ -2481,6 +2559,46 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    f"""
+    WITH w AS (SELECT doc_id, len({_sql_words()})::BIGINT AS n_tokens FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 md5(doc_id::VARCHAR) AS rk,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+          FROM w WHERE n_tokens > 0),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY rk, doc_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM s)
+    SELECT doc_id, shard, n_tokens,
+           (cum - n_tokens) AS token_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing
+    (``operators/sampling.py::pack_sequences``): concatenate the corpus
+    token streams in deterministic md5 order within 8 hash shards and cut
+    each shard's stream into 512-token training sequences. ONE hash
+    shuffle + per-partition running sum (no global sort, no global
+    coordination — the scale property a single global stream lacks); every
+    offset is a pure function of the keys, so the oracle recomputes the
+    exact layout and the comparison pins token offsets and sequence spans
+    row by row."""
+    from kamodo_dask_spark.operators.sampling import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens_ws")
+    )
+    return pack_sequences(
+        with_counts, "doc_id", "n_tokens_ws", seq_len=512, n_shards=8
+    )
+
+
+@register(
     "unigram_logprob",
     f"""
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
@@ -2686,6 +2804,10 @@ DRIVER_WINDOW = 50
 # entries each get their first driver row. Rotate again next round so every
 # entry keeps at least one driver-green row on record.
 PARKED = [
+    "tumbling_1h",  # C6 batch; green r1-r3, subsumed by streaming_tumbling_1h
+    # (same oracle through the harder streaming path) — parked for
+    # stream_stream_join
+    "dense_time_grid",  # C7; green r1-r3 — parked for sequence_packing
     "midpoint",  # A2; green r1-r3 — parked for lsh_ann_topk
     "axis_values",  # A3; green r1-r3 — parked for stream_static_enrich
     "bounds",  # A1; green r1-r3 — parked for minhash_est_jaccard

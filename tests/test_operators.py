@@ -312,6 +312,60 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     assert tiny == 4
 
 
+def test_pack_sequences_layout_invariants(spark):
+    """Per-shard streams are gapless, order-deterministic, and the sequence
+    spans match a pure-python recomputation of the concat-and-chunk layout."""
+    import hashlib
+
+    from kamodo_dask_spark.operators.sampling import pack_sequences
+
+    n, seq_len, shards = 200, 50, 4
+    rows = [(i, (i * 37) % 120) for i in range(n)]  # includes zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", seq_len=seq_len, n_shards=shards)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    # python oracle: same md5 shard + rank, running offsets per shard
+    def md5(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    expected = {}
+    per_shard = {}
+    for doc_id, n_tok in rows:
+        if n_tok <= 0:
+            continue
+        per_shard.setdefault(int(md5(doc_id)[:8], 16) % shards, []).append(doc_id)
+    for shard, ids in per_shard.items():
+        off = 0
+        for doc_id in sorted(ids, key=lambda d: (md5(d), d)):
+            n_tok = (doc_id * 37) % 120
+            expected[doc_id] = {
+                "doc_id": doc_id,
+                "shard": shard,
+                "n_tokens": n_tok,
+                "token_offset": off,
+                "first_seq": off // seq_len,
+                "last_seq": (off + n_tok - 1) // seq_len,
+            }
+            off += n_tok
+    assert got == expected
+    # zero-token docs are dropped, everything else is present exactly once
+    assert len(got) == sum(1 for _, t in rows if t > 0)
+    # determinism: a second run yields the identical layout
+    again = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert again == got
+
+
+def test_pack_sequences_validates_params(spark):
+    from kamodo_dask_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", seq_len=10, n_shards=0)
+
+
 def test_bm25_scores_match_reference_formula(spark):
     import math
 
