@@ -536,3 +536,41 @@ def quantize_embedding(vec_col) -> Column:
         ).cast("int"),
     )
     return F.when(absmax > 0, q).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label embedding CENTROIDS (mean pooling): the reduction behind
+    class prototypes, cluster refinement, and domain-mix diagnostics.
+
+    Shape: ``posexplode`` each vector into (label, dim, value) rows, one
+    partial-combined aggregation keyed on (label, dim). The shuffle key is
+    (label, dim) — |labels| × dims groups, uniform by construction — and
+    the map-side combine means the exchange carries one (sum, count) pair
+    per group per task, NOT one row per vector element: at 100 TB the
+    shuffled volume is bounded by cardinality(label) × dims × tasks,
+    independent of corpus size. The output stays exploded (label, dim,
+    value) rather than re-collecting arrays — re-assembly would need a
+    per-label sort of dims, and every downstream consumer (centroid join,
+    nearest-centroid scoring) joins on (label, dim) anyway.
+
+    ``n_vecs`` counts vectors per label (from dim 0's group); the mean is
+    rounded to ``round_digits`` for engine-portable comparison.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return (
+        exploded.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), round_digits).alias(
+                "centroid_val"
+            ),
+            F.count("*").alias("n_vecs"),
+        )
+    )

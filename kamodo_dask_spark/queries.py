@@ -513,6 +513,42 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_1h_user",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (event-time moving aggregate): per user,
+    the count and value sum over the TRAILING HOUR of event time — the
+    rate-limit / burst-detection / rolling-feature primitive that ROWS
+    frames cannot express (the frame is defined by a time distance, not a
+    row count). One shuffle on user_id; within a partition Spark streams
+    the sorted rows with a sliding two-pointer frame, O(n) per partition.
+    The frame bound is exact integer MICROseconds over ``unix_micros`` so
+    both engines bracket identical row sets (an interval-typed bound would
+    hit each engine's timestamp-arithmetic corner cases instead)."""
+    ev = read_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
     "string_functions",
     """
     SELECT p_partkey,
@@ -1969,6 +2005,31 @@ def quantized_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    """
+    SELECT label, (i - 1)::BIGINT AS dim,
+           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val,
+           count(*)::BIGINT AS n_vecs
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling,
+    ``operators/similarity.py::label_centroids``): class prototypes /
+    cluster means. posexplode → ONE partial-combined aggregation on
+    (label, dim) — the shuffle carries one (sum, count) pair per group per
+    task, so at 100 TB the exchanged volume is |labels|×dims×tasks,
+    independent of corpus size. Output stays exploded (label, dim, value):
+    downstream centroid joins key on (label, dim), and re-collecting
+    arrays would add a per-label dim sort for nothing."""
+    from kamodo_dask_spark.operators.similarity import label_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
@@ -2808,6 +2869,9 @@ PARKED = [
     # (same oracle through the harder streaming path) — parked for
     # stream_stream_join
     "dense_time_grid",  # C7; green r1-r3 — parked for sequence_packing
+    "snap_to_grid",  # F5/A4; green r1-r3 — parked for rolling_1h_user
+    "dedup_exact_groups",  # green r1-r3; dedup_keep_first stays in-window
+    # as the exact-dedup family representative — parked for label_centroids
     "midpoint",  # A2; green r1-r3 — parked for lsh_ann_topk
     "axis_values",  # A3; green r1-r3 — parked for stream_static_enrich
     "bounds",  # A1; green r1-r3 — parked for minhash_est_jaccard
