@@ -40,6 +40,7 @@ STREAMING_QUERIES = {
     "sessionization",
     "streaming_dedup",
     "stream_static_enrich",
+    "stream_stream_join",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged
@@ -68,6 +69,9 @@ SF01_BUDGETS = {
     "streaming_sliding_30m": 3.0,
     "stream_static_enrich": 3.5,
     "dedup_clusters": 4.5,
+    # ~2.6-2.9 s warm (symmetric hash join state machinery); budget catches
+    # an unbounded-state or per-batch-replan regression
+    "stream_stream_join": 5.0,
 }
 
 

@@ -2215,6 +2215,78 @@ def _langid_sql() -> str:
     """
 
 
+def _cluster_reps_oracle() -> str:
+    """dedup_clusters' recursive-CTE transitive closure joined to the
+    text-quality formula, representative = max quality (tie → min doc_id)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_near_dup_oracle(bands=8)}),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT s.s, r.lbl FROM sym s JOIN reach r ON s.d = r.v
+    ),
+    lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+    j AS (SELECT l.doc_id, l.cluster_id, q.quality
+          FROM lab l JOIN q USING (doc_id)),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM j GROUP BY 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id) AS rn
+          FROM j)
+    SELECT r.cluster_id, r.doc_id AS rep_doc_id, s.cluster_size,
+           r.quality AS rep_quality
+    FROM r JOIN sz s USING (cluster_id) WHERE rn = 1
+    """
+
+
+@register("cluster_representatives", _cluster_reps_oracle())
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferring near-dup RESOLUTION — the production composition
+    that turns pair candidates into a keep-list: LSH candidates → exact
+    Jaccard verify → connected components → per cluster keep the
+    HIGHEST-QUALITY member (tie → min doc_id), not an arbitrary canonical
+    id. Per-cluster choice is one ``row_number`` window over the
+    (rounded) quality score — both engines rank the same rounded values,
+    so the representative is deterministic cross-engine. Scale shape: the
+    quality join is hash-uniform on doc_id, the window partitions by
+    cluster_id (clusters are small by construction — near-dup graphs are
+    sparse after LSH gating), and everything upstream reuses
+    ``dedup_clusters``' bounded-fan-out machinery."""
+    from kamodo_dask_spark.operators.dedup import connected_components, near_dup_pairs
+    from kamodo_dask_spark.operators.text import quality_score
+    from kamodo_dask_spark.session import scoped_conf
+
+    docs = read_table(spark, sf_dir, "documents")
+    # same scoped shuffle sizing + eager-checkpoint contract as dedup_clusters
+    with scoped_conf(spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}):
+        pairs = near_dup_pairs(docs, shingle_n=3, threshold=0.35, k=16, bands=8)
+        cc = connected_components(pairs.select("id_a", "id_b"))
+        clustered = cc.select(
+            F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        quality = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        joined = clustered.join(quality, "doc_id")
+        sizes = joined.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+        reps = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .join(sizes, "cluster_id")
+            .select(
+                "cluster_id",
+                F.col("doc_id").alias("rep_doc_id"),
+                "cluster_size",
+                F.col("quality").alias("rep_quality"),
+            )
+        )
+        return reps.localCheckpoint(eager=True)
+
+
 @register("language_id", _langid_sql())
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -2872,6 +2944,9 @@ PARKED = [
     "snap_to_grid",  # F5/A4; green r1-r3 — parked for rolling_1h_user
     "dedup_exact_groups",  # green r1-r3; dedup_keep_first stays in-window
     # as the exact-dedup family representative — parked for label_centroids
+    "cosine_near_dups",  # green r1-r3; the embedding-similarity family
+    # keeps similarity_topk/quantized/ann_ivf/lsh_ann in-window — parked
+    # for cluster_representatives
     "midpoint",  # A2; green r1-r3 — parked for lsh_ann_topk
     "axis_values",  # A3; green r1-r3 — parked for stream_static_enrich
     "bounds",  # A1; green r1-r3 — parked for minhash_est_jaccard
