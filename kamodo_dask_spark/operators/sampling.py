@@ -14,6 +14,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 _BUCKETS = 10_000
 
 
+def seeded_md5(col, salt: str = "") -> Column:
+    """md5 of the stringified key, optionally prefixed ``{salt}|`` — the
+    ONE seeding spelling every operator in this module (and its DuckDB
+    oracles) must share; see :func:`split_bucket`'s composition hazard."""
+    c = col if isinstance(col, Column) else F.col(col)
+    seeded = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
+    return F.md5(seeded)
+
+
+def md5_prefix_bucket(md5_col: Column, modulus: int) -> Column:
+    """First 8 hex chars of an md5 → bigint in [0, modulus) — the
+    engine-portable bucket parse (DuckDB: ``('0x' || substr(md5, 1,
+    8))::BIGINT % modulus``)."""
+    return F.conv(F.substring(md5_col, 1, 8), 16, 10).cast("bigint") % modulus
+
+
 def split_bucket(col, salt: str = "") -> Column:
     """Deterministic bucket in [0, 10000) from a key column (md5-derived).
 
@@ -27,12 +43,7 @@ def split_bucket(col, salt: str = "") -> Column:
     decorrelate stages; the default stays unsalted because each catalog
     oracle reproduces the unsalted spelling.
     """
-    c = col if isinstance(col, Column) else F.col(col)
-    seeded = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
-    return (
-        F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("bigint")
-        % _BUCKETS
-    )
+    return md5_prefix_bucket(seeded_md5(col, salt), _BUCKETS)
 
 
 def hash_split(
@@ -152,10 +163,8 @@ def pack_sequences(
         raise ValueError(f"seq_len must be ≥ 1, got {seq_len}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
-    key = F.col(key_col).cast("string")
-    seeded = F.concat(F.lit(f"{salt}|"), key) if salt else key
-    rank_key = F.md5(seeded)
-    shard = F.conv(F.substring(rank_key, 1, 8), 16, 10).cast("bigint") % n_shards
+    rank_key = seeded_md5(F.col(key_col), salt)
+    shard = md5_prefix_bucket(rank_key, n_shards)
     n_tok = F.col(token_count_col).cast("bigint")
     staged = (
         df.filter(n_tok > 0)

@@ -558,8 +558,12 @@ def label_centroids(
     per-label sort of dims, and every downstream consumer (centroid join,
     nearest-centroid scoring) joins on (label, dim) anyway.
 
-    ``n_vecs`` counts vectors per label (from dim 0's group); the mean is
-    rounded to ``round_digits`` for engine-portable comparison.
+    ``n_vecs`` is emitted on every (label, dim) row and counts the vectors
+    contributing to THAT dim's mean — on a fixed-dimension corpus that is
+    the per-label vector count replicated per dim; with ragged vectors it
+    shrinks for dims beyond the shorter vectors (by design: it is the
+    divisor of the mean on its own row). The mean is rounded to
+    ``round_digits`` for engine-portable comparison.
     """
     exploded = df.select(
         F.col(label_col).alias("label"),

@@ -985,7 +985,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events c JOIN events p
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
-     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+     AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 2 HOUR
+                             AND p.ts::TIMESTAMP
     """,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,13 +1681,15 @@ def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_oracle() -> str:
-    """Connected components over the near-dup pair graph, as a DuckDB
-    recursive CTE: reach = every label reachable from a vertex; the
-    component id is the min. The recursive UNION deduplicates rows, so the
-    fixpoint terminates."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_near_dup_oracle(bands=8)}),
+def _components_closure_sql(bands: int = 8) -> str:
+    """The recursive-CTE transitive closure over the near-dup pair graph,
+    shared by every clustering oracle (``dedup_clusters``,
+    ``cluster_representatives``): reach = every label reachable from a
+    vertex; the recursive UNION deduplicates rows, so the fixpoint
+    terminates. Callers prepend ``WITH RECURSIVE`` and append their own
+    tail CTEs/SELECT; the chain ends at
+    ``lab (doc_id, cluster_id = min reachable label)``."""
+    return f"""pairs AS ({_near_dup_oracle(bands=bands)}),
     sym AS (SELECT id_a AS s, id_b AS d FROM pairs
             UNION ALL SELECT id_b, id_a FROM pairs),
     verts AS (SELECT DISTINCT s AS v FROM sym),
@@ -1695,7 +1698,14 @@ def _dedup_clusters_oracle() -> str:
         UNION
         SELECT s.s, r.lbl FROM sym s JOIN reach r ON s.d = r.v
     ),
-    lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)"""
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the near-dup pair graph (shared closure
+    + a cluster-size tail)."""
+    return f"""
+    WITH RECURSIVE {_components_closure_sql()},
     sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
     SELECT l.doc_id, l.cluster_id, s.cluster_size
     FROM lab l JOIN sz s USING (cluster_id)
@@ -2216,19 +2226,10 @@ def _langid_sql() -> str:
 
 
 def _cluster_reps_oracle() -> str:
-    """dedup_clusters' recursive-CTE transitive closure joined to the
+    """dedup_clusters' transitive closure (shared CTE chain) joined to the
     text-quality formula, representative = max quality (tie → min doc_id)."""
     return f"""
-    WITH RECURSIVE pairs AS ({_near_dup_oracle(bands=8)}),
-    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs),
-    verts AS (SELECT DISTINCT s AS v FROM sym),
-    reach(v, lbl) AS (
-        SELECT v, v FROM verts
-        UNION
-        SELECT s.s, r.lbl FROM sym s JOIN reach r ON s.d = r.v
-    ),
-    lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    WITH RECURSIVE {_components_closure_sql()},
     q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
     j AS (SELECT l.doc_id, l.cluster_id, q.quality
           FROM lab l JOIN q USING (doc_id)),

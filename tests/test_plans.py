@@ -297,3 +297,35 @@ def test_interp_1d_single_scan_no_cache(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "InMemoryTableScan" not in plan, plan
     assert plan.count("Generate explode") == 1, plan
+
+
+def test_sequence_packing_single_exchange(spark):
+    """One hash shuffle on shard, then a streaming per-partition window —
+    the layout must never plan a global (SinglePartition / rangepartition)
+    sort, which would serialize the running sum."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["sequence_packing"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_rolling_window_single_exchange_no_global_sort(spark):
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["rolling_1h_user"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_label_centroids_partial_aggregation(spark):
+    """The (label, dim) aggregation must combine map-side so the exchange
+    carries per-group partials, not one row per vector element."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["label_centroids"](spark, SF))
+    assert "partial_avg" in plan or "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
