@@ -578,3 +578,50 @@ def label_centroids(
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine — the k-means
+    E-step / cluster-labeling pass.
+
+    ``centroids`` is driver-side data (|labels| × dims floats — metadata-
+    sized by definition: it is the OUTPUT of :func:`label_centroids`, whose
+    cardinality is independent of corpus size). The centroid matrix is
+    inlined as literal arrays, so the plan is a pure map: per row, one
+    rounded cosine per centroid and a row-local argmax via ``array_max``
+    over (score, −label) structs (struct comparison is lexicographic, so
+    ties break toward the SMALLEST label — deterministic cross-engine on
+    the rounded scores). ZERO shuffles, no join, no window: at 100 TB the
+    cost is a single scan however many executors run it.
+
+    Rows with a NULL vector are dropped (they have no defined assignment).
+    Zero-norm vectors yield a NULL score and are dropped likewise — a
+    divide-by-zero cosine is undefined, not "closest to label 0".
+    """
+    v = F.col(vec_col)
+    structs = []
+    for label, vec in centroids:
+        c_arr = F.array(*[F.lit(float(x)) for x in vec])
+        score = F.round(cosine(v, c_arr), round_digits)
+        structs.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(-int(label)).cast("bigint").alias("neg_label"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            F.col(id_col),
+            (-best["neg_label"]).cast("bigint").alias("assigned_label"),
+            best["score"].alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
+    )

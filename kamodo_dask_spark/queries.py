@@ -2040,6 +2040,59 @@ def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nearest_centroid",
+    """
+    WITH cent AS (
+      SELECT label, (i - 1)::BIGINT AS dim,
+             round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY 1, 2),
+    cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+    v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM v GROUP BY 1),
+    dots AS (SELECT v.vec_id, cent.label, sum(v.x * cent.c) AS dp
+             FROM v JOIN cent USING (dim) GROUP BY 1, 2),
+    scored AS (SELECT d.vec_id, d.label,
+                      round(d.dp / (vn.vnorm * cn.cnorm), 6) AS score
+               FROM dots d JOIN vn USING (vec_id) JOIN cn USING (label)
+               WHERE vn.vnorm > 0 AND cn.cnorm > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, label) AS rn
+          FROM scored)
+    SELECT vec_id, label::BIGINT AS assigned_label, score FROM r WHERE rn = 1
+    """,
+)
+def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / cluster-labeling
+    pass, ``operators/similarity.py::nearest_centroid_assign``): compute
+    per-label centroids, then assign every vector to its nearest centroid
+    by rounded cosine. The centroid matrix is the OUTPUT of
+    ``label_centroids`` — |labels| × dims values, corpus-size-independent,
+    i.e. metadata-sized by construction — so collecting it and inlining it
+    as literals is the scale design, not a shortcut: the assignment pass
+    itself is a ZERO-shuffle map-only scan (row-local argmax over
+    (score, −label) structs; ties break to the smallest label in both
+    engines). The oracle recomputes centroids, norms, and the argmax
+    relationally."""
+    from kamodo_dask_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # |labels| × dims rows — the documented metadata-sized collect
+    cent_rows = label_centroids(emb).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_val"]
+    centroids = [
+        (lbl, [dims[i] for i in sorted(dims)]) for lbl, dims in sorted(by_label.items())
+    ]
+    return nearest_centroid_assign(emb, centroids)
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
@@ -2945,6 +2998,8 @@ PARKED = [
     "snap_to_grid",  # F5/A4; green r1-r3 — parked for rolling_1h_user
     "dedup_exact_groups",  # green r1-r3; dedup_keep_first stays in-window
     # as the exact-dedup family representative — parked for label_centroids
+    "simhash_fingerprints",  # green r1-r3; SimHash stays locally
+    # parity-checked — parked for nearest_centroid
     "cosine_near_dups",  # green r1-r3; the embedding-similarity family
     # keeps similarity_topk/quantized/ann_ivf/lsh_ann in-window — parked
     # for cluster_representatives

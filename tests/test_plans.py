@@ -329,3 +329,14 @@ def test_label_centroids_partial_aggregation(spark):
     plan = executed_plan(QUERIES["label_centroids"](spark, SF))
     assert "partial_avg" in plan or "partial_sum" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_nearest_centroid_assignment_zero_exchange(spark):
+    """The centroid matrix is collected (metadata-sized) before the plan is
+    built, so the assignment itself must be a map-only scan — no shuffle,
+    no join, no window."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["nearest_centroid"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
