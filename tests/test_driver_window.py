@@ -5,30 +5,30 @@ registration can never silently evict an entry that still needs its first
 driver-green row.
 """
 
+import glob
+import json
+import os
+
 from kamodo_dask_spark.queries import DRIVER_WINDOW, ORACLES, PARKED, QUERIES
 
-#: Entries registered in rounds 2-3 past the old window — no driver
-#: CORRECTNESS row exists for them before round 4. They MUST occupy
-#: positions < DRIVER_WINDOW until a driver-green row is on record.
-NEVER_DRIVER_CHECKED = [
-    "ann_ivf_topk",
-    "dataset_split",
-    "text_quality",
-    "language_id",
-    "doc_fingerprints",
-    "multimodal_features",
-    "repetition_scores",
-    "pii_redaction",
-    "bm25_search",
-    "stratified_sample",
-    "multimodal_decode",
-]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _never_driver_checked() -> list[str]:
+    """Catalog entries with NO row in any recorded CORRECTNESS_r*.json —
+    derived, not hardcoded, so entries added in any future round are
+    protected automatically. They MUST occupy positions < DRIVER_WINDOW
+    until a driver-green row is on record."""
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked.update(json.load(f))
+    return [n for n in QUERIES if n not in checked]
 
 
 def test_never_checked_entries_inside_window():
     order = list(QUERIES)
-    for name in NEVER_DRIVER_CHECKED:
-        assert name in QUERIES, f"{name} vanished from the catalog"
+    for name in _never_driver_checked():
         pos = order.index(name)
         assert pos < DRIVER_WINDOW, (
             f"{name} at position {pos} — outside the driver's "
@@ -46,13 +46,9 @@ def test_only_parked_entries_outside_window():
 
 def test_parked_entries_have_three_green_rounds():
     """Only entries with recorded driver-green rows may be parked."""
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = []
     for r in ("01", "02", "03"):
-        path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
+        path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 rounds.append(json.load(f))
