@@ -600,28 +600,52 @@ def nearest_centroid_assign(
     the rounded scores). ZERO shuffles, no join, no window: at 100 TB the
     cost is a single scan however many executors run it.
 
-    Rows with a NULL vector are dropped (they have no defined assignment).
-    Zero-norm vectors yield a NULL score and are dropped likewise — a
-    divide-by-zero cosine is undefined, not "closest to label 0".
+    The vector's self-norm is projected ONCE and reused across all k
+    scores (the HOF expressions are interpreted — no common-subexpression
+    elimination would deduplicate k ``norm(v)`` evaluations), and each
+    centroid's norm is a Python-computed literal.
+
+    Row contract (explicit, mirrored by filters rather than left to NULL
+    propagation, which under ANSI mode would raise DIVIDE_BY_ZERO instead):
+    NULL vectors, zero-norm vectors, and vectors whose length differs from
+    the centroid dimensionality are DROPPED — none has a defined
+    assignment (``zip_with`` null-pads a short vector, which would
+    otherwise silently poison the dot product). Zero-norm centroids are
+    skipped (cosine against them is undefined).
     """
+    import math
+
+    dims = len(centroids[0][1]) if centroids else 0
     v = F.col(vec_col)
     structs = []
     for label, vec in centroids:
+        if len(vec) != dims:
+            raise ValueError(
+                f"centroid {label!r} has {len(vec)} dims, expected {dims}"
+            )
+        cnorm = math.sqrt(sum(float(x) * float(x) for x in vec))
+        if cnorm == 0.0:
+            continue
         c_arr = F.array(*[F.lit(float(x)) for x in vec])
-        score = F.round(cosine(v, c_arr), round_digits)
+        score = F.round(
+            dot(v, c_arr) / (F.col("_vnorm") * F.lit(cnorm)), round_digits
+        )
         structs.append(
             F.struct(
                 score.alias("score"),
                 F.lit(-int(label)).cast("bigint").alias("neg_label"),
             )
         )
+    if not structs:
+        raise ValueError("no non-degenerate centroids to assign against")
     best = F.array_max(F.array(*structs))
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & (F.size(v) == dims))
+        .select(F.col(id_col), v, norm(v).alias("_vnorm"))
+        .filter(F.col("_vnorm") > 0)
         .select(
             F.col(id_col),
             (-best["neg_label"]).cast("bigint").alias("assigned_label"),
             best["score"].alias("score"),
         )
-        .filter(F.col("score").isNotNull())
     )

@@ -2049,7 +2049,8 @@ def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
     v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
-          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
     vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM v GROUP BY 1),
     dots AS (SELECT v.vec_id, cent.label, sum(v.x * cent.c) AS dp
              FROM v JOIN cent USING (dim) GROUP BY 1, 2),
@@ -2085,9 +2086,16 @@ def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = label_centroids(emb).collect()
     by_label: dict[int, dict[int, float]] = {}
     for r in cent_rows:
+        if r["label"] is None:  # NULL labels have no assignable centroid
+            continue            # (the oracle's USING(label) joins drop them)
         by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_val"]
+    n_dims = 1 + max(d for dims in by_label.values() for d in dims)
     centroids = [
-        (lbl, [dims[i] for i in sorted(dims)]) for lbl, dims in sorted(by_label.items())
+        (lbl, [dims[i] for i in sorted(dims)])
+        for lbl, dims in sorted(by_label.items())
+        # a label missing dims (all-short ragged vectors) has no full-rank
+        # centroid; the assignment contract requires equal dimensionality
+        if len(dims) == n_dims
     ]
     return nearest_centroid_assign(emb, centroids)
 

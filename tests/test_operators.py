@@ -366,6 +366,38 @@ def test_pack_sequences_validates_params(spark):
         pack_sequences(df, "doc_id", "n_tok", seq_len=10, n_shards=0)
 
 
+def test_nearest_centroid_edge_contract(spark):
+    """NULL / zero-norm / wrong-dimension vectors are DROPPED (not crashed
+    on under ANSI mode, not silently NULL-poisoned by zip_with padding);
+    zero-norm centroids are skipped; ties break to the smallest label."""
+    from pyspark.sql import types as T
+
+    from kamodo_dask_spark.operators.similarity import nearest_centroid_assign
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [
+        (1, [1.0, 0.0]),      # → label 0 (exact match)
+        (2, [0.0, 1.0]),      # → label 1
+        (3, [1.0, 1.0]),      # equidistant → tie breaks to label 0
+        (4, [0.0, 0.0]),      # zero norm → dropped
+        (5, None),            # NULL → dropped
+        (6, [1.0]),           # wrong dims → dropped
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]  # label 2 skipped
+    got = {r["vec_id"]: r["assigned_label"] for r in nearest_centroid_assign(df, cents).collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
+    with pytest.raises(ValueError):
+        nearest_centroid_assign(df, [(0, [0.0, 0.0])])  # no usable centroid
+    with pytest.raises(ValueError):
+        nearest_centroid_assign(df, [(0, [1.0]), (1, [1.0, 0.0])])  # ragged centroids
+
+
 def test_bm25_scores_match_reference_formula(spark):
     import math
 
