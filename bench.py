@@ -72,6 +72,8 @@ SF01_BUDGETS = {
     # ~2.6-2.9 s warm (symmetric hash join state machinery); budget catches
     # an unbounded-state or per-batch-replan regression
     "stream_stream_join": 5.0,
+    # ~2.0 s warm (CC rounds + quality join); shares dedup_clusters' shape
+    "cluster_representatives": 4.5,
 }
 
 
