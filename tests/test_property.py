@@ -314,3 +314,49 @@ def test_key_only_relation_still_spreads_hot_key(spark):
     counts = {r["k"]: r["n"] for r in two_phase_agg(
         df, "k", {"n": "count"}, salts=8).collect()}
     assert counts == {0: 1000, 1: 1000}
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    seq_len=st.integers(1, 64),
+    n_shards=st.integers(1, 6),
+)
+@settings(max_examples=12, deadline=None)
+def test_pack_sequences_matches_python_oracle(spark, seed, seq_len, n_shards):
+    """Arbitrary token counts / seq_len / shard counts: the distributed
+    layout equals a sequential python recomputation of the md5-sharded
+    concat-and-chunk packing (offsets gapless per shard, spans exact)."""
+    import hashlib
+
+    from kamodo_dask_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 80))
+    counts = rng.integers(0, 5 * seq_len, n)
+    rows = [(int(i), int(c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", seq_len=seq_len, n_shards=n_shards)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def md5(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    per_shard: dict[int, list[int]] = {}
+    for doc_id, n_tok in rows:
+        if n_tok > 0:
+            per_shard.setdefault(int(md5(doc_id)[:8], 16) % n_shards, []).append(doc_id)
+    expected = {}
+    for shard, ids in per_shard.items():
+        off = 0
+        for doc_id in sorted(ids, key=lambda d: (md5(d), d)):
+            n_tok = dict(rows)[doc_id]
+            expected[doc_id] = {
+                "doc_id": doc_id,
+                "shard": shard,
+                "n_tokens": n_tok,
+                "token_offset": off,
+                "first_seq": off // seq_len,
+                "last_seq": (off + n_tok - 1) // seq_len,
+            }
+            off += n_tok
+    assert got == expected
