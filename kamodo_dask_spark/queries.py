@@ -513,6 +513,33 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_enrich_join",
+    """
+    WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
+                 FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, d.type_avg
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact-to-dim join through the driver (completing the skew
+    toolkit's catalog coverage next to ``skewed_event_counts``'
+    two-phase agg): events (5 heavy-hitter event_type keys — every key is
+    a straggler under plain hash partitioning) joined to a per-type
+    aggregate via ``operators/skew.py::salted_join``. The fact side gets a
+    deterministic content-hash salt, the 5-row dim replicates ×8, and the
+    join key becomes (event_type, salt) — each hot key spreads over 8
+    tasks. The oracle is the PLAIN join: salting must be invisible in the
+    result."""
+    from kamodo_dask_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    out = salted_join(ev, dim, on="event_type", salts=8)
+    return out.select("event_id", "event_type", "type_avg")
+
+
+@register(
     "rolling_1h_user",
     """
     SELECT event_id, user_id,
@@ -3006,6 +3033,8 @@ PARKED = [
     "snap_to_grid",  # F5/A4; green r1-r3 — parked for rolling_1h_user
     "dedup_exact_groups",  # green r1-r3; dedup_keep_first stays in-window
     # as the exact-dedup family representative — parked for label_centroids
+    "jaccard_near_dups",  # green r1-r3; near_dup_cascade exercises the
+    # same exact-Jaccard verify in-window — parked for salted_enrich_join
     "simhash_fingerprints",  # green r1-r3; SimHash stays locally
     # parity-checked — parked for nearest_centroid
     "cosine_near_dups",  # green r1-r3; the embedding-similarity family

@@ -340,3 +340,14 @@ def test_nearest_centroid_assignment_zero_exchange(spark):
     plan = executed_plan(QUERIES["nearest_centroid"](spark, SF))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_salted_enrich_join_spreads_key(spark):
+    """The catalog's salted join must actually join on (key, salt): the
+    plan carries the salt column into the join keys and replicates the
+    small side (explode), so each hot key spans `salts` tasks."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["salted_enrich_join"](spark, SF))
+    assert "_salt" in plan, plan
+    assert "xxhash64" in plan, plan
