@@ -273,6 +273,8 @@ def run() -> dict:
     # the minimum is the signal.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    import gc
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = float("inf")
@@ -288,6 +290,14 @@ def run() -> dict:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Release the previous query's driver-held state between entries:
+        # several entries return eagerly localCheckpoint-ed plans whose RDD
+        # blocks are freed only when the ContextCleaner sees the DataFrame
+        # garbage-collected — across an 85-entry session the leftover
+        # blocks inflate LATER entries' JVM GC time (observed: the same
+        # repetition_scores plan 1.2 s warm standalone vs 2.2 s at
+        # catalog position 38, breaching its own budget).
+        gc.collect()
 
     # best-of-2 like the other micros: single runs have shown 1.7× phantom
     # regressions from host contention (r4: 1.2 → 2.0 s with no code diff)
