@@ -50,7 +50,8 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
 #: block the suite; run strict before a round ships. As of round 4 all 82
 #: entries pass strict at sf0.01, and the default-tolerance suite also passes
 #: wholesale at sf0.1 (10x the driver scale — catches scale-dependent
-#: threshold/boundary bugs the small fixture cannot).
+#: threshold/boundary bugs the small fixture cannot) AND at sf0.001 (the
+#: tiny fixture exercises empty/degenerate-relation edges).
 STRICT = os.environ.get("PARITY_STRICT", "") == "1"
 
 
