@@ -198,6 +198,35 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(
+    sig: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a :func:`minhash_signatures` relation into its LSH band
+    relation ``(id, band, band_hash[, extra_cols...])`` — the shared band
+    construction for the symmetric self-join (:func:`minhash_lsh_candidates`)
+    and the asymmetric incremental join (:func:`incremental_near_dups`).
+    ``extra_cols`` carries per-doc flags through the explode."""
+    assert k % bands == 0
+    r = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * r + j}") for j in range(r)]
+        band_hash = F.md5(F.concat_ws(",", *cols))
+        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash")))
+    return sig.select(
+        id_col, *extra_cols, F.explode(F.array(*band_structs)).alias("_b")
+    ).select(
+        id_col,
+        *extra_cols,
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -219,16 +248,8 @@ def minhash_lsh_candidates(
     exactly once instead of twice.
     """
     assert k % bands == 0
-    r = k // bands
     sig = sigs if sigs is not None else minhash_signatures(df, text_col, id_col, k, shingle_n)
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * r + j}") for j in range(r)]
-        band_hash = F.md5(F.concat_ws(",", *cols))
-        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash")))
-    banded = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    banded = banded_signatures(sig, id_col, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -348,6 +369,25 @@ def near_dup_pairs(
     exists to measure (only meaningful with ``threshold == 0``).
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n, sigs=sigs)
+    return verify_candidates(
+        df, cand, text_col, id_col, shingle_n, threshold, keep_zero_overlap
+    )
+
+
+def verify_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.35,
+    keep_zero_overlap: bool = False,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of a candidate pair relation
+    ``(id_a, id_b)`` — the shared verify stage behind :func:`near_dup_pairs`
+    and :func:`incremental_near_dups`: token streams are semi-restricted to
+    candidate docs before the join, so verify work is proportional to the
+    candidate set, never the corpus."""
     if keep_zero_overlap:
         # the zero-overlap branch references cand twice (verify lineage +
         # the left join below); checkpoint the small pair-id relation so
@@ -384,6 +424,58 @@ def near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def incremental_near_dups(
+    df: DataFrame,
+    is_new_col: str = "is_new",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.35,
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: dedup a NEW batch against the full
+    corpus (existing ∪ new) without ever re-checking existing × existing —
+    the steady-state ingestion shape. A daily batch is a fraction of the
+    accumulated corpus; symmetric dedup would redo the existing-corpus
+    self-join every day, while this emits exactly the pairs where AT LEAST
+    ONE side is new.
+
+    Shape: one MinHash pass over everything (in production the existing
+    side's signatures are precomputed and this pass touches only the
+    batch), band explode carrying the ``is_new_col`` flag, and the band
+    equi-join takes ``(a.is_new OR b.is_new)`` as a JOIN predicate — the
+    existing×existing candidate space (quadratic in corpus age) is pruned
+    inside the join, never materialized. Exact-Jaccard verification then
+    runs on the surviving candidates only (:func:`verify_candidates`).
+
+    Output: ``(id_a, id_b, jaccard)`` with id_a < id_b, J >= threshold,
+    at least one side new.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    flags = df.select(id_col, F.col(is_new_col).cast("boolean").alias("_new"))
+    banded = banded_signatures(
+        sig.join(flags, id_col), id_col, k, bands, extra_cols=("_new",)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a._new") | F.col("b._new")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return verify_candidates(df, cand, text_col, id_col, shingle_n, threshold)
 
 
 def simhash(col, bits: int = 48, shingle_n: int = 1) -> Column:

@@ -1536,7 +1536,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_oracle(
-    k: int = 16, bands: int = 4, threshold: float = 0.35, with_estimate: bool = False
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.35,
+    with_estimate: bool = False,
+    incremental_new_bucket: int | None = None,
 ) -> str:
     """LSH-candidate exact-Jaccard SQL; ``with_estimate`` appends the
     MinHash estimator (fraction of agreeing signature components) next to
@@ -1574,6 +1578,17 @@ def _near_dup_oracle(
     SELECT id_a, id_b, round(common / (sa + sb - common), 6) AS jaccard
     FROM common
     WHERE round(common / (sa + sb - common), 6) >= {threshold}"""
+    if incremental_new_bucket is None:
+        cand_pred = ""
+    else:
+        bucket = "(('0x' || substr(md5({a}.doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
+        cand_pred = (
+            "WHERE ("
+            + bucket.format(a="a")
+            + f" >= {incremental_new_bucket} OR "
+            + bucket.format(a="b2")
+            + f" >= {incremental_new_bucket})"
+        )
     return f"""
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
     sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
@@ -1583,7 +1598,8 @@ def _near_dup_oracle(
     bands AS ({band_selects}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
              FROM bands a JOIN bands b2
-               ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+               ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
+             {cand_pred}),
     tok AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
     common AS (
       SELECT c.id_a, c.id_b, ta.sz AS sa, tb.sz AS sb, count(*) AS common
@@ -1593,6 +1609,31 @@ def _near_dup_oracle(
       GROUP BY 1, 2, 3, 4)
     {final}
     """
+
+
+def _incremental_dedup_oracle() -> str:
+    return _near_dup_oracle(bands=8, incremental_new_bucket=9000)
+
+
+@register("incremental_dedup", _incremental_dedup_oracle())
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup (``operators/dedup.py::incremental_near_dups``):
+    near-dups of a NEW batch (the 10% of docs with md5 bucket ≥ 9000 —
+    simulating today's ingest) against the full corpus, with the
+    existing×existing candidate space pruned INSIDE the band join — the
+    steady-state shape where symmetric dedup would redo a quadratic-in-
+    corpus-age self-join every day. The oracle is the shared cascade SQL
+    with the same bucket predicate added to its candidate CTE, so the
+    signature/band/verify machinery cannot fork between the symmetric and
+    incremental entries."""
+    from kamodo_dask_spark.operators.dedup import incremental_near_dups
+    from kamodo_dask_spark.operators.sampling import split_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    flagged = docs.withColumn("is_new", split_bucket(F.col("doc_id")) >= 9000)
+    return incremental_near_dups(
+        flagged, "is_new", shingle_n=3, threshold=0.35, k=16, bands=8
+    )
 
 
 @register("near_dup_cascade", _near_dup_oracle(bands=8))
@@ -3033,6 +3074,8 @@ PARKED = [
     "snap_to_grid",  # F5/A4; green r1-r3 — parked for rolling_1h_user
     "dedup_exact_groups",  # green r1-r3; dedup_keep_first stays in-window
     # as the exact-dedup family representative — parked for label_centroids
+    "minhash_lsh_pairs",  # green r1-r3; near_dup_cascade + estimator keep
+    # the signature/band machinery in-window — parked for incremental_dedup
     "jaccard_near_dups",  # green r1-r3; near_dup_cascade exercises the
     # same exact-Jaccard verify in-window — parked for salted_enrich_join
     "simhash_fingerprints",  # green r1-r3; SimHash stays locally

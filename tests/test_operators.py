@@ -366,6 +366,34 @@ def test_pack_sequences_validates_params(spark):
         pack_sequences(df, "doc_id", "n_tok", seq_len=10, n_shards=0)
 
 
+def test_incremental_near_dups_excludes_existing_pairs(spark):
+    """Asymmetric dedup: pairs among EXISTING docs never surface; pairs
+    with at least one NEW side match the symmetric cascade's output."""
+    from kamodo_dask_spark.operators.dedup import incremental_near_dups, near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, False),                      # existing
+        (2, base, False),                      # existing dup of 1 → suppressed
+        (3, base.replace("dog", "cat"), True),  # new near-dup of 1 and 2
+        (4, "entirely different content about spark physics engines", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_dups(df, "is_new", threshold=0.3, bands=8).collect()
+    }
+    assert (1, 2) not in inc  # existing x existing pruned
+    assert (1, 3) in inc and (2, 3) in inc  # new side kept
+    # equivalence: incremental == symmetric minus existing x existing
+    sym = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(df, threshold=0.3, bands=8).collect()
+    }
+    new_ids = {3, 4}
+    assert inc == {p for p in sym if p[0] in new_ids or p[1] in new_ids}
+
+
 def test_nearest_centroid_edge_contract(spark):
     """NULL / zero-norm / wrong-dimension vectors are DROPPED (not crashed
     on under ANSI mode, not silently NULL-poisoned by zip_with padding);
