@@ -174,6 +174,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 16,
     shingle_n: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signatures via explode + partial-aggregated groupBy.
 
@@ -182,10 +183,16 @@ def minhash_signatures(
     ``MINHASH_PRIME`` note for why P must be small enough to actually
     wrap); the k mins map-side combine, so the shuffle carries k longs per
     document. This is the 100 TB shape.
-    Output: (id_col, m0..m{k-1}). Docs with no shingles drop out.
+    Output: (id_col, m0..m{k-1}[, carry_cols...]). Docs with no shingles
+    drop out. ``carry_cols`` names per-doc columns (constant within a doc,
+    e.g. a batch flag) to carry through the aggregation as extra GROUP BY
+    keys — zero extra scans or joins, and the key cardinality is unchanged
+    because the carried values are functionally dependent on the id.
     """
-    sh = _widen(df).select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh"))
-    tok = _explode_nonempty(sh, [id_col], "_sh", "_s").withColumn(
+    sh = _widen(df).select(
+        F.col(id_col), *carry_cols, shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    tok = _explode_nonempty(sh, [id_col, *carry_cols], "_sh", "_s").withColumn(
         "_h", hash48(F.col("_s"), digits=10)
     )
     aggs = [
@@ -195,7 +202,7 @@ def minhash_signatures(
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(_lcg_constants(k))
     ]
-    return tok.groupBy(id_col).agg(*aggs)
+    return tok.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
 def banded_signatures(
@@ -380,7 +387,7 @@ def verify_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    threshold: float = 0.35,
+    threshold: float = 0.6,
     keep_zero_overlap: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of a candidate pair relation
@@ -432,9 +439,10 @@ def incremental_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    threshold: float = 0.35,
+    threshold: float = 0.6,
     k: int = 16,
     bands: int = 8,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: dedup a NEW batch against the full
     corpus (existing ∪ new) without ever re-checking existing × existing —
@@ -443,35 +451,56 @@ def incremental_near_dups(
     self-join every day, while this emits exactly the pairs where AT LEAST
     ONE side is new.
 
-    Shape: one MinHash pass over everything (in production the existing
-    side's signatures are precomputed and this pass touches only the
-    batch), band explode carrying the ``is_new_col`` flag, and the band
-    equi-join takes ``(a.is_new OR b.is_new)`` as a JOIN predicate — the
-    existing×existing candidate space (quadratic in corpus age) is pruned
-    inside the join, never materialized. Exact-Jaccard verification then
-    runs on the surviving candidates only (:func:`verify_candidates`).
+    Shape: the band relation is FILTERED to new docs before the join, so
+    the join is (batch-sized new bands) ⋈ (full corpus bands) — linear in
+    corpus size, broadcastable at production corpus-to-batch ratios, and
+    the existing×existing space (quadratic in corpus age) is never
+    enumerated, not even as filtered-out join probes. Pairs normalize to
+    id_a < id_b (a new×new collision arrives from both sides; distinct
+    collapses it). Exact-Jaccard verification then runs on the surviving
+    candidates only (:func:`verify_candidates`).
+
+    ``sigs`` supplies a precomputed :func:`minhash_signatures` relation
+    (id + m0..m{k-1}) covering the corpus — the production path where the
+    existing side's signatures are stored and only the batch is hashed;
+    the flag column is joined onto it by id. Without ``sigs``, signatures
+    are computed in one pass with the flag carried through the aggregation
+    (no extra scan or join).
+
+    A NULL (or un-castable) ``is_new_col`` value raises at execution
+    rather than silently classifying the row as existing — a batch loader
+    that forgot to set the flag would otherwise get a near-empty result
+    and pass its duplicates into the corpus.
 
     Output: ``(id_a, id_b, jaccard)`` with id_a < id_b, J >= threshold,
     at least one side new.
     """
-    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    flags = df.select(id_col, F.col(is_new_col).cast("boolean").alias("_new"))
-    banded = banded_signatures(
-        sig.join(flags, id_col), id_col, k, bands, extra_cols=("_new",)
+    flag = F.col(is_new_col).cast("boolean")
+    checked = F.when(flag.isNotNull(), flag).otherwise(
+        F.raise_error(
+            F.lit(f"incremental_near_dups: NULL or non-boolean {is_new_col} flag")
+        )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    flagged = df.withColumn("_new", checked)
+    if sigs is None:
+        sig = minhash_signatures(
+            flagged, text_col, id_col, k, shingle_n, carry_cols=("_new",)
+        )
+    else:
+        sig = sigs.join(flagged.select(id_col, "_new"), id_col)
+    banded = banded_signatures(sig, id_col, k, bands, extra_cols=("_new",))
+    new_side = banded.filter(F.col("_new")).drop("_new")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a._new") | F.col("b._new")),
+        new_side.alias("n")
+        .join(
+            banded.drop("_new").alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"c.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
         )
         .distinct()
     )

@@ -392,6 +392,25 @@ def test_incremental_near_dups_excludes_existing_pairs(spark):
     }
     new_ids = {3, 4}
     assert inc == {p for p in sym if p[0] in new_ids or p[1] in new_ids}
+    # sigs= passthrough (production path: precomputed corpus signatures)
+    from kamodo_dask_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(df)
+    inc2 = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_dups(
+            df, "is_new", threshold=0.3, bands=8, sigs=sigs
+        ).collect()
+    }
+    assert inc2 == inc
+    # NULL flag is a misconfiguration → execution error, not silent drop
+    import pyspark.errors
+
+    broken = spark.createDataFrame(
+        [(1, base, None), (2, base, True)], "doc_id long, text string, is_new boolean"
+    )
+    with pytest.raises(pyspark.errors.PySparkException):
+        incremental_near_dups(broken, "is_new", threshold=0.3, bands=8).collect()
 
 
 def test_nearest_centroid_edge_contract(spark):
