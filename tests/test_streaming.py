@@ -57,6 +57,52 @@ def test_stream_grid_files_windowed(spark, grid_dir):
         assert r["min_T[K]"] is not None
 
 
+def _write_tiny_grid_file(src, base, minutes: int, second_offset: int = 0):
+    """Two-row grid parquet named by its timestamp (the file-source fixture
+    shared by the watermark and checkpoint-recovery tests)."""
+    from datetime import timedelta
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = base + timedelta(minutes=minutes, seconds=second_offset)
+    pq.write_table(
+        pa.table(
+            {
+                "lon": np.array([0.0, 1.0]),
+                "lat": np.array([0.0, 1.0]),
+                "h": np.array([1.0, 2.0]),
+                "rho[kg/m^3]": np.array([1.0, 2.0]),
+                "T[K]": np.array([1.0, 2.0]),
+            }
+        ),
+        src / f"{ts.strftime('%Y-%m-%dT%H-%M-%S')}.parquet",
+    )
+
+
+def _run_checkpointed_trigger(spark, src, ckpt: str, sink: str, transform=None):
+    """One availableNow trigger over a shared checkpoint into a parquet
+    sink; asserts the trigger actually finished (a silent
+    awaitTermination timeout would otherwise leave the query running into
+    the next restart) and stops the query handle."""
+    stream = stream_grid_files(spark, str(src), GRID_SCHEMA)
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "streaming trigger did not finish in 120s"
+    finally:
+        q.stop()
+
+
 def test_late_file_dropped_by_watermark(spark, tmp_path):
     """A file whose timestamp falls behind the watermark when it arrives is
     excluded from finalized windows (the late-data contract). Two triggers
@@ -64,45 +110,25 @@ def test_late_file_dropped_by_watermark(spark, tmp_path):
     delivers a too-late file plus a fresh one."""
     from datetime import datetime, timedelta
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     src = tmp_path / "late_src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     base = datetime(2024, 3, 1)
-
-    def write_file(minutes: int, second_offset: int = 0):
-        ts = base + timedelta(minutes=minutes, seconds=second_offset)
-        pq.write_table(
-            pa.table(
-                {
-                    "lon": np.array([0.0, 1.0]),
-                    "lat": np.array([0.0, 1.0]),
-                    "h": np.array([1.0, 2.0]),
-                    "rho[kg/m^3]": np.array([1.0, 2.0]),
-                    "T[K]": np.array([1.0, 2.0]),
-                }
-            ),
-            src / f"{ts.strftime('%Y-%m-%dT%H-%M-%S')}.parquet",
-        )
-
     sink = str(tmp_path / "late_sink")
 
+    def write_file(minutes: int, second_offset: int = 0):
+        _write_tiny_grid_file(src, base, minutes, second_offset)
+
     def run_trigger():
-        stream = stream_grid_files(spark, str(src), GRID_SCHEMA)
-        stats = stream_windowed_stats(stream, ts_col="time", window="10 minutes",
-                                      watermark="20 minutes")
-        q = (
-            stats.writeStream.format("parquet")
-            .option("path", sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        _run_checkpointed_trigger(
+            spark,
+            src,
+            ckpt,
+            sink,
+            transform=lambda s: stream_windowed_stats(
+                s, ts_col="time", window="10 minutes", watermark="20 minutes"
+            ),
         )
-        q.awaitTermination(120)
 
     # trigger 1: files at 00:00..01:00 → watermark advances to 00:40
     for m in range(0, 70, 10):
@@ -197,11 +223,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     arrived while it was down — the exactly-once file-source contract that
     production ingestion relies on. Three runs share one checkpoint; the
     sink must end with every source row exactly once."""
-    from datetime import datetime, timedelta
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from datetime import datetime
 
     src = tmp_path / "rec_src"
     src.mkdir()
@@ -210,31 +232,10 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     base = datetime(2024, 3, 1)
 
     def write_file(minutes: int):
-        ts = base + timedelta(minutes=minutes)
-        pq.write_table(
-            pa.table(
-                {
-                    "lon": np.array([0.0, 1.0]),
-                    "lat": np.array([0.0, 1.0]),
-                    "h": np.array([1.0, 2.0]),
-                    "rho[kg/m^3]": np.array([float(minutes), 2.0]),
-                    "T[K]": np.array([1.0, 2.0]),
-                }
-            ),
-            src / f"{ts.strftime('%Y-%m-%dT%H-%M-%S')}.parquet",
-        )
+        _write_tiny_grid_file(src, base, minutes)
 
     def run_trigger():
-        stream = stream_grid_files(spark, str(src), GRID_SCHEMA)
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        _run_checkpointed_trigger(spark, src, ckpt, sink)
 
     # run 1: two files committed
     write_file(0)
