@@ -114,6 +114,23 @@ def _driver_epoch_seconds(v) -> float:
     return v.timestamp()
 
 
+def coerce_axis_value(v) -> float:
+    """Axis value → float64 in axis units: numerics pass through,
+    datetime-likes (the natural spelling for a timestamp axis) convert to
+    epoch seconds with driver-side (system-local naive) semantics — the
+    same interpretation applied to ``collect()``-derived axis values, so a
+    user coordinate and the axis array it is compared against always live
+    in the same frame. Shared by ``gridded_eval`` and the registry's
+    ``plot_data``."""
+    if isinstance(v, str):
+        import pandas as pd
+
+        return _driver_epoch_seconds(pd.Timestamp(v))
+    if hasattr(v, "timestamp"):
+        return _driver_epoch_seconds(v)
+    return float(v)
+
+
 def _axis_arrays(
     grid_df: DataFrame,
     axes: tuple[str, ...],
@@ -490,18 +507,7 @@ def gridded_eval(
     arrays = axis_arrays or _axis_arrays(grid_df, axes)
     spark = grid_df.sparkSession
 
-    def coerce(v) -> float:
-        """Axis value → float64 in axis units: numerics pass through,
-        datetime-likes (the natural spelling for a timestamp axis) convert
-        to epoch seconds with driver-side (system-local naive) semantics —
-        the same interpretation createDataFrame applies to naive inputs."""
-        if isinstance(v, str):
-            import pandas as pd
-
-            return _driver_epoch_seconds(pd.Timestamp(v))
-        if hasattr(v, "timestamp"):
-            return _driver_epoch_seconds(v)
-        return float(v)
+    coerce = coerce_axis_value
 
     mesh = None
     for ax in axes:

@@ -221,7 +221,12 @@ class KamodoSpark(dict):
         bad = set(partial) - set(self.axes)
         if bad:
             raise ValueError(f"plot_partial axes not in grid: {sorted(bad)}")
-        fixed = {ax: float(v) for ax, v in partial.items()}
+        # same coercion as gridded_eval: datetime / pd.Timestamp / ISO
+        # string are the natural spellings for a timestamp axis (float()
+        # alone would reject them)
+        from kamodo_dask_spark.grid.interpolate import coerce_axis_value
+
+        fixed = {ax: coerce_axis_value(v) for ax, v in partial.items()}
         free = [ax for ax in self.axes if ax not in fixed]
         if not free:
             raise ValueError("plot_partial fixes every axis — nothing to plot")

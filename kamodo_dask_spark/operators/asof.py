@@ -33,20 +33,23 @@ def _valid_ts(col: Column, dtype: str) -> Column:
     return ok
 
 
-def _driver_epoch_micros(v) -> int:
+def _driver_epoch_micros(v, tz: str = "UTC") -> int:
     """Epoch µs of a driver-side datetime-like (or ISO string): naive
-    values are SYSTEM-LOCAL — ``datetime.timestamp()`` semantics, matching
-    how ``createDataFrame`` ingests naive datetimes and the convention of
-    ``grid/interpolate._driver_epoch_seconds``. (``pd.Timestamp.value``
-    reads naive as UTC, which would shift every slot by the system's tz
-    offset on non-UTC drivers.)"""
+    values are localized in ``tz`` — the SPARK SESSION time zone of the
+    caller. These values are compared against ``unix_micros(ts)``, the
+    TRUE UTC epoch of stored instants, so naive wall-clock parameters must
+    be read in the same zone that relates the data's wall-clock to its
+    instants: the session tz (pinned UTC by ``get_spark``). System-local
+    ``datetime.timestamp()`` semantics — correct for ``collect()`` output,
+    which Spark renders in SYSTEM tz (see
+    ``grid/interpolate._driver_epoch_seconds``) — would shift every slot
+    by the host's tz offset on a non-UTC driver."""
     import pandas as pd
 
-    if isinstance(v, str):
-        v = pd.Timestamp(v)
-    if hasattr(v, "to_pydatetime"):
-        v = v.to_pydatetime()
-    return int(round(v.timestamp() * 1_000_000))
+    ts = pd.Timestamp(v)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(tz)
+    return int(ts.value // 1_000)
 
 
 def asof_join(
@@ -86,7 +89,8 @@ def asof_join(
     # value, so a NaN-ts row would win the carry/slot max_by and ghost-fill
     # real matches) right timestamp defines no bracket position — drop up
     # front
-    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
+    ts_type = dict(right.dtypes)[right_ts]
+    right = right.filter(_valid_ts(F.col(right_ts), ts_type))
     payload = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_ts = right_ts + suffix
@@ -113,7 +117,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.col(left_ts).alias("_ts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(matched_ts),
+        F.lit(None).cast(ts_type).alias(matched_ts),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in on],
@@ -240,7 +244,8 @@ def asof_uniform_grid(
     contract as :func:`asof_join`.
     """
     ts_type = dict(right.dtypes)[right_ts]
-    t0, step, is_ts = _slot_params(start, step_seconds, ts_type)
+    session_tz = right.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    t0, step, is_ts = _slot_params(start, step_seconds, ts_type, session_tz)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
@@ -250,7 +255,7 @@ def asof_uniform_grid(
     # NULL timestamps have no defined bracket; without this filter
     # greatest/least SKIP the NULL index and assign slot 0 / n_slots-1,
     # turning NULL-ts rows into ghost candidates at the grid edges
-    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
+    right = right.filter(_valid_ts(F.col(right_ts), ts_type))
 
     if direction == "backward":
         # first slot at-or-after the row: serves slots i ≥ ceil((ts-t0)/step)
@@ -321,12 +326,13 @@ def asof_uniform_grid_both(
     :func:`asof_uniform_grid`: max payload tuple at equal timestamps.
     """
     ts_type = dict(right.dtypes)[right_ts]
-    t0, step, is_ts = _slot_params(start, step_seconds, ts_type)
+    session_tz = right.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    t0, step, is_ts = _slot_params(start, step_seconds, ts_type, session_tz)
 
     payload = [c for c in right.columns if c != right_ts]
     num = _ts_numeric(F.col(right_ts), ts_type)
     # NULL timestamps have no defined bracket (see asof_uniform_grid)
-    right = right.filter(_valid_ts(F.col(right_ts), dict(right.dtypes)[right_ts]))
+    right = right.filter(_valid_ts(F.col(right_ts), ts_type))
 
     # backward: first slot at-or-after the row serves slots i ≥ ceil(...)
     idx_b = F.greatest(F.lit(0), F.ceil((num - F.lit(t0)) / F.lit(step)).cast("long"))
@@ -402,14 +408,17 @@ def _ts_numeric(col, dtype: str):
     return col.cast("double")
 
 
-def _slot_params(start, step_seconds: float, ts_type: str):
+def _slot_params(start, step_seconds: float, ts_type: str, tz: str = "UTC"):
     """(t0, step, is_ts) in the axis's numeric image — µs integers for
     timestamp axes, doubles otherwise. Shared by the single- and
-    dual-direction uniform-grid forms so slot arithmetic stays in lockstep."""
-    import pandas as pd
-
+    dual-direction uniform-grid forms so slot arithmetic stays in lockstep.
+    ``tz`` is the session time zone, used to localize naive ``start``."""
     if ts_type.startswith("timestamp"):
-        return _driver_epoch_micros(start), int(round(step_seconds * 1_000_000)), True
+        return (
+            _driver_epoch_micros(start, tz),
+            int(round(step_seconds * 1_000_000)),
+            True,
+        )
     return float(start), float(step_seconds), False
 
 
@@ -462,10 +471,9 @@ def _keyless_fill(
     num = _ts_numeric(F.col("_ts"), ts_type)
 
     if time_range is not None:
-        import pandas as pd
-
         if ts_type.startswith("timestamp"):
-            lo, hi = (_driver_epoch_micros(v) for v in time_range)
+            tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+            lo, hi = (_driver_epoch_micros(v, tz) for v in time_range)
         else:
             lo, hi = (float(v) for v in time_range)
     else:

@@ -62,9 +62,23 @@ def interval_join(
     if how == "inner":
         return inner
     # left: re-attach points with no surviving match (either no bucket hit
-    # or every bucket hit failed the refine) with NULL interval columns
-    matched = inner.select(*points.columns).distinct()
-    missing = points.join(matched, on=points.columns, how="left_anti")
+    # or every bucket hit failed the refine) with NULL interval columns.
+    # The anti-join must be NULL-SAFE: plain equality would fail to
+    # recognize a matched row containing a NULL point column and re-emit
+    # it as a spurious unmatched copy. Renamed right side avoids the
+    # ambiguous-self-join trap (matched descends from points).
+    matched = inner.select(
+        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+    ).distinct()
+    cond = None
+    for c in points.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+        cond = eq if cond is None else cond & eq
+    missing = points.join(matched, on=cond, how="left_anti")
+    # NULL-extend only the interval-side columns: the shared ``on`` keys
+    # belong to the point row and must keep their values
     for c, t in intervals.dtypes:
+        if c in on:
+            continue
         missing = missing.withColumn(c, F.lit(None).cast(t))
     return inner.unionByName(missing)

@@ -423,7 +423,11 @@ def hyperplane_signature(vec_col, planes) -> Column:
     length, and every vector must match it: a shorter/longer vector would
     make ``zip_with`` null-pad, the dot sum go NULL, and every bit fall to
     0 — silently degrading the bucketed join to a cross product — so the
-    mismatch raises per-row instead."""
+    mismatch raises per-row instead. A NULL vector is data, not
+    misconfiguration: it yields a NULL signature (NULL join keys match
+    nothing, so the row simply produces no candidates — the same
+    exclude-degenerate-rows convention as ``cosine_topk``), rather than
+    killing the whole job the way one poison row otherwise would."""
     planes = list(planes)
     if len(planes) > 63:
         raise ValueError(
@@ -439,11 +443,15 @@ def hyperplane_signature(vec_col, planes) -> Column:
     for i, plane in enumerate(planes):
         d = dot(v, F.lit([float(x) for x in plane]))
         sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return F.when(F.size(v) == F.lit(dim), sig).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"hyperplane_signature: plane dim {dim} != vector dim "),
-                F.size(v).cast("string"),
+    return (
+        F.when(v.isNull(), F.lit(None).cast("bigint"))
+        .when(F.size(v) == F.lit(dim), sig)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"hyperplane_signature: plane dim {dim} != vector dim "),
+                    F.size(v).cast("string"),
+                )
             )
         )
     )

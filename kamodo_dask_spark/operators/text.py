@@ -341,9 +341,14 @@ def chunk_documents(
     stride = max_tokens if stride is None else stride
     if not 1 <= stride <= max_tokens:
         raise ValueError(f"stride must be in [1, max_tokens], got {stride}")
-    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws")).withColumn(
-        "_n", F.size("_ws")
-    )
+    # NULL text counts as an empty token stream: without the coalesce,
+    # size(NULL array) is -1 under non-ANSI Spark and the doc would emit a
+    # garbage chunk with n_tokens = -1 (the repo's NULL-size convention —
+    # see bm25_topk's guard)
+    empty = F.array().cast("array<string>")
+    base = df.select(
+        F.col(id_col), F.coalesce(words(F.col(text_col)), empty).alias("_ws")
+    ).withColumn("_n", F.size("_ws"))
     # number of windows: 1 + ceil(max(n - L, 0) / S); the integer form
     # (n - L + S - 1) div S is clamped by greatest(), so truncate-vs-floor
     # on negatives never matters

@@ -2739,7 +2739,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_chunks",
     f"""
-    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    WITH w AS (SELECT doc_id, coalesce({_sql_words()}, []) AS ws FROM documents),
     c AS (SELECT doc_id, ws,
                  unnest(range(0, 1 + greatest((len(ws) - 32 + 23) // 24, 0))) AS ci
           FROM w)

@@ -104,8 +104,22 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     if partition_cols:
+        # Hashing on the partition columns ALONE would put every row of one
+        # partition value in a single task — one giant output file for any
+        # partition larger than the target (exactly the skewed layout
+        # compaction exists to fix). A content-hash spread key splits each
+        # partition value across ~ceil(n_files / n_partition_values) tasks
+        # while still bounding files per directory. The distinct count is
+        # one column-pruned scan — acceptable for a maintenance pass.
+        n_parts = df.select(*partition_cols).distinct().count()
+        spread_k = max(1, n_files // max(1, n_parts))
+        spread = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(spread_k)
+        )
         writer = (
-            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            df.repartition(
+                n_files, *[F.col(c) for c in partition_cols], spread
+            )
             .write.partitionBy(*partition_cols)
         )
     else:
@@ -113,7 +127,11 @@ def compact_parquet(
     writer.mode("overwrite").parquet(out_path)
 
     out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
-    it = fs.listFiles(out_hpath, True)
+    # the OUTPUT path's filesystem — input and output may live on
+    # different schemes (s3a -> local, s3a -> hdfs); listing the out path
+    # through the input FS raises Wrong-FS after the rewrite completed
+    out_fs = out_hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = out_fs.listFiles(out_hpath, True)
     written = 0
     while it.hasNext():
         f = it.next()

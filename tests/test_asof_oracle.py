@@ -365,3 +365,22 @@ def test_null_right_timestamp_never_matches(spark, keyed):
     }
     assert rows[5.0] == (None, None)   # before every REAL right row
     assert rows[50.0] == (2.0, 10.0)
+
+
+def test_driver_epoch_micros_session_tz_semantics():
+    """Naive driver-side start/time_range values localize in the SESSION
+    time zone (pinned UTC by get_spark) — not the host system tz — because
+    they are compared against unix_micros() instants; tz-aware inputs pass
+    through unchanged."""
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.asof import _driver_epoch_micros
+
+    utc = _driver_epoch_micros("2024-01-02 00:00:00")
+    assert utc == int(pd.Timestamp("2024-01-02", tz="UTC").value // 1000)
+    # a non-UTC session tz shifts the naive reading by its offset
+    ny = _driver_epoch_micros("2024-01-02 00:00:00", tz="America/New_York")
+    assert ny - utc == 5 * 3600 * 1_000_000
+    # tz-aware input: the tz argument must not double-apply
+    aware = pd.Timestamp("2024-01-02 00:00:00", tz="UTC")
+    assert _driver_epoch_micros(aware, tz="America/New_York") == utc

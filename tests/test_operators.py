@@ -1133,3 +1133,42 @@ def test_interpolate_broadcast_preserves_timestamp_schema(spark):
     assert dict(b.dtypes) == dict(c.dtypes)
     bv, cv = b.collect()[0]["rho"], c.collect()[0]["rho"]
     assert abs(bv - cv) < 1e-9
+
+
+def test_interval_left_join_keeps_keys_and_null_columns(spark):
+    """how='left' regression (review r4): unmatched rows keep their join
+    KEYS (only interval-side columns are NULL-extended), and a matched row
+    containing a NULL point column is not re-emitted as a spurious
+    unmatched copy (the anti-join is null-safe)."""
+    from kamodo_dask_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "s1", 5.0, None), (2, "s1", 50.0, "t"), (3, "s2", 5.0, "u")],
+        "pid long, sensor string, x double, tag string",
+    )
+    iv = spark.createDataFrame(
+        [("s1", 0.0, 10.0, "iv1")],
+        "sensor string, lo double, hi double, iname string",
+    )
+    out = interval_join(
+        pts, iv, "x", "lo", "hi", on="sensor", bucket_width=10.0, how="left"
+    ).collect()
+    rows = sorted((r["pid"], r["sensor"], r["iname"]) for r in out)
+    assert rows == [(1, "s1", "iv1"), (2, "s1", None), (3, "s2", None)]
+
+
+def test_lsh_topk_tolerates_null_vector_rows(spark):
+    """A NULL embedding row yields a NULL signature (no candidates) instead
+    of killing the whole job via the dim-mismatch raise; real dimension
+    mismatches still raise."""
+    from kamodo_dask_spark.operators.similarity import (
+        lsh_cosine_topk,
+        rademacher_planes,
+    )
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = [rademacher_planes(4, 4, table=t) for t in range(2)]
+    out = lsh_cosine_topk(df, df.filter("vec_id = 0"), k=2, tables=tables).collect()
+    assert all(r["neighbor_id"] != 9 for r in out)  # NULL row never a candidate
