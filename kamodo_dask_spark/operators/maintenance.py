@@ -19,6 +19,7 @@ def upsert_snapshot(
     updates: DataFrame,
     key: str,
     broadcast_updates: bool = False,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """SCD-1 merge: rows from ``updates`` win on key collision, unmatched
     ``snapshot`` rows survive — ``updates ∪ (snapshot ⟕̸ updates)``.
@@ -30,6 +31,14 @@ def upsert_snapshot(
     and the snapshot never shuffles at all; AQE also picks this up when
     the delta's size is known to be under the broadcast threshold.
 
+    ``validate_unique`` (default on) raises when ``updates`` carries the
+    same key twice — the Delta/Iceberg MERGE INTO multiple-source-matches
+    error. Without it both versions of the row would land in the merged
+    snapshot silently, and every later upsert would preserve the
+    duplicates. The check is one aggregation over the DELTA only (the
+    small side by assumption); pass ``validate_unique=False`` when the
+    caller has already deduplicated the batch.
+
     Both inputs must share a schema (column order is aligned by name).
     """
     cols = snapshot.columns
@@ -38,6 +47,26 @@ def upsert_snapshot(
             f"schema mismatch: snapshot {sorted(cols)} vs updates "
             f"{sorted(updates.columns)}"
         )
+    if validate_unique:
+        row = updates.agg(
+            F.count("*").alias("n"),
+            # count(col) skips NULLs; NULL is a legal upsert key here
+            # (eqNullSafe below), so count it as its own key value
+            (
+                F.count_distinct(F.col(key))
+                # max() over an EMPTY delta is NULL — coalesce so an empty
+                # updates relation validates as 0 == 0, not 0 != NULL
+                + F.coalesce(
+                    F.max(F.when(F.col(key).isNull(), 1).otherwise(0)), F.lit(0)
+                )
+            ).alias("k"),
+        ).first()
+        if row["n"] != row["k"]:
+            raise ValueError(
+                f"updates carry duplicate {key!r} values ({row['n']} rows, "
+                f"{row['k']} distinct keys) — MERGE semantics forbid "
+                "multiple source matches; deduplicate the delta first"
+            )
     keys = updates.select(F.col(key).alias("_upsert_key"))
     if broadcast_updates:
         keys = F.broadcast(keys)

@@ -199,6 +199,7 @@ def stratified_sample(
     stratum_col: str,
     key_col: str,
     k: int,
+    salt: str = "",
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hashed-key
     order — deterministic across runs and engines (domain-mix curation:
@@ -212,7 +213,10 @@ def stratified_sample(
     ~10·k expected survivors per stratum, then rank exactly."""
     from pyspark.sql import Window
 
-    rank_key = F.md5(F.col(key_col).cast("string"))
+    # the module's ONE seeding spelling (see split_bucket's composition
+    # hazard): pass a salt when composing with deterministic_sample /
+    # hash_split on the same key so the rank order decorrelates
+    rank_key = seeded_md5(F.col(key_col), salt)
     w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(key_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

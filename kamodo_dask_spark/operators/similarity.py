@@ -443,8 +443,13 @@ def hyperplane_signature(vec_col, planes) -> Column:
     for i, plane in enumerate(planes):
         d = dot(v, F.lit([float(x) for x in plane]))
         sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # a NULL ELEMENT inside a correct-length vector would NULL every dot
+    # and (via the when/otherwise) collapse the signature to all-zero
+    # bits — one shared bucket of spurious candidates; treat it like a
+    # NULL vector instead
+    has_null_elem = F.exists(v, lambda x: x.isNull())
     return (
-        F.when(v.isNull(), F.lit(None).cast("bigint"))
+        F.when(v.isNull() | has_null_elem, F.lit(None).cast("bigint"))
         .when(F.size(v) == F.lit(dim), sig)
         .otherwise(
             F.raise_error(

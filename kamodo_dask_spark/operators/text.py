@@ -399,12 +399,14 @@ def corpus_vocabulary(
     n_docs = base.count()
     tok = base.select(F.explode("_terms").alias("term"))
     out = tok.groupBy("term").agg(F.count("*").alias("df"))
-    # cutoff spelled exactly as the oracle spells it (`df <= n * frac`,
-    # IEEE float64 product): for integer df this is equivalent to the old
-    # int() truncation, but the shared spelling makes the boundary contract
-    # visible — a decimal frac that is not float-representable (0.29·100 =
-    # 28.999…96) drops the exact-boundary term in BOTH engines, by IEEE,
-    # not by engine accident
+    # cutoff spelled exactly as the oracle spells it (`df <= n *
+    # frac::DOUBLE`, IEEE float64 product): for integer df this is
+    # equivalent to the old int() truncation, but the shared spelling makes
+    # the boundary contract visible — a decimal frac that is not
+    # float-representable (0.29·100 = 28.999…96) drops the exact-boundary
+    # term in BOTH engines, by IEEE. The oracle's explicit ::DOUBLE cast is
+    # load-bearing: an unannotated SQL literal is DECIMAL in DuckDB, whose
+    # exact decimal product would KEEP the boundary term Spark drops
     out = out.filter(
         (F.col("df") >= min_df)
         & (F.col("df") <= F.lit(float(max_df_frac)) * F.lit(float(n_docs)))

@@ -762,6 +762,31 @@ def _raw_events_schema():
     )
 
 
+def _raw_event_stream(spark: SparkSession, source_glob: str, ts_unit: str) -> DataFrame:
+    """Streaming reader over raw events files with the int64 timestamp
+    normalized to TIMESTAMP in the footer-detected unit — the ONE
+    source-construction spelling every streaming entry shares (a fixture
+    format change is edited here, not per entry)."""
+    from kamodo_dask_spark.sources.parquet import raw_int64_to_timestamp
+
+    s = spark.readStream.schema(_raw_events_schema()).parquet(source_glob)
+    return s.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+
+
+def _fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture's events relation as a stream: unit detected from the
+    parquet footer; the source path is a GLOB, not the bare file — the
+    file source requires its basePath (the non-glob prefix) to be a
+    directory."""
+    from kamodo_dask_spark.sources.parquet import parquet_ts_unit
+
+    return _raw_event_stream(
+        spark,
+        f"{sf_dir}/events*.parquet",
+        parquet_ts_unit(f"{sf_dir}/events.parquet"),
+    )
+
+
 #: Shuffle/state partition count scoped inside entries whose exchanges AQE
 #: cannot coalesce (streaming state stores; eager iterative rounds): the
 #: measured fixture-scale sweet spot, where per-partition task/state-commit
@@ -808,15 +833,10 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     here.) The events fixture's timestamp unit varies across regenerations
     (ns and µs have both shipped): the stream reads the column as raw int64
     and scales by the unit detected from the parquet footer."""
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
 
     from kamodo_dask_spark.session import scoped_conf
 
-    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     # conf scoped: the streaming query runs to completion inside the block
     # (awaitTermination), and the memory-sink table needs no parquet conf.
     # 8 state partitions: per-partition state-store commit overhead dominates
@@ -825,12 +845,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     with nanos_as_long(spark), scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
-        # a glob, not the bare file: the file source requires its basePath
-        # (the non-glob prefix) to be a directory
-        stream = spark.readStream.schema(_raw_events_schema()).parquet(
-            f"{sf_dir}/events*.parquet"
-        )
-        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+        ev = _fixture_event_stream(spark, sf_dir)
         agg = (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -860,24 +875,16 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the overlap explicitly: each event unnests into its two
     slide-aligned window starts. Same finite-source/complete-mode argument
     as ``streaming_tumbling_1h``; same footer-detected timestamp unit."""
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
 
     from kamodo_dask_spark.session import scoped_conf
 
-    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     # 8 state partitions: same commit-overhead argument as
     # streaming_tumbling_1h (measured 1.4 s @ 32 → 0.80 s @ 8 at sf0.1)
     with nanos_as_long(spark), scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
-        stream = spark.readStream.schema(_raw_events_schema()).parquet(
-            f"{sf_dir}/events*.parquet"
-        )
-        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+        ev = _fixture_event_stream(spark, sf_dir)
         agg = (
             ev.groupBy(
                 F.window("ts", "30 minutes", "15 minutes").alias("w"),
@@ -913,11 +920,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from kamodo_dask_spark.session import scoped_conf
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long, parquet_ts_unit
 
     events_path = os.path.join(sf_dir, "events.parquet")
     ts_unit = parquet_ts_unit(events_path)
@@ -928,8 +931,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with nanos_as_long(spark), scoped_conf(
             spark, **{"spark.sql.shuffle.partitions": "16"}
         ):
-            stream = spark.readStream.schema(_raw_events_schema()).parquet(root)
-            ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+            ev = _raw_event_stream(spark, root, ts_unit)
             deduped = (
                 ev.withWatermark("ts", "1 hour")
                 .dropDuplicatesWithinWatermark(["event_id"])
@@ -969,15 +971,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Trigger.AvailableNow``); finite source + complete mode = the batch
     join-aggregate, which the DuckDB oracle states directly. Same
     footer-detected timestamp unit handling as ``streaming_tumbling_1h``."""
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
 
     from kamodo_dask_spark.session import scoped_conf
 
-    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     dim = customer.join(
@@ -989,10 +986,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     with nanos_as_long(spark), scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
-        stream = spark.readStream.schema(_raw_events_schema()).parquet(
-            f"{sf_dir}/events*.parquet"
-        )
-        ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+        ev = _fixture_event_stream(spark, sf_dir)
         enriched = ev.join(
             F.broadcast(dim), ev["user_id"] == dim["c_custkey"]
         )
@@ -1030,26 +1024,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Over a finite source the result equals the batch interval join, which
     the DuckDB oracle states directly; the lag is compared in exact integer
     microseconds so no float rounding is involved."""
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long
 
     from kamodo_dask_spark.session import scoped_conf
 
-    ts_unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
     with nanos_as_long(spark), scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
     ):
-        def _event_stream():
-            s = spark.readStream.schema(_raw_events_schema()).parquet(
-                f"{sf_dir}/events*.parquet"
-            )
-            return s.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
-
         clicks = (
-            _event_stream()
+            _fixture_event_stream(spark, sf_dir)
             .filter(F.col("event_type") == "click")
             .select(
                 F.col("event_id").alias("click_id"),
@@ -1059,7 +1042,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("c_ts", "2 hours")
         )
         purchases = (
-            _event_stream()
+            _fixture_event_stream(spark, sf_dir)
             .filter(F.col("event_type") == "purchase")
             .select(
                 F.col("event_id").alias("purchase_id"),
@@ -1141,11 +1124,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from kamodo_dask_spark.session import scoped_conf
-    from kamodo_dask_spark.sources.parquet import (
-        nanos_as_long,
-        parquet_ts_unit,
-        raw_int64_to_timestamp,
-    )
+    from kamodo_dask_spark.sources.parquet import nanos_as_long, parquet_ts_unit
     from kamodo_dask_spark.streaming.sessions import sessionize
 
     events_path = os.path.join(sf_dir, "events.parquet")
@@ -1194,8 +1173,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no maxFilesPerTrigger: availableNow folds both files into ONE
             # micro-batch — the per-user sentinel closes every real session
             # via gap logic within it
-            stream = spark.readStream.schema(_raw_events_schema()).parquet(root)
-            ev = stream.withColumn("ts", raw_int64_to_timestamp("ts", ts_unit))
+            ev = _raw_event_stream(spark, root, ts_unit)
             sess = sessionize(ev, gap_seconds=_SESSIONIZE_GAP_S, watermark="1 hour")
             sink = _run_to_memory_sink(sess, "sessionization_sink", "append")
     finally:
@@ -1676,7 +1654,11 @@ def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamodo_dask_spark.operators.dedup import minhash_signatures, near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=16, shingle_n=3)
+    # eager checkpoint: the signature relation feeds the candidate stage
+    # AND the two estimator joins below — without it the returned plan
+    # re-runs the corpus tokenize+hash lineage for sa/sb at action time,
+    # breaking the documented one-pass shape
+    sigs = minhash_signatures(docs, k=16, shingle_n=3).localCheckpoint(eager=True)
     pairs = near_dup_pairs(
         docs, shingle_n=3, threshold=0.0, k=16, bands=8, sigs=sigs,
         keep_zero_overlap=True,
@@ -2110,11 +2092,18 @@ def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nearest_centroid",
     """
-    WITH cent AS (
+    WITH cent0 AS (
       SELECT label, (i - 1)::BIGINT AS dim,
              round(avg(embedding[i]::DOUBLE), 6) AS c
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE label IS NOT NULL
       GROUP BY 1, 2),
+    -- the Spark glue skips NULL labels and labels without a full-rank
+    -- centroid (ragged corpora); mirror both so the engines agree on the
+    -- candidate label set
+    full_lbl AS (SELECT label FROM cent0 GROUP BY label
+                 HAVING count(*) = (SELECT max(len(embedding)) FROM embeddings)),
+    cent AS (SELECT c0.* FROM cent0 c0 JOIN full_lbl USING (label)),
     cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
     v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
@@ -2778,7 +2767,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS n FROM documents)
     SELECT term, df, round(ln((n + 1.0) / (df + 1.0)), 6) AS idf
     FROM d, tot
-    WHERE df >= 5 AND df <= n * 0.5
+    WHERE df >= 5 AND df <= n * 0.5::DOUBLE
     """,
 )
 def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:

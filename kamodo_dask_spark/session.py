@@ -53,13 +53,26 @@ def get_spark(
     if master:
         builder = builder.master(master)
     else:
-        # builder options OVERRIDE spark-submit's --master, so only default
+        # Builder options OVERRIDE spark-submit's --master, so only default
         # to local when no master was supplied externally — otherwise a
-        # cluster deploy would silently run local[N] on the driver host
-        from pyspark import SparkConf
+        # cluster deploy would silently run local[N] on the driver host.
+        # Detection must not rely on SparkConf(): before the JVM gateway
+        # exists it is an empty python dict and cannot see spark-submit's
+        # system properties. A spark-submit-launched python driver instead
+        # connects to the ALREADY-RUNNING JVM through the env the launcher
+        # sets (PYSPARK_GATEWAY_PORT; MASTER/PYSPARK_SUBMIT_ARGS cover the
+        # pyspark-shell spellings) — any of those present means an external
+        # master exists and the local default must stay out of the way.
+        launched_by_submit = (
+            "PYSPARK_GATEWAY_PORT" in os.environ
+            or "MASTER" in os.environ
+            or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        )
+        if not launched_by_submit:
+            from pyspark import SparkConf
 
-        if not SparkConf().contains("spark.master"):
-            builder = builder.master(f"local[{cpus}]")
+            if not SparkConf().contains("spark.master"):
+                builder = builder.master(f"local[{cpus}]")
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
