@@ -217,6 +217,54 @@ def test_interval_join_invariant_to_bucket_width(spark, seed, bucket_width):
     assert got == expected
 
 
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_interval_left_join_matches_bruteforce(spark, seed):
+    """how='left' against a python brute force, with keyed groups and NULL
+    payload values in the mix: unmatched points appear exactly once with
+    their keys intact and NULL interval columns; matched points appear once
+    per covering interval (the r4 review fixes — key-overwrite and the
+    non-null-safe anti-join re-emitting NULL-bearing rows — stay fixed)."""
+    from kamodo_dask_spark.operators.rangejoin import interval_join
+
+    rng = np.random.default_rng(seed)
+    n_pts, n_ivs = 10, 5
+    pts = [
+        (
+            int(i),
+            ["g1", "g2"][int(rng.integers(2))],
+            float(np.round(rng.uniform(-10, 10), 3)),
+            None if rng.random() < 0.3 else f"t{i}",
+        )
+        for i in range(n_pts)
+    ]
+    ivs = [
+        (
+            int(j),
+            ["g1", "g2"][int(rng.integers(2))],
+            float(np.round(s, 3)),
+            float(np.round(s + rng.uniform(0, 6), 3)),
+        )
+        for j, s in enumerate(rng.uniform(-10, 10, n_ivs))
+    ]
+    p = spark.createDataFrame(pts, "pid int, grp string, x double, tag string")
+    i = spark.createDataFrame(ivs, "iid int, grp string, s double, e double")
+    got = sorted(
+        (r["pid"], r["grp"], r["tag"], r["iid"])
+        for r in interval_join(
+            p, i, "x", "s", "e", on="grp", bucket_width=3.0, how="left"
+        ).collect()
+    )
+    expected = []
+    for pid, grp, x, tag in pts:
+        matches = [iid for iid, g2, s, e in ivs if g2 == grp and s <= x <= e]
+        if matches:
+            expected.extend((pid, grp, tag, iid) for iid in matches)
+        else:
+            expected.append((pid, grp, tag, None))
+    assert got == sorted(expected)
+
+
 @given(seed=st.integers(0, 2**31 - 1), max_df=st.integers(1, 4))
 @settings(max_examples=8, deadline=None)
 def test_line_dedup_matches_python_oracle(spark, seed, max_df):
