@@ -44,8 +44,19 @@ def _driver_epoch_micros(v, tz: str = "UTC") -> int:
     which Spark renders in SYSTEM tz (see
     ``grid/interpolate._driver_epoch_seconds``) — would shift every slot
     by the host's tz offset on a non-UTC driver."""
+    import numbers
+
     import pandas as pd
 
+    if isinstance(v, numbers.Number):
+        # pd.Timestamp(1700000000) silently means epoch NANOseconds (≈1970)
+        # — a loud failure beats a wrongly-anchored grid. Numeric axes never
+        # reach this helper; timestamp axes demand a datetime-like.
+        raise TypeError(
+            f"timestamp-axis parameter must be a datetime-like or ISO "
+            f"string, got {type(v).__name__} {v!r} (for epoch seconds, "
+            f"pass pd.Timestamp(v, unit='s', tz='UTC') explicitly)"
+        )
     ts = pd.Timestamp(v)
     if ts.tzinfo is None:
         ts = ts.tz_localize(tz)

@@ -78,9 +78,20 @@ def _widen(df: DataFrame) -> DataFrame:
     CPU-heavy expression stage (shingling + hashing). A one-file corpus
     otherwise runs the whole pipeline on one core; the small-row shuffle is
     noise next to the expression work. JVM-only stages — no Python-worker
-    spin-up concern (cf. multimodal's opt-in)."""
+    spin-up concern (cf. multimodal's opt-in).
+
+    Narrowness is probed via ``inputFiles()`` (file count < parallelism ≈
+    fewer scan tasks than cores), NOT ``df.rdd.getNumPartitions()`` — the
+    ``.rdd`` accessor allocates a full RDD conversion per call. Non-file
+    inputs (in-memory test frames, post-shuffle relations) report zero
+    files and are left alone: they are either already wide or too small
+    for widening to matter."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -183,8 +194,9 @@ def minhash_signatures(
     ``MINHASH_PRIME`` note for why P must be small enough to actually
     wrap); the k mins map-side combine, so the shuffle carries k longs per
     document. This is the 100 TB shape.
-    Output: (id_col, m0..m{k-1}[, carry_cols...]). Docs with no shingles
-    drop out. ``carry_cols`` names per-doc columns (constant within a doc,
+    Output: (id_col[, carry_cols...], m0..m{k-1}) — carried columns sit
+    between the id and the signature columns because they are extra GROUP
+    BY keys. Docs with no shingles drop out. ``carry_cols`` names per-doc columns (constant within a doc,
     e.g. a batch flag) to carry through the aggregation as extra GROUP BY
     keys — zero extra scans or joins, and the key cardinality is unchanged
     because the carried values are functionally dependent on the id.

@@ -299,9 +299,12 @@ def extract_media_features(
 
     decode = _decode_fake if use_fake_decoder else _decode_real
     if auto_repartition:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+        # opt-in means the caller KNOWS the input is narrow and decode is
+        # heavy — repartition unconditionally rather than probing partition
+        # count via the ``.rdd`` accessor (which allocates an RDD
+        # conversion); a same-width repartition is a cheap no-op shuffle
+        # next to the decode work this flag exists for
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     out_schema = T.StructType(list(df.schema.fields) + list(FEATURES_SCHEMA.fields))
 
     def batches(it):

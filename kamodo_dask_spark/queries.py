@@ -2105,9 +2105,13 @@ def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                  HAVING count(*) = (SELECT max(len(embedding)) FROM embeddings)),
     cent AS (SELECT c0.* FROM cent0 c0 JOIN full_lbl USING (label)),
     cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+    -- Spark's norm NULL-propagates over vector elements and the row is
+    -- then dropped by the zero-norm guard; DuckDB's sum() would skip the
+    -- NULL elements and keep a partial norm — mirror the drop here
     v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-          WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)),
+          WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM v GROUP BY 1),
     dots AS (SELECT v.vec_id, cent.label, sum(v.x * cent.c) AS dp
              FROM v JOIN cent USING (dim) GROUP BY 1, 2),
@@ -2139,14 +2143,20 @@ def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # full-rank dimensionality = global max vector length over ALL rows —
+    # the SAME quantity the oracle's full_lbl/v CTEs use (deriving it from
+    # the labeled centroids instead would diverge on a ragged corpus whose
+    # longest vector carries a NULL label)
+    n_dims = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
     # |labels| × dims rows — the documented metadata-sized collect
     cent_rows = label_centroids(emb).collect()
     by_label: dict[int, dict[int, float]] = {}
     for r in cent_rows:
-        if r["label"] is None:  # NULL labels have no assignable centroid
-            continue            # (the oracle's USING(label) joins drop them)
+        # NULL labels have no assignable centroid (the oracle's
+        # USING(label) joins drop them); an all-NULL dim has no mean
+        if r["label"] is None or r["centroid_val"] is None:
+            continue
         by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_val"]
-    n_dims = 1 + max(d for dims in by_label.values() for d in dims)
     centroids = [
         (lbl, [dims[i] for i in sorted(dims)])
         for lbl, dims in sorted(by_label.items())
@@ -2154,6 +2164,11 @@ def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # centroid; the assignment contract requires equal dimensionality
         if len(dims) == n_dims
     ]
+    if n_dims == 0 or not centroids:
+        # empty/unlabeled corpus: no assignment is defined for any row
+        return spark.createDataFrame(
+            [], "vec_id bigint, assigned_label bigint, score double"
+        )
     return nearest_centroid_assign(emb, centroids)
 
 

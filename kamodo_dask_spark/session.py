@@ -38,6 +38,29 @@ DEFAULT_CONF = {
 }
 
 
+def _external_master_configured(env: dict | None = None) -> bool:
+    """True when the launch environment indicates an EXTERNAL Spark master
+    (spark-submit / pyspark-shell), i.e. the local[] default must stay out
+    of the way. Detection must not rely on SparkConf(): before the JVM
+    gateway exists it is an empty python dict and cannot see spark-submit's
+    system properties. A spark-submit-launched python driver instead
+    connects to the ALREADY-RUNNING JVM through the env the launcher sets
+    (PYSPARK_GATEWAY_PORT; MASTER/PYSPARK_SUBMIT_ARGS cover the
+    pyspark-shell spellings). MASTER is a generic env name other tools may
+    set — only trust it when its value actually looks like a Spark master
+    URL, otherwise getOrCreate would die with 'master must be set' despite
+    no real master existing."""
+    env = os.environ if env is None else env
+    master_env_is_spark = env.get("MASTER", "").startswith(
+        ("local", "spark://", "yarn", "k8s://", "mesos://")
+    )
+    return (
+        "PYSPARK_GATEWAY_PORT" in env
+        or master_env_is_spark
+        or "--master" in env.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+
+
 def get_spark(
     app_name: str = "kamodo_dask_spark",
     master: str | None = None,
@@ -56,19 +79,7 @@ def get_spark(
         # Builder options OVERRIDE spark-submit's --master, so only default
         # to local when no master was supplied externally — otherwise a
         # cluster deploy would silently run local[N] on the driver host.
-        # Detection must not rely on SparkConf(): before the JVM gateway
-        # exists it is an empty python dict and cannot see spark-submit's
-        # system properties. A spark-submit-launched python driver instead
-        # connects to the ALREADY-RUNNING JVM through the env the launcher
-        # sets (PYSPARK_GATEWAY_PORT; MASTER/PYSPARK_SUBMIT_ARGS cover the
-        # pyspark-shell spellings) — any of those present means an external
-        # master exists and the local default must stay out of the way.
-        launched_by_submit = (
-            "PYSPARK_GATEWAY_PORT" in os.environ
-            or "MASTER" in os.environ
-            or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-        )
-        if not launched_by_submit:
+        if not _external_master_configured():
             from pyspark import SparkConf
 
             if not SparkConf().contains("spark.master"):
@@ -134,3 +145,58 @@ def ensure_session_conf(spark: SparkSession) -> None:
             # Static / non-settable in this deployment — reads that need it
             # will fall back (see sources.parquet.read_events).
             pass
+
+
+def s3a_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    max_connections: int = 50,
+    max_attempts: int = 10,
+    anonymous: bool = False,
+    path_style_access: bool | None = None,
+) -> dict[str, str]:
+    """S3 connection settings as SparkConf keys — SURVEY §2.1 S8.
+
+    Spark's counterpart of the reference's boto3/s3fs bootstrap
+    (``kamodo_dask/dask_config.py:42-86``): a 50-connection pooled client
+    with 10 retry attempts, optional static credentials and custom endpoint
+    (the reference reads them from env). Keys carry the ``spark.hadoop.``
+    prefix so they flow into the Hadoop configuration when passed as
+    ``get_spark(extra_conf=s3a_conf(...))`` at session build time; for an
+    ALREADY-RUNNING session use :func:`apply_s3a_conf` (S3A filesystem
+    instances are created lazily per bucket, so settings applied before the
+    first s3a:// access still take effect).
+    """
+    h = "spark.hadoop.fs.s3a."
+    conf = {
+        h + "connection.maximum": str(max_connections),
+        h + "attempts.maximum": str(max_attempts),
+    }
+    if access_key is not None:
+        conf[h + "access.key"] = access_key
+    if secret_key is not None:
+        conf[h + "secret.key"] = secret_key
+    if endpoint is not None:
+        conf[h + "endpoint"] = endpoint
+    if anonymous:
+        conf[h + "aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if path_style_access is not None:
+        conf[h + "path.style.access"] = str(bool(path_style_access)).lower()
+    return conf
+
+
+def apply_s3a_conf(spark: SparkSession, **kwargs) -> dict[str, str]:
+    """Apply :func:`s3a_conf` settings to a LIVE session's Hadoop
+    configuration (builder configs are ignored once a session exists).
+    Returns the raw ``fs.s3a.*`` key/value pairs applied, for read-back."""
+    prefixed = s3a_conf(**kwargs)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    applied = {}
+    for k, v in prefixed.items():
+        raw = k[len("spark.hadoop."):]
+        hconf.set(raw, v)
+        applied[raw] = v
+    return applied

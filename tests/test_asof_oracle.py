@@ -384,3 +384,21 @@ def test_driver_epoch_micros_session_tz_semantics():
     # tz-aware input: the tz argument must not double-apply
     aware = pd.Timestamp("2024-01-02 00:00:00", tz="UTC")
     assert _driver_epoch_micros(aware, tz="America/New_York") == utc
+
+
+def test_driver_epoch_micros_rejects_bare_numerics():
+    """ADVICE r4: pd.Timestamp(1700000000) means epoch NANOseconds — a
+    numeric start/time_range against a timestamp axis must fail loudly
+    instead of silently anchoring the grid in 1970."""
+    import numpy as np
+    import pytest
+
+    from kamodo_dask_spark.operators.asof import _driver_epoch_micros
+
+    for bad in (1700000000, 1700000000.5, np.int64(1700000000), True):
+        with pytest.raises(TypeError, match="datetime-like"):
+            _driver_epoch_micros(bad)
+    # datetime-likes still work
+    assert _driver_epoch_micros("2024-01-02T00:00:00") == _driver_epoch_micros(
+        __import__("pandas").Timestamp("2024-01-02", tz="UTC")
+    )
