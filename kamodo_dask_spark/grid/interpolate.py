@@ -419,6 +419,15 @@ def interpolate_points(
     # slabs stay a hash join on near-uniform corner keys; AQE still applies.
     if dense_bound <= _BROADCAST_GRID_MAX_ROWS:
         grid_keyed = F.broadcast(grid_keyed)
+    else:
+        # Large slabs: SHUFFLE_HASH with the grid as build side. Spark's
+        # default picks a sort-merge join here — two full sorts on 4
+        # normalized-double corner keys (measured 1.7× slower at a 1.23M-row
+        # slab × 1.6M corner rows). The hash build is safe at scale: each
+        # task builds only its hash-partitioned slab fraction (bounded by
+        # maxPartitionBytes), while the 2^d-exploded point stream — the side
+        # that grows with the query, not the dataset — only probes.
+        grid_keyed = grid_keyed.hint("SHUFFLE_HASH")
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
 
     aggs = []

@@ -1,17 +1,33 @@
 """The driver's oracle harness truncates the catalog to its first
-``DRIVER_WINDOW`` entries (observed across CORRECTNESS_r01-r03). These tests
+``DRIVER_WINDOW`` entries (observed across CORRECTNESS_r01-r04). These tests
 make the window membership a conscious decision: a re-ordering or a new
 registration can never silently evict an entry that still needs its first
-driver-green row.
+driver-green row, and no entry may sit parked so long its last driver-green
+row goes stale.
 """
 
 import glob
 import json
 import os
+import re
 
 from kamodo_dask_spark.queries import DRIVER_WINDOW, ORACLES, PARKED, QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: A parked entry's most recent driver-green row may be at most this many
+#: rounds behind the latest recorded round (the VERDICT r4 rotation
+#: contract: "no entry goes 3+ rounds without a fresh driver row").
+MAX_PARKED_STALENESS = 2
+
+
+def _rounds() -> dict[int, dict]:
+    out = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        with open(path) as f:
+            out[int(m.group(1))] = json.load(f)
+    return out
 
 
 def _never_driver_green() -> list[str]:
@@ -21,46 +37,89 @@ def _never_driver_green() -> list[str]:
     check: an entry whose only driver row failed still needs its first
     green one. They MUST occupy positions < DRIVER_WINDOW."""
     green: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if row.get("hash_match") is True and row.get("err") is None:
-                    green.add(name)
+    for doc in _rounds().values():
+        for name, row in doc.items():
+            if row.get("hash_match") is True and row.get("err") is None:
+                green.add(name)
     return [n for n in QUERIES if n not in green]
 
 
-#: Presence floor: entries known to be awaiting their first driver row as
-#: of round 4. The derived list above is computed FROM the catalog, so it
-#: cannot notice an entry being deleted outright — this hardcoded subset
-#: can. (Prune names here once they have a recorded green round AND a
-#: deliberate removal decision.)
-ROUND4_PENDING = [
-    "sequence_packing",
-    "stream_stream_join",
-    "label_centroids",
-    "rolling_1h_user",
-    "cluster_representatives",
+#: Presence floor: entries awaiting their first driver row as of round 5
+#: (this round's additions). The derived list above is computed FROM the
+#: catalog, so it cannot notice an entry being deleted outright — this
+#: hardcoded subset can. (Prune names once they have a recorded green round
+#: AND a deliberate removal decision.)
+ROUND5_PENDING = [
+    "interp_4d_corner",
+    "streaming_interp",
+]
+
+#: The round-5 window INTENT (see queries.py PARKED comment): the 33
+#: relational-core entries parked in r4 (last driver row r3) are all back
+#: in-window; these representatives pin the un-parking against accidental
+#: re-parking.
+ROUND5_UNPARKED_MUST_BE_IN_WINDOW = [
+    "tumbling_1h",
+    "dense_time_grid",
+    "snap_to_grid",
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "jaccard_near_dups",
+    "simhash_fingerprints",
+    "cosine_near_dups",
+    "midpoint",
+    "axis_values",
+    "bounds",
+    "topk_orders",
+    "anti_join",
+    "semi_join",
+    "median_and_stats",
+    "window_rank",
+    "running_user_totals",
+    "floor_10min",
+    "string_functions",
+    "math_functions",
+    "null_handling",
+    "regex_parse",
+    "date_arithmetic",
+    "json_extract",
+    "price_histogram",
+    "union_nations",
+    "distinct_agg",
+    "scalar_subquery",
+    "in_subquery",
+    "string_agg_per_nation",
+    "cube_counts",
+    "rollup_totals",
+    "pivot_event_types",
+    # r4-green keepers whose code/oracle changed in r5 — kept in-window for
+    # a fresh driver signal on the changed machinery
+    "interp_1d",
+    "interp_4d",
+    "asof_purchase_view",
     "nearest_centroid",
-    "lsh_ann_topk",
-    "stream_static_enrich",
-    "streaming_sliding_30m",
-    "incremental_upsert",
-    "minhash_est_jaccard",
-    "dedup_clusters",
-    "pii_redaction_strict",
-    "doc_chunks",
-    "vocabulary",
-    "mixture_sample",
-    "unigram_logprob",
-    "multimodal_resize",
-    "video_frame_sample",
-    "skewed_event_counts",
+    "label_centroids",
+    "line_dedup",
+    "near_dup_cascade",
+    "incremental_dedup",
+    "multimodal_features",
 ]
 
 
-def test_round4_pending_entries_still_registered():
-    missing = [n for n in ROUND4_PENDING if n not in QUERIES]
+def test_round5_pending_entries_still_registered():
+    missing = [n for n in ROUND5_PENDING if n not in QUERIES]
     assert not missing, f"pending entries vanished from the catalog: {missing}"
+
+
+def test_round5_window_membership():
+    order = list(QUERIES)
+    window = set(order[:DRIVER_WINDOW])
+    missing = [
+        n
+        for n in ROUND5_UNPARKED_MUST_BE_IN_WINDOW + ROUND5_PENDING
+        if n not in window
+    ]
+    assert not missing, f"intended r5 window members fell outside: {missing}"
 
 
 def test_never_checked_entries_inside_window():
@@ -81,23 +140,28 @@ def test_only_parked_entries_outside_window():
     assert not stray, f"entries evicted from the driver window unintentionally: {stray}"
 
 
-def test_parked_entries_have_three_green_rounds():
-    """Only entries with recorded driver-green rows may be parked."""
-    rounds = []
-    for r in ("01", "02", "03"):
-        path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                rounds.append(json.load(f))
+def test_parked_entries_recently_green():
+    """Only entries with a RECENT driver-green row may be parked: the most
+    recent green row must be within MAX_PARKED_STALENESS rounds of the
+    latest recorded round — the rotation contract that prevents any entry
+    drifting for 3+ rounds without a fresh driver check."""
+    rounds = _rounds()
     if not rounds:  # fresh checkout without driver artifacts
         return
+    latest = max(rounds)
     for name in PARKED:
-        for i, doc in enumerate(rounds):
-            row = doc.get(name)
-            assert row is not None, f"parked {name} missing from round {i + 1}"
-            assert row.get("hash_match") is True, (
-                f"parked {name} was not hash-green in round {i + 1}"
-            )
+        green_rounds = [
+            n
+            for n, doc in rounds.items()
+            if doc.get(name, {}).get("hash_match") is True
+            and doc.get(name, {}).get("err") is None
+        ]
+        assert green_rounds, f"parked {name} has no driver-green row at all"
+        staleness = latest - max(green_rounds)
+        assert staleness <= MAX_PARKED_STALENESS, (
+            f"parked {name}: last green round r{max(green_rounds)} is "
+            f"{staleness} rounds behind r{latest} — rotate it back in"
+        )
 
 
 def test_every_entry_has_an_oracle_or_is_known_weak():
