@@ -99,8 +99,10 @@ def _previous_timings(sf) -> dict[str, float]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            doc = doc.get("parsed", doc)
-            queries = doc.get("queries", {})
+            # a clipped artifact records {"tail": ..., "parsed": null} —
+            # treat it as having no usable timings rather than crashing
+            doc = doc.get("parsed") or doc
+            queries = doc.get("queries", {}) if isinstance(doc, dict) else {}
         except Exception:
             continue
         if doc.get("sf") != sf:
