@@ -11,7 +11,7 @@ large-scale training-data-pipeline operators (dedup, similarity search,
 text analysis, multimodal columns) the reference lacks.
 """
 
-from kamodo_dask_spark.session import get_spark
+from kamodo_dask_spark.session import apply_s3a_conf, get_spark, s3a_conf
 from kamodo_dask_spark.grid.model import (
     grid_axes,
     grid_bounds,
@@ -41,6 +41,8 @@ from kamodo_dask_spark.operators import (
 
 __all__ = [
     "get_spark",
+    "s3a_conf",
+    "apply_s3a_conf",
     "grid_axes",
     "grid_bounds",
     "grid_midpoint",
