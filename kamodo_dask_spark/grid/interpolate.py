@@ -354,18 +354,29 @@ def interpolate_points(
       corners into ``fill_value``. Large slabs always take the corner join.
     - ``"corner"``: force the relational corner join (J1 + J2) — snap, 2^d
       corner explode, equi-join, group-by. The grid never leaves the
-      executors; this is the 100 TB path.
+      executors; this is the 100 TB path for one-shot queries and partial
+      slabs.
+    - ``"cell"``: :func:`interpolate_points_cells` — reshape the (dense)
+      slab into its cell relation (d window passes), then one equi-join
+      per query with a row-local weighted sum: the point stream crosses a
+      single 1×-width exchange instead of 2^d-exploding and re-grouping.
+      Wins when points ≫ slab or the slab serves repeated queries (pass a
+      prebuilt relation directly to ``interpolate_points_cells``).
 
     Semantics note: the corner join merges duplicate point rows in its final
-    group-by; the fused path preserves them. Include a unique ``point_id``
-    column when duplicates are possible (then both paths agree).
+    group-by; the fused and cell paths preserve them. Include a unique
+    ``point_id`` column when duplicates are possible (then all paths agree).
     """
     measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
     arrays = axis_arrays or _axis_arrays(grid_df, axes)
     d = len(axes)
 
-    if strategy not in ("auto", "corner"):
-        raise ValueError(f"strategy must be auto|corner, got {strategy!r}")
+    if strategy not in ("auto", "corner", "cell"):
+        raise ValueError(f"strategy must be auto|corner|cell, got {strategy!r}")
+    if strategy == "cell":
+        return interpolate_points_cells(
+            grid_df, points_df, axes, measures, fill_value, arrays
+        )
     dense_bound = int(np.prod([len(arrays[ax]) for ax in axes]))
     if strategy == "auto" and dense_bound <= _FUSED_SLAB_MAX_ROWS:
         collected = _collect_dense_slab(grid_df, axes, measures, arrays, fill_value)
@@ -452,6 +463,165 @@ def interpolate_points(
             .alias(m)
         )
     return grouped.select(*out_cols)
+
+
+def build_cell_relation(
+    grid_df: DataFrame,
+    axes: tuple[str, ...] = DEFAULT_AXES,
+    measures: list[str] | None = None,
+    fill_value: float = 0.0,
+    axis_arrays: dict[str, np.ndarray] | None = None,
+) -> DataFrame:
+    """Reshape a DENSE grid slab into its CELL relation: one row per grid
+    cell, keyed by the cell's low corner (``_k_{ax}`` float64 per axis),
+    carrying all 2^d corner values per measure as an array
+    (``_cells_{m}``, index ``i`` = corner bits ``b_1..b_d`` of the axes in
+    order, ``b_1`` most significant).
+
+    This is the join-side precomputation behind the ``"cell"``
+    interpolation strategy: d windowed ``lead`` passes (one shuffle per
+    axis, slab-sized but narrow) gather each cell's corners so point
+    lookups become ONE equi-join with a row-local weighted sum — no 2^d
+    point explode and no per-point re-aggregation shuffle. The relation
+    depends only on the slab, so repeated point queries (the registry's
+    usage pattern — one slab, many lookups) amortize the build; persist it
+    or write it as a table for a long-lived slab.
+
+    NULL/NaN node values become ``fill_value`` (the corner join's node
+    semantics). Requires a dense slab (row count = ∏ axis cardinalities) —
+    raises ``ValueError`` otherwise, because a windowed ``lead`` over a
+    gapped axis would silently pair non-adjacent nodes; non-dense slabs
+    belong to the corner join, whose coverage accounting defines them.
+    """
+    from pyspark.sql import Window
+
+    measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
+    arrays = axis_arrays or _axis_arrays(grid_df, axes)
+    expected = int(np.prod([len(arrays[ax]) for ax in axes]))
+
+    base = grid_df.select(
+        *[_as_double(ax, grid_df).alias(f"_k_{ax}") for ax in axes],
+        *[
+            F.nanvl(
+                F.coalesce(F.col(m).cast("double"), F.lit(float("nan"))),
+                F.lit(float(fill_value)),
+            ).alias(m)
+            for m in measures
+        ],
+    )
+    n = base.count()
+    if n != expected:
+        raise ValueError(
+            f"cell relation requires a dense slab: {n} rows != {expected}; "
+            "use the corner join for partial slabs"
+        )
+
+    cells = base.select(
+        *[F.col(f"_k_{ax}") for ax in axes],
+        *[F.array(F.col(m)).alias(f"_cells_{m}") for m in measures],
+    )
+    # process axes LAST-first so the final array index is
+    # b_1*2^(d-1) + ... + b_d (axis 1 most significant)
+    for ax in reversed(axes):
+        w = (
+            Window.partitionBy(*[f"_k_{a}" for a in axes if a != ax])
+            .orderBy(f"_k_{ax}")
+        )
+        cells = (
+            cells.select(
+                *[F.col(f"_k_{a}") for a in axes],
+                F.lead(f"_k_{ax}").over(w).alias("_nxt"),
+                *[
+                    F.concat(
+                        F.col(f"_cells_{m}"), F.lead(f"_cells_{m}").over(w)
+                    ).alias(f"_cells_{m}")
+                    for m in measures
+                ],
+            )
+            # the last node along the axis is not the low corner of any cell
+            .filter(F.col("_nxt").isNotNull())
+            .drop("_nxt")
+        )
+    return cells
+
+
+def interpolate_points_cells(
+    grid_df: DataFrame | None,
+    points_df: DataFrame,
+    axes: tuple[str, ...] = DEFAULT_AXES,
+    measures: list[str] | None = None,
+    fill_value: float = 0.0,
+    axis_arrays: dict[str, np.ndarray] | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-relation interpolation strategy: snap each point to its low
+    corner, ONE equi-join against :func:`build_cell_relation`'s output, and
+    a row-local unrolled weighted sum over the 2^d in-row corner values.
+
+    vs the corner join: no 2^d point explode and no per-point group-by —
+    the point stream crosses exactly one exchange at 1× width, so for the
+    production regime (points ≫ slab, or repeated queries against one
+    slab via ``cells=``) this is the cheapest relational plan. The build
+    itself costs d slab-sized window shuffles, so for one-shot queries
+    with slab ≫ points the corner join still wins — measured crossover in
+    SCALE.md. Duplicate point rows are PRESERVED (fused-path semantics;
+    the corner join's final group-by would merge them).
+
+    Pass ``cells`` to reuse a prebuilt (possibly persisted) cell relation;
+    ``grid_df`` may then be None. Requires a dense slab (see
+    :func:`build_cell_relation`).
+    """
+    if measures is None:
+        if grid_df is not None:
+            measures = [c for c, _ in grid_df.dtypes if c not in axes]
+        elif cells is not None:
+            measures = [
+                c[len("_cells_"):] for c in cells.columns if c.startswith("_cells_")
+            ]
+        else:
+            raise ValueError("pass grid_df or a prebuilt cells relation")
+    if axis_arrays is None:
+        if grid_df is None:
+            raise ValueError("axis_arrays is required when grid_df is None")
+        axis_arrays = _axis_arrays(grid_df, axes)
+    arrays = axis_arrays
+    d = len(axes)
+    if cells is None:
+        cells = build_cell_relation(grid_df, axes, measures, fill_value, arrays)
+
+    dense_bound = int(np.prod([len(arrays[ax]) for ax in axes]))
+    # the cell relation is 2^d× wider per row than the raw slab — scale the
+    # broadcast cutoff down accordingly; above it, same hash-build logic as
+    # the corner join (cells build side, point stream probes)
+    if dense_bound <= _BROADCAST_GRID_MAX_ROWS // (2**d):
+        cells = F.broadcast(cells)
+    else:
+        cells = cells.hint("SHUFFLE_HASH")
+
+    point_cols = points_df.columns
+    pts = _snap_columns(points_df, axes, arrays)
+    cond = reduce(
+        lambda a, b: a & b,
+        [pts[f"_lo_{ax}"] == cells[f"_k_{ax}"] for ax in axes],
+    )
+    joined = pts.join(cells, on=cond, how="left")
+
+    out_cols = list(point_cols)
+    for m in measures:
+        total = F.lit(0.0)
+        for i in range(2**d):
+            w = F.lit(1.0)
+            for k, ax in enumerate(axes):
+                bit = (i >> (d - 1 - k)) & 1
+                fr = F.col(f"_frac_{ax}")
+                w = w * (fr if bit else (F.lit(1.0) - fr))
+            total = total + F.element_at(F.col(f"_cells_{m}"), i + 1) * w
+        out_cols.append(
+            F.when(F.col("_oob"), F.lit(float(fill_value)))
+            .otherwise(F.coalesce(total, F.lit(float(fill_value))))
+            .alias(m)
+        )
+    return joined.select(*out_cols)
 
 
 def interpolate_points_broadcast(

@@ -326,3 +326,88 @@ def test_gridded_eval_accepts_datetime_coords(spark):
     out = gridded_eval(grid, {"time": times[0].to_pydatetime()}, axes=("time", "x"))
     got = {r["x"]: r["val"] for r in out.collect()}
     assert got == {0.0: pytest.approx(0.0), 1.0: pytest.approx(1.0)}
+
+
+def test_cell_strategy_matches_oracle(spark, grid_df):
+    """strategy='cell' (cell-relation join) agrees with the NumPy oracle on
+    interior / node / face / out-of-bounds points."""
+    pts = query_points()
+    got = {
+        r["point_id"]: r["v"]
+        for r in interpolate_points(
+            grid_df, _points_df(spark), AXES, ["v"], strategy="cell"
+        ).collect()
+    }
+    exp = oracle(pts)
+    assert len(got) == len(pts)
+    for p, e in zip(pts, exp):
+        assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12), f"point {p}"
+
+
+def test_cell_strategy_null_node_and_fill(spark):
+    """Cell path node semantics = corner path: a NULL/NaN node blends
+    fill_value at just that node; OOB points get fill_value whole."""
+    rows = []
+    for x1 in (0.0, 1.0):
+        for x2 in (0.0, 1.0):
+            v = None if (x1, x2) == (1.0, 1.0) else x1 + 2 * x2
+            rows.append((x1, x2, v))
+    grid = spark.createDataFrame(rows, "x1 double, x2 double, val double")
+    pts = spark.createDataFrame(
+        [(0, 0.5, 0.5), (1, -1.0, 0.5)], "point_id long, x1 double, x2 double"
+    )
+    got = {
+        r["point_id"]: r["val"]
+        for r in interpolate_points(
+            grid, pts, axes=("x1", "x2"), measures=["val"],
+            fill_value=7.0, strategy="cell",
+        ).collect()
+    }
+    assert got[0] == pytest.approx(2.5)  # 0.25*(0+2+1+7)
+    assert got[1] == 7.0  # out of bounds
+
+
+def test_cell_relation_reuse_and_dense_requirement(spark, grid_df):
+    """A prebuilt cell relation answers repeated queries without rebuilding
+    (grid_df=None), and a non-dense slab refuses the cell path loudly."""
+    from kamodo_dask_spark.grid.interpolate import (
+        _axis_arrays,
+        build_cell_relation,
+        interpolate_points_cells,
+    )
+
+    arrays = _axis_arrays(grid_df, AXES)
+    cells = build_cell_relation(grid_df, AXES, ["v"], axis_arrays=arrays)
+    n_cells = cells.count()
+    assert n_cells == (len(TIME_V) - 1) * (len(LON_V) - 1) * (len(LAT_V) - 1) * (
+        len(H_V) - 1
+    )
+    pts = query_points()
+    exp = oracle(pts)
+    for _ in range(2):  # two queries against the SAME relation
+        got = {
+            r["point_id"]: r["v"]
+            for r in interpolate_points_cells(
+                None, _points_df(spark), AXES, axis_arrays=arrays, cells=cells
+            ).collect()
+        }
+        for p, e in zip(pts, exp):
+            assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-12)
+
+    sparse = grid_df.filter(
+        ~((F.col("time") == 0.0) & (F.col("lon") == 0.0)
+          & (F.col("lat") == -90.0) & (F.col("h") == 100.0))
+    )
+    with pytest.raises(ValueError, match="dense"):
+        build_cell_relation(sparse, AXES, ["v"], axis_arrays=arrays)
+
+
+def test_cell_strategy_preserves_duplicate_points(spark, grid_df):
+    """Duplicate point rows survive the cell path (single join, no group-by)
+    — fused-path semantics, unlike the corner join's merging group-by."""
+    pts = spark.createDataFrame(
+        [(600.0, 45.0, 30.0, 250.0)] * 3, "time double, lon double, lat double, h double"
+    )
+    out = interpolate_points(grid_df, pts, AXES, ["v"], strategy="cell").collect()
+    assert len(out) == 3
+    assert len({r["v"] for r in out}) == 1
