@@ -26,9 +26,11 @@ from kamodo_dask_spark.grid.model import (
 )
 from kamodo_dask_spark.grid.interpolate import (
     _axis_arrays,
+    build_cell_relation,
     gridded_eval,
     interpolate_points,
     interpolate_points_broadcast,
+    interpolate_points_cells,
 )
 
 #: Slabs at or below this many rows broadcast comfortably; larger slabs use
@@ -73,6 +75,21 @@ class KamodoSpark(dict):
             strategy = "broadcast" if n_rows <= BROADCAST_MAX_ROWS else "corner"
         self.strategy = strategy
 
+        # "cell" = the registry's REPEATED-query plan (SCALE.md): reshape
+        # the slab into its cell relation ONCE at registration, persist it,
+        # and answer every point query with a single equi-join — no slab
+        # re-scan, no 2^d explode, per query. Built over all measures in
+        # one pass so k measures share the d window shuffles.
+        self._cells = None
+        if strategy == "cell":
+            self._cells = build_cell_relation(
+                self.df,
+                self.axes,
+                self.measures,
+                self.fill_value,
+                axis_arrays=self._axis_arrays,
+            ).persist()
+
         for m in self.measures:
             # bind `m` at definition time (default-arg binding) — the fix for
             # the reference's late-binding closure bug.
@@ -85,6 +102,16 @@ class KamodoSpark(dict):
                         [_m],
                         self.fill_value,
                         axis_arrays=self._axis_arrays,
+                    )
+                if self.strategy == "cell":
+                    return interpolate_points_cells(
+                        None,
+                        points_df,
+                        self.axes,
+                        [_m],
+                        self.fill_value,
+                        axis_arrays=self._axis_arrays,
+                        cells=self._cells,
                     )
                 return interpolate_points(
                     self.df,
@@ -110,6 +137,18 @@ class KamodoSpark(dict):
             gridded_fn.units = self.units[m]
             self[m] = point_fn
             self[f"{m}_ijkl"] = gridded_fn
+
+    def release(self) -> None:
+        """Release engine-held state (the persisted cell relation, when
+        ``strategy="cell"``). Call when replacing a registry — e.g. a slab
+        refresh loop — so superseded cell relations don't accumulate in
+        the storage layer. No-op for other strategies."""
+        if self._cells is not None:
+            try:
+                self._cells.unpersist()
+            except Exception:
+                pass
+            self._cells = None
 
     def register(self, name: str, expr: str, units: str = "") -> None:
         """Register a DERIVED function: a Spark SQL expression over already-

@@ -351,3 +351,48 @@ def test_salted_enrich_join_spreads_key(spark):
     plan = executed_plan(QUERIES["salted_enrich_join"](spark, SF))
     assert "_salt" in plan, plan
     assert "xxhash64" in plan, plan
+
+
+def test_cell_strategy_point_side_zero_exchange(spark):
+    """The cell-relation strategy's plan contract: with the cell relation
+    broadcast (dense bound under the scaled cutoff), the POINT stream
+    crosses ZERO exchanges — snap is literal-array codegen, the join is a
+    BroadcastHashJoin, and there is no post-join aggregation. This is the
+    repeated-query plan SCALE.md measures at 2.8x over the corner join."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import (
+        build_cell_relation,
+        interpolate_points_cells,
+    )
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    import numpy as np
+
+    grid = spark.range(0, 5**4, 1, 4).select(
+        ((F.col("id") / 125).cast("long") % 5).cast("double").alias("x1"),
+        ((F.col("id") / 25).cast("long") % 5).cast("double").alias("x2"),
+        ((F.col("id") / 5).cast("long") % 5).cast("double").alias("x3"),
+        (F.col("id") % 5).cast("double").alias("x4"),
+    ).withColumn("val", F.col("x1") + 2 * F.col("x2"))
+    arrays = {f"x{i}": np.arange(5.0) for i in (1, 2, 3, 4)}
+    cells = build_cell_relation(grid, ("x1", "x2", "x3", "x4"), ["val"], axis_arrays=arrays)
+    pts = spark.range(0, 10_000, 1, 8).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 65) / 16.0).alias("x1"),
+        ((F.col("id") % 63) / 16.0).alias("x2"),
+        ((F.col("id") % 61) / 16.0).alias("x3"),
+        ((F.col("id") % 59) / 16.0).alias("x4"),
+    )
+    out = interpolate_points_cells(
+        None, pts, ("x1", "x2", "x3", "x4"), ["val"], axis_arrays=arrays, cells=cells
+    )
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # every hash exchange must belong to the CELL-BUILD subtree (window
+    # passes partition on the _k_* cell keys); the point stream itself is
+    # never shuffled and nothing aggregates per point
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_k_x" in line, f"point-side exchange: {line}\n{plan}"
+    assert "HashAggregate" not in plan, plan

@@ -136,3 +136,35 @@ def test_plot_data_heatmap_and_line_payloads(registry):
         registry.plot_data("nope_ijkl")
     with pytest.raises(ValueError, match="not in grid"):
         registry.plot_data("rho_ijkl", {"altitude": 1.0})
+
+
+def test_registry_cell_strategy_matches_broadcast(spark, grid_dir):
+    """KamodoSpark(strategy='cell') — the repeated-query registry plan —
+    answers point queries identically to the broadcast-kernel registry
+    (including on a TIMESTAMP time axis, whose epoch-second doubles must
+    agree bit-exactly between the driver-snapped lows and the Spark-cast
+    cell keys), and release() drops the persisted cell relation."""
+    start = GRID_START + timedelta(minutes=5)
+    end = GRID_START + timedelta(minutes=95)
+    with pytest.warns(UserWarning):
+        grid_df = load_grid_range(
+            spark, f"{grid_dir}/", start, end, h_range=(292500.0, 357500.0)
+        )
+    t_mid = (GRID_START + timedelta(minutes=40)).timestamp()
+    pts = spark.createDataFrame(
+        [(0, t_mid, 90.0, 0.0, 325000.0), (1, t_mid + 213.0, 181.5, 12.5, 300001.0),
+         (2, t_mid, 90.0, 0.0, 1.0)],  # oob h -> fill
+        "point_id long, time double, lon double, lat double, h double",
+    )
+    ref = KamodoSpark(grid_df)  # auto -> broadcast at this size
+    cell = KamodoSpark(grid_df, strategy="cell")
+    try:
+        exp = {r["point_id"]: r["rho"] for r in ref["rho"](pts).collect()}
+        for _ in range(2):  # repeated queries reuse the persisted relation
+            got = {r["point_id"]: r["rho"] for r in cell["rho"](pts).collect()}
+            assert set(got) == set(exp)
+            for k in exp:
+                assert got[k] == pytest.approx(exp[k], rel=1e-9, abs=1e-12)
+    finally:
+        cell.release()
+    assert cell._cells is None
