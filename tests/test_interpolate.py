@@ -411,3 +411,72 @@ def test_cell_strategy_preserves_duplicate_points(spark, grid_df):
     out = interpolate_points(grid_df, pts, AXES, ["v"], strategy="cell").collect()
     assert len(out) == 3
     assert len({r["v"] for r in out}) == 1
+
+
+@pytest.mark.parametrize("seed,d", [(1, 2), (2, 3), (3, 4)])
+def test_cell_and_corner_agree_on_random_grids(spark, seed, d):
+    """Randomized cross-strategy equivalence: non-uniform axis spacings,
+    NaN/NULL-poked node values, interior + boundary + OOB points — the cell
+    and corner strategies must agree with the NumPy oracle (NaN/NULL nodes
+    contribute fill_value at that node in all three)."""
+    rng = np.random.default_rng(seed)
+    fill = 3.5
+    axes = tuple(f"x{i+1}" for i in range(d))
+    arrays = {}
+    for ax in axes:
+        n = int(rng.integers(3, 6))
+        vals = np.sort(rng.uniform(-10, 10, size=n))
+        while np.any(np.diff(vals) < 1e-3):  # keep spacings non-degenerate
+            vals = np.sort(rng.uniform(-10, 10, size=n))
+        arrays[ax] = vals
+    mesh = np.meshgrid(*[arrays[ax] for ax in axes], indexing="ij")
+    vals_nd = rng.uniform(-5, 5, size=mesh[0].shape)
+    # poke NaN and NULL nodes (~10% each)
+    nan_mask = rng.random(vals_nd.shape) < 0.1
+    null_mask = (rng.random(vals_nd.shape) < 0.1) & ~nan_mask
+    rows = []
+    it = np.nditer(vals_nd, flags=["multi_index"])
+    for v in it:
+        idx = it.multi_index
+        coord = [float(arrays[axes[k]][idx[k]]) for k in range(d)]
+        if null_mask[idx]:
+            rows.append((*coord, None))
+        elif nan_mask[idx]:
+            rows.append((*coord, float("nan")))
+        else:
+            rows.append((*coord, float(v)))
+    schema = ", ".join(f"{ax} double" for ax in axes) + ", val double"
+    grid = spark.createDataFrame(rows, schema)
+
+    pts = []
+    for i in range(30):
+        pts.append((i, *[float(rng.uniform(arrays[ax][0], arrays[ax][-1])) for ax in axes]))
+    # boundary + OOB
+    pts.append((30, *[float(arrays[ax][0]) for ax in axes]))
+    pts.append((31, *[float(arrays[ax][-1]) for ax in axes]))
+    pts.append((32, *[float(arrays[ax][-1] + 1.0) for ax in axes]))
+    pts_df = spark.createDataFrame(
+        pts, "point_id long, " + ", ".join(f"{ax} double" for ax in axes)
+    )
+
+    # oracle: NaN AND NULL nodes -> fill_value before interpolation
+    vals_f = vals_nd.copy()
+    vals_f[nan_mask | null_mask] = fill
+    exp = nlinear_interp(
+        [arrays[ax] for ax in axes], vals_f,
+        np.array([p[1:] for p in pts]), fill_value=fill,
+    )
+
+    for strategy in ("corner", "cell"):
+        got = {
+            r["point_id"]: r["val"]
+            for r in interpolate_points(
+                grid, pts_df, axes, ["val"], fill_value=fill,
+                axis_arrays=arrays, strategy=strategy,
+            ).collect()
+        }
+        assert len(got) == len(pts)
+        for p, e in zip(pts, exp):
+            assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-9), (
+                strategy, p, got[p[0]], e,
+            )
