@@ -492,6 +492,11 @@ def build_cell_relation(
     raises ``ValueError`` otherwise, because a windowed ``lead`` over a
     gapped axis would silently pair non-adjacent nodes; non-dense slabs
     belong to the corner join, whose coverage accounting defines them.
+
+    d=1 caveat: the single window has no partition keys, so the build
+    sorts the whole axis in ONE task — fine for axis-sized relations
+    (axes are small by construction), but a huge 1-D "grid" should use
+    ``asof_uniform_grid`` or the corner join instead.
     """
     from pyspark.sql import Window
 

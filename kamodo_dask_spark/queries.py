@@ -1226,13 +1226,19 @@ def streaming_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-window rebuild → fresh ``KamodoSpark`` registry), and the
     FINAL registry answers a 150-point query — the streaming equivalent of
     the reference's "re-run ingestion every wall-clock tick"
-    (docs/interpolator.md:25-31). The oracle is batch interpolation over
-    the final file set, expressed as the unit-grid corner join in
-    normalized axis coordinates (u = (x-x0)/spacing — exact: every axis
-    spacing is a power of two or 600 with /16-dyadic query offsets, node
-    values are small integers ``16k + 8i + 4j + m``, so weights, products
-    and sums are all exact dyadic doubles in BOTH engines and the hashes
-    match bit-for-bit regardless of evaluation order).
+    (docs/interpolator.md:25-31). The refresher runs ``strategy="cell"``:
+    each refresh builds + persists the slab's cell relation once and the
+    point query is a single equi-join — the repeated-query plan SCALE.md
+    measures — so the cell machinery (and the refresher's release of the
+    superseded relation) sits under a driver-checked row. The oracle is
+    batch interpolation over the final file set, expressed as the
+    unit-grid corner join in normalized axis coordinates (u =
+    (x-x0)/spacing — exact: every axis spacing is a power of two or 600
+    with /16-dyadic query offsets, node values are small integers
+    ``16k + 8i + 4j + m``, so weights, products and sums are all exact
+    dyadic doubles in BOTH engines whatever the evaluation order — the
+    cell path's fixed-order unrolled sum included — and the hashes match
+    bit-for-bit).
     """
     import os
     import tempfile
@@ -1281,7 +1287,7 @@ def streaming_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     stream = stream_grid_files(spark, src, schema)
-    refresher = SlabRefresher(os.path.join(root, "slab_store"))
+    refresher = SlabRefresher(os.path.join(root, "slab_store"), strategy="cell")
     q = (
         stream.transform(normalize_measure_columns)
         .writeStream.foreachBatch(refresher)
