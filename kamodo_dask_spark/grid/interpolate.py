@@ -514,11 +514,20 @@ def build_cell_relation(
             for m in measures
         ],
     )
-    n = base.count()
-    if n != expected:
+    # count AND distinct-coordinate count in one job: a duplicated node
+    # masking a missing one passes a bare row count (and validate_dense's
+    # per-axis cardinality product) but would make the windowed lead pair a
+    # duplicate key — two cells sharing one low corner, silently duplicating
+    # and corrupting every query row that joins them. Same hole
+    # _collect_dense_slab guards on the broadcast path.
+    n, nd = base.agg(
+        F.count(F.lit(1)), F.countDistinct(*[f"_k_{ax}" for ax in axes])
+    ).first()
+    if n != expected or nd != expected:
         raise ValueError(
-            f"cell relation requires a dense slab: {n} rows != {expected}; "
-            "use the corner join for partial slabs"
+            f"cell relation requires a dense slab: {n} rows / {nd} distinct "
+            f"coordinates != {expected} expected; use the corner join for "
+            "partial or duplicated slabs"
         )
 
     cells = base.select(

@@ -82,6 +82,11 @@ class KamodoSpark(dict):
         # one pass so k measures share the d window shuffles.
         self._cells = None
         if strategy == "cell":
+            # build_cell_relation runs its own density aggregation even
+            # though validate_dense just passed — NOT redundant: the
+            # cardinality-product check cannot see a duplicated node
+            # masking a missing one, the build's count+distinct check can
+            # (and a fooled windowed lead would silently corrupt cells).
             self._cells = build_cell_relation(
                 self.df,
                 self.axes,
@@ -104,6 +109,15 @@ class KamodoSpark(dict):
                         axis_arrays=self._axis_arrays,
                     )
                 if self.strategy == "cell":
+                    if self._cells is None:
+                        # loud use-after-release: without this the query
+                        # dies with an opaque NoneType AttributeError deep
+                        # in build_cell_relation
+                        raise RuntimeError(
+                            "this cell-strategy registry has been "
+                            "release()d — rebuild it (or hold the current "
+                            "refresher registry, not a stale reference)"
+                        )
                     return interpolate_points_cells(
                         None,
                         points_df,

@@ -80,18 +80,17 @@ def _widen(df: DataFrame) -> DataFrame:
     noise next to the expression work. JVM-only stages — no Python-worker
     spin-up concern (cf. multimodal's opt-in).
 
-    Narrowness is probed via ``inputFiles()`` (file count < parallelism ≈
-    fewer scan tasks than cores), NOT ``df.rdd.getNumPartitions()`` — the
-    ``.rdd`` accessor allocates a full RDD conversion per call. Non-file
-    inputs (in-memory test frames, post-shuffle relations) report zero
-    files and are left alone: they are either already wide or too small
-    for widening to matter."""
+    Narrowness is probed via ``df.rdd.getNumPartitions()`` — deliberately.
+    It is the ONLY partition-accurate public API: ``inputFiles()`` reports
+    LEAF scan files straight through joins/aggregations/repartitions
+    (verified: a 50-partition post-shuffle relation over 2 files reports
+    2), so a file-count heuristic would narrow already-wide relations with
+    a pointless extra shuffle, and unconditional repartition would do the
+    same. The ``.rdd`` cost is one driver-side plan analysis + RDD wrapper
+    per operator call — microseconds against the corpus-scan stage this
+    guards, and the analysis work is needed at execution anyway."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < target:
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

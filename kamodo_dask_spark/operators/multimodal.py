@@ -299,12 +299,13 @@ def extract_media_features(
 
     decode = _decode_fake if use_fake_decoder else _decode_real
     if auto_repartition:
-        # opt-in means the caller KNOWS the input is narrow and decode is
-        # heavy — repartition unconditionally rather than probing partition
-        # count via the ``.rdd`` accessor (which allocates an RDD
-        # conversion); a same-width repartition is a cheap no-op shuffle
-        # next to the decode work this flag exists for
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # widen-only, probed via .rdd.getNumPartitions() — the only
+        # partition-accurate public API (see dedup._widen's rationale):
+        # unconditional repartition would NARROW an already-wide media
+        # corpus and full-shuffle every binary payload for nothing
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     out_schema = T.StructType(list(df.schema.fields) + list(FEATURES_SCHEMA.fields))
 
     def batches(it):

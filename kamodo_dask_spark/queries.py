@@ -1306,8 +1306,15 @@ def streaming_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") % 49) / 16.0 * 4.0).alias("lat"),
         ((F.col("id") % 33) / 16.0 * 128.0).alias("h"),
     )
-    out = reg["rho"](pts)
-    return out.select("point_id", F.round("rho", 6).alias("rho"))
+    out = reg["rho"](pts).select("point_id", F.round("rho", 6).alias("rho"))
+    # force the plan to bind while the persisted cell relation exists, then
+    # release it — a shared bench/parity session runs this entry repeatedly
+    # and unreleased relations would accumulate in the storage layer. The
+    # returned (lazy) plan stays valid: unpersist only drops cached blocks;
+    # re-execution recomputes the cells from the slab-store parquet.
+    out = out.localCheckpoint(eager=True)
+    reg.release()
+    return out
 
 
 @register(
@@ -2323,8 +2330,11 @@ def label_centroids_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the Spark glue skips NULL labels and labels without a full-rank
     -- centroid (ragged corpora); mirror both so the engines agree on the
     -- candidate label set
+    -- count(c), not count(*): a (label, dim) group whose values are all
+    -- NULL emits a NULL-centroid row that the Spark glue skips — counting
+    -- it here would keep a label Spark drops as not-full-rank
     full_lbl AS (SELECT label FROM cent0 GROUP BY label
-                 HAVING count(*) = (SELECT max(len(embedding)) FROM embeddings)),
+                 HAVING count(c) = (SELECT max(len(embedding)) FROM embeddings)),
     cent AS (SELECT c0.* FROM cent0 c0 JOIN full_lbl USING (label)),
     cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
     -- Spark's norm NULL-propagates over vector elements and the row is

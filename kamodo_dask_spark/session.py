@@ -51,8 +51,15 @@ def _external_master_configured(env: dict | None = None) -> bool:
     URL, otherwise getOrCreate would die with 'master must be set' despite
     no real master existing."""
     env = os.environ if env is None else env
-    master_env_is_spark = env.get("MASTER", "").startswith(
-        ("local", "spark://", "yarn", "k8s://", "mesos://")
+    master_env = env.get("MASTER", "")
+    # bare-prefix "local" would also match foreign values like
+    # "localhost:8080"; Spark's local spellings are exactly local,
+    # local[N], local[N,M] and local-cluster[...]
+    master_env_is_spark = (
+        master_env in ("local", "yarn")
+        or master_env.startswith(
+            ("local[", "local-cluster[", "spark://", "k8s://", "mesos://")
+        )
     )
     return (
         "PYSPARK_GATEWAY_PORT" in env

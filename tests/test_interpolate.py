@@ -480,3 +480,19 @@ def test_cell_and_corner_agree_on_random_grids(spark, seed, d):
             assert got[p[0]] == pytest.approx(e, rel=1e-9, abs=1e-9), (
                 strategy, p, got[p[0]], e,
             )
+
+
+def test_cell_relation_rejects_duplicate_masked_hole(spark):
+    """A duplicated node compensating a missing one passes a bare row count
+    (and the per-axis cardinality product) but must be REJECTED: a windowed
+    lead over the duplicate key would build two cells sharing one low
+    corner and silently duplicate query rows."""
+    from kamodo_dask_spark.grid.interpolate import build_cell_relation
+
+    rows = [(x1, x2, x1 + 2 * x2) for x1 in (0.0, 1.0) for x2 in (0.0, 1.0)]
+    rows.remove((1.0, 1.0, 3.0))
+    rows.append((0.0, 0.0, 0.0))  # duplicate keeps count at 4
+    grid = spark.createDataFrame(rows, "x1 double, x2 double, val double")
+    arrays = {"x1": np.array([0.0, 1.0]), "x2": np.array([0.0, 1.0])}
+    with pytest.raises(ValueError, match="distinct"):
+        build_cell_relation(grid, ("x1", "x2"), ["val"], axis_arrays=arrays)

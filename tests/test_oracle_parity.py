@@ -155,3 +155,76 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"point_id", "val_interp"}
+
+
+def test_nearest_centroid_parity_on_edge_corpus(spark, tmp_path):
+    """The r4-ADVICE / r5-review edge corpus, which the standard fixtures
+    never exercise: a ragged corpus whose LONGEST vector carries a NULL
+    label, a label whose vectors are all-NULL at one dim (no full-rank
+    centroid — count(c) vs count(*) in the oracle), and NULL elements
+    inside embeddings (Spark norm NULL-propagates; oracle must mirror the
+    row drop). Spark glue and DuckDB oracle must still agree."""
+    import duckdb as _duckdb
+
+    rows = [
+        # label 1: two clean 3-d vectors
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0], 1),
+        # label 2: FULL-LENGTH vectors, all NULL at dim 2 -> cent0 emits a
+        # NULL-centroid row for that dim, so count(*) = 4 = max len would
+        # keep the label (the bug) while count(c) = 3 drops it like Spark
+        (2, [0.0, 1.0, None, 0.0], 2),
+        (3, [0.0, 0.9, None, 0.0], 2),
+        # NULL label on the LONGEST vector (defines global max length = 4)
+        (4, [0.5, 0.5, 0.5, 0.5], None),
+        # short ragged vector
+        (5, [1.0, 1.0], 1),
+        # full-length vector with an interior NULL element -> dropped side
+        (6, [1.0, None, 0.0, 0.0], 1),
+        # clean full-length vectors to be assigned (match max len = 4)
+        (7, [1.0, 0.05, 0.0, 0.0], None),
+        (8, [0.0, 1.0, 0.1, 0.0], None),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+            "label": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    sf_dir = tmp_path / "edge_sf"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "embeddings.parquet"))
+
+    spark_pdf = entry_mod.queries()["nearest_centroid"](spark, str(sf_dir)).toPandas()
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    duck_pdf = con.sql(entry_mod.oracle_sql()["nearest_centroid"]).df()
+    assert_frames_match("nearest_centroid_edge", spark_pdf, duck_pdf)
+
+
+def test_nearest_centroid_empty_label_corpus(spark, tmp_path):
+    """All-NULL labels: no centroids exist — the glue must return an empty
+    typed result, not raise (review r4 ADVICE: max() over empty by_label)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())),
+            "label": pa.array([None, None], pa.int64()),
+        }
+    )
+    sf_dir = tmp_path / "empty_sf"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "embeddings.parquet"))
+    out = entry_mod.queries()["nearest_centroid"](spark, str(sf_dir))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "assigned_label", "score"]

@@ -168,3 +168,20 @@ def test_registry_cell_strategy_matches_broadcast(spark, grid_dir):
     finally:
         cell.release()
     assert cell._cells is None
+
+
+def test_cell_registry_use_after_release_raises_clearly(spark):
+    """Querying a released cell-strategy registry raises a RuntimeError
+    naming the cause, not an opaque NoneType failure."""
+    rows = [
+        (float(t), float(x), t + 2.0 * x)
+        for t in (0.0, 1.0, 2.0)
+        for x in (0.0, 1.0, 2.0)
+    ]
+    df = spark.createDataFrame(rows, "time double, lon double, rho double")
+    reg = KamodoSpark(df, axes=("time", "lon"), strategy="cell")
+    pts = spark.createDataFrame([(0, 0.5, 0.5)], "point_id long, time double, lon double")
+    assert reg["rho"](pts).count() == 1
+    reg.release()
+    with pytest.raises(RuntimeError, match="release"):
+        reg["rho"](pts)

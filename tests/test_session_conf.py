@@ -61,7 +61,15 @@ def test_external_master_detection_ignores_foreign_master_var():
     assert not _external_master_configured({})
     assert not _external_master_configured({"MASTER": "makefile-master"})
     assert not _external_master_configured({"MASTER": "http://foo"})
+    # 'local*'-shaped FOREIGN values must not match either (review r5):
+    # a bare startswith('local') would treat a tool's MASTER=localhost as
+    # a Spark master and crash getOrCreate with 'master must be set'
+    assert not _external_master_configured({"MASTER": "localhost"})
+    assert not _external_master_configured({"MASTER": "localhost:8080"})
+    assert not _external_master_configured({"MASTER": "yarn-foo"})
+    assert _external_master_configured({"MASTER": "local"})
     assert _external_master_configured({"MASTER": "local[4]"})
+    assert _external_master_configured({"MASTER": "local-cluster[2,1,1024]"})
     assert _external_master_configured({"MASTER": "spark://host:7077"})
     assert _external_master_configured({"MASTER": "yarn"})
     assert _external_master_configured({"MASTER": "k8s://https://host"})
