@@ -23,16 +23,34 @@ sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from kamodo_dask_spark.queries import ORACLES, QUERIES  # noqa: E402
+from kamodo_dask_spark.session import ensure_session_conf  # noqa: E402
+
+
+def _with_session_conf(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver owns its own SparkSession, whose session timezone defaults
+    to the HOST zone — every timestamp-sensitive entry (filename→timestamp
+    parsing, windowing, unix-micros comparisons against tz-naive DuckDB)
+    assumes UTC, and ns-parquet reads assume nanosAsLong. Apply the
+    engine's runtime-settable confs before each entry so the catalog
+    behaves identically under a foreign session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_conf(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["interp_4d"](spark, "/root/testdata/sf0.001")
+    return _with_session_conf(QUERIES["interp_4d"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _with_session_conf(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

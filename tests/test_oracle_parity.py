@@ -228,3 +228,20 @@ def test_nearest_centroid_empty_label_corpus(spark, tmp_path):
     out = entry_mod.queries()["nearest_centroid"](spark, str(sf_dir))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "assigned_label", "score"]
+
+
+def test_entries_self_heal_foreign_session_timezone(spark, duck):
+    """The driver owns its session; if its timezone is not UTC, every
+    timestamp entry would shift vs the tz-naive DuckDB oracle. The
+    __spark_entry__ wrappers must re-apply engine confs per call."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        name = "floor_10min"
+        spark_pdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+        # the wrapper must have restored UTC before the query planned
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        duck_pdf = duck.sql(entry_mod.oracle_sql()[name]).df()
+        assert_frames_match(name, spark_pdf, duck_pdf)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
