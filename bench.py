@@ -80,6 +80,12 @@ SF01_BUDGETS = {
     "stream_stream_join": 5.0,
     # ~2.0 s warm (CC rounds + quality join); shares dedup_clusters' shape
     "cluster_representatives": 4.5,
+    # r5 scale probes: the forced corner join (~3.5 s — 1.23M-row slab ×
+    # 100k points through the ShuffledHashJoin) and the streaming slab
+    # refresh + cell-relation query (~2 s). Budgets catch a silent fallback
+    # to sort-merge (corner) or a per-batch rebuild regression (interp).
+    "interp_4d_corner": 6.0,
+    "streaming_interp": 5.0,
 }
 
 
