@@ -254,3 +254,42 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert out.count() == 8
     # every source row exactly once (no dupes, no loss), by content
     assert out.select("time").distinct().count() == 4
+
+
+def test_slab_refresher_cell_strategy_releases_superseded(spark, tmp_path):
+    """strategy='cell' refreshers: each rebuild answers queries through the
+    persisted cell relation, and the SUPERSEDED registry's relation is
+    released on replacement (no accumulation across refreshes)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    refresher = SlabRefresher(
+        str(tmp_path / "slab_store_cell"), axes=("time", "x"), strategy="cell"
+    )
+
+    def batch(t0_epoch, scale):
+        rows = [
+            (pd.Timestamp(t0_epoch + 600 * i, unit="s").to_pydatetime(), x, scale * (i + 2 * x))
+            for i in range(2)
+            for x in (0.0, 1.0)
+        ]
+        return spark.createDataFrame(rows, "time timestamp, x double, val double")
+
+    base = 1_700_000_000
+    refresher(batch(base, 1.0), 0)
+    first = refresher.current()
+    assert first._cells is not None
+    pts = spark.createDataFrame(
+        [(0, float(base + 300), 0.5)], "point_id long, time double, x double"
+    )
+    v1 = first["val"](pts).collect()[0]["val"]
+    assert v1 == _pytest.approx(1.5)  # bilinear of i + 2x at (0.5, 0.5)
+
+    refresher(batch(base + 1200, 1.0), 1)  # extends the time axis
+    second = refresher.current()
+    assert second is not first
+    assert first._cells is None  # superseded relation released
+    with _pytest.raises(RuntimeError, match="release"):
+        first["val"](pts)
+    v2 = second["val"](pts).collect()[0]["val"]
+    assert v2 == _pytest.approx(v1)  # same point, same slab region
