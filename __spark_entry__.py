@@ -36,6 +36,9 @@ def _with_session_conf(
     engine's runtime-settable confs before each entry so the catalog
     behaves identically under a foreign session."""
 
+    import functools
+
+    @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_session_conf(spark)
         return fn(spark, sf_dir)

@@ -399,37 +399,15 @@ def test_cell_strategy_point_side_zero_exchange(spark):
 
 
 def test_large_slab_corner_join_is_shuffled_hash(spark):
-    """Above the broadcast cutoff the corner join must plan as a
-    ShuffledHashJoin with the grid as build side — Spark's default would be
-    a sort-merge join (two full sorts on four normalized-double keys,
-    measured 1.7x slower at probe scale). Plan-only: nothing executes."""
-    from pyspark.sql import functions as F
-
-    import numpy as np
-
-    from kamodo_dask_spark.grid.interpolate import interpolate_points
+    """The BENCHED catalog entry (interp_4d_corner — 1.23M-row slab, above
+    the broadcast cutoff) must plan as a ShuffledHashJoin with the grid as
+    build side — Spark's default would be a sort-merge join (two full sorts
+    on four normalized-double keys, measured 1.7x slower at probe scale).
+    Asserting the entry itself (plan-only, nothing executes) means a
+    regression in the entry — dropped strategy flag, shrunken slab — fails
+    here, not silently at bench time."""
     from kamodo_dask_spark.plans.checks import executed_plan
 
-    dims = (50, 50, 41, 12)  # 1.23M > _BROADCAST_GRID_MAX_ROWS
-    d2, d3, d4 = dims[1], dims[2], dims[3]
-    grid = spark.range(0, int(np.prod(dims)), 1, 32).select(
-        ((F.col("id") / (d2 * d3 * d4)).cast("long") % dims[0]).cast("double").alias("x1"),
-        ((F.col("id") / (d3 * d4)).cast("long") % d2).cast("double").alias("x2"),
-        ((F.col("id") / d4).cast("long") % d3).cast("double").alias("x3"),
-        (F.col("id") % d4).cast("double").alias("x4"),
-    ).withColumn("val", F.col("x1") + F.col("x2"))
-    pts = spark.range(0, 1000).select(
-        F.col("id").alias("point_id"),
-        (F.col("id") % 49 + 0.5).alias("x1"),
-        (F.col("id") % 47 + 0.5).alias("x2"),
-        (F.col("id") % 37 + 0.5).alias("x3"),
-        (F.col("id") % 11 + 0.25).alias("x4"),
-    )
-    arrays = {f"x{i + 1}": np.arange(float(n)) for i, n in enumerate(dims)}
-    out = interpolate_points(
-        grid, pts, ("x1", "x2", "x3", "x4"), ["val"],
-        axis_arrays=arrays, strategy="corner",
-    )
-    plan = executed_plan(out)
+    plan = executed_plan(QUERIES["interp_4d_corner"](spark, SF))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
