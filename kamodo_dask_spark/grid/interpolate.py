@@ -686,9 +686,13 @@ def gridded_eval(
     ``var_ijkl(time=…, lon=…, lat=…, h=…)`` (kamodo_dask.py:343-348).
 
     Unspecified axes default to the full grid axis; supplied axes may be a
-    scalar or list. The query-point relation is the cross join of per-axis
-    value sets (tiny inputs → cheap ``explode`` + ``crossJoin``), then point
-    interpolation. Result stays a DataFrame: one row per mesh point.
+    scalar or list. The query-point relation is the per-axis meshgrid,
+    built as ONE ``range(∏ sizes)`` decode (div/mod strides + literal-array
+    ``element_at``) — a single whole-stage-codegen projection that
+    parallelizes across the range, instead of a chain of one-row
+    ``crossJoin``s (k−1 BroadcastNestedLoopJoins, one partition, and a plan
+    the catalog's no-BNLJ sweep would reject). Then point interpolation.
+    Result stays a DataFrame: one row per mesh point.
 
     ``strategy`` is forwarded to :func:`interpolate_points` (auto | corner |
     broadcast — and validated there, so typos raise instead of silently
@@ -702,7 +706,7 @@ def gridded_eval(
 
     coerce = coerce_axis_value
 
-    mesh = None
+    per_axis: list[list[float]] = []
     for ax in axes:
         vals = coords.get(ax)
         if vals is None:
@@ -711,8 +715,16 @@ def gridded_eval(
             vals_list = [coerce(vals)]
         else:
             vals_list = [coerce(v) for v in vals]
-        ax_df = spark.range(1).select(F.explode(F.lit(vals_list)).alias(ax))
-        mesh = ax_df if mesh is None else mesh.crossJoin(ax_df)
+        per_axis.append(vals_list)
+
+    sizes = [len(v) for v in per_axis]
+    n_mesh = int(np.prod(sizes))
+    cols, stride = [], n_mesh
+    for ax, vals_list, size in zip(axes, per_axis, sizes):
+        stride //= size
+        idx = ((F.col("id") / stride).cast("long") % size + 1).cast("int")
+        cols.append(F.element_at(F.lit(vals_list), idx).alias(ax))
+    mesh = spark.range(n_mesh).select(*cols)
 
     if strategy == "broadcast":
         return interpolate_points_broadcast(

@@ -411,3 +411,28 @@ def test_large_slab_corner_join_is_shuffled_hash(spark):
     plan = executed_plan(QUERIES["interp_4d_corner"](spark, SF))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gridded_eval_mesh_has_no_nested_loop(spark):
+    """The meshgrid builder is a single range decode (div/mod strides +
+    literal-array element_at), NOT a chain of one-row crossJoins — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in a gridded
+    evaluation, and the mesh projection parallelizes across the range."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import gridded_eval
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    rows = [
+        (float(t), float(x), float(h), float(t + 2 * x + 3 * h))
+        for t in range(4)
+        for x in range(3)
+        for h in range(3)
+    ]
+    grid = spark.createDataFrame(rows, "time double, lon double, h double, v double")
+    out = gridded_eval(grid, {"time": 1.5}, axes=("time", "lon", "h"), measures=["v"])
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {(r["lon"], r["h"]): r["v"] for r in out.collect()}
+    assert got[(1.0, 2.0)] == 1.5 + 2 * 1.0 + 3 * 2.0
