@@ -718,6 +718,11 @@ def gridded_eval(
         per_axis.append(vals_list)
 
     sizes = [len(v) for v in per_axis]
+    empty = [ax for ax, s in zip(axes, sizes) if s == 0]
+    if empty:
+        # the old crossJoin builder returned a silent empty mesh; a zero
+        # stride here would be a bare ZeroDivisionError — name the axis
+        raise ValueError(f"empty coordinate list for axis {empty[0]!r}")
     n_mesh = int(np.prod(sizes))
     cols, stride = [], n_mesh
     for ax, vals_list, size in zip(axes, per_axis, sizes):

@@ -496,3 +496,10 @@ def test_cell_relation_rejects_duplicate_masked_hole(spark):
     arrays = {"x1": np.array([0.0, 1.0]), "x2": np.array([0.0, 1.0])}
     with pytest.raises(ValueError, match="distinct"):
         build_cell_relation(grid, ("x1", "x2"), ["val"], axis_arrays=arrays)
+
+
+def test_gridded_eval_empty_axis_list_raises(spark, grid_df):
+    from kamodo_dask_spark.grid.interpolate import gridded_eval
+
+    with pytest.raises(ValueError, match="empty coordinate list"):
+        gridded_eval(grid_df, {"lon": []}, AXES, ["v"])
