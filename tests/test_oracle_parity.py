@@ -47,11 +47,11 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
 #: PARITY_STRICT=1 demands BIT-EXACT float equality (repr-level), the bar
 #: the external driver's value hash effectively applies. The default stays
 #: 1e-9-tolerant so an engine-version bump that shifts a last-ulp doesn't
-#: block the suite; run strict before a round ships. As of round 4 all 83
-#: entries pass strict at sf0.01, and the default-tolerance suite also passes
-#: wholesale at sf0.1 (10x the driver scale — catches scale-dependent
-#: threshold/boundary bugs the small fixture cannot) AND at sf0.001 (the
-#: tiny fixture exercises empty/degenerate-relation edges).
+#: block the suite; run strict before a round ships. As of round 5 all 85
+#: entries pass strict at BOTH sf0.01 (the driver scale) and sf0.1 (10x —
+#: catches scale-dependent threshold/boundary bugs the small fixture
+#: cannot), and the suite also passes at sf0.001 (the tiny fixture
+#: exercises empty/degenerate-relation edges).
 STRICT = os.environ.get("PARITY_STRICT", "") == "1"
 
 #: Entries checked BIT-EXACT in the DEFAULT suite (judge r4 ask #9): their
