@@ -250,6 +250,57 @@ def keyless_asof_micro(spark, n_right: int = 1_000_000, n_left: int = 100_000) -
     return time.perf_counter() - t0
 
 
+def cell_reuse_micro(spark, n_pts: int = 100_000) -> float:
+    """Cell-relation strategy in its amortized regime: the 1.23M-row probe
+    slab reshaped once (build+persist NOT timed — that cost is the
+    documented upfront trade, SCALE.md), then one n_pts-point query through
+    the single-equi-join plan. Tracks the per-query number the registry's
+    repeated-lookup pattern actually pays; compare with interp_4d_corner
+    (same slab/points through the corner join, build amortized nowhere)."""
+    import numpy as np
+
+    from kamodo_dask_spark.grid.interpolate import (
+        build_cell_relation,
+        interpolate_points_cells,
+    )
+    from pyspark.sql import functions as F
+
+    dims = (50, 50, 41, 12)
+    d2, d3, d4 = dims[1], dims[2], dims[3]
+    grid = spark.range(0, 50 * 50 * 41 * 12, 1, 32).select(
+        ((F.col("id") / (d2 * d3 * d4)).cast("long") % dims[0]).cast("double").alias("x1"),
+        ((F.col("id") / (d3 * d4)).cast("long") % d2).cast("double").alias("x2"),
+        ((F.col("id") / d4).cast("long") % d3).cast("double").alias("x3"),
+        (F.col("id") % d4).cast("double").alias("x4"),
+    ).withColumn(
+        "val",
+        F.col("x1") + 2 * F.col("x2") + 3 * F.col("x3") + 4 * F.col("x4"),
+    )
+    arrays = {f"x{i + 1}": np.arange(float(n)) for i, n in enumerate(dims)}
+    axes = ("x1", "x2", "x3", "x4")
+    cells = build_cell_relation(grid, axes, ["val"], axis_arrays=arrays).persist()
+    cells.count()
+    pts = spark.range(0, n_pts, 1, 32).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 479) / 9.81).alias("x1"),
+        ((F.col("id") % 467) / 9.53).alias("x2"),
+        ((F.col("id") % 389) / 9.73).alias("x3"),
+        ((F.col("id") % 107) / 9.91).alias("x4"),
+    )
+    try:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = interpolate_points_cells(
+                None, pts, axes, ["val"], axis_arrays=arrays, cells=cells
+            )
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+    finally:
+        cells.unpersist()
+
+
 def run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -344,6 +395,8 @@ def run() -> dict:
     timings["keyless_asof_1m_rows"] = round(
         min(keyless_asof_micro(spark) for _ in range(2)), 3
     )
+    # already best-of-2 internally (build excluded — SCALE.md documents it)
+    timings["cell_reuse_100k_points"] = round(cell_reuse_micro(spark), 3)
 
     # per-query regression tracking vs the last driver-recorded round:
     # loud (stderr + output key), not fatal — the recorded JSON is the
