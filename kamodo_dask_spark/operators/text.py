@@ -465,3 +465,77 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical form of an http(s) URL — the normalization step of a
+    URL-level dedup / blocklist pass (the C4/RefinedWeb-style provenance
+    filter; the reference's URL surgery stops at prefix/suffix string ops,
+    kamodo_dask.py:38-40):
+
+    - fragment stripped;
+    - scheme + host lowercased (path/query case preserved — it is
+      significant);
+    - tracking parameters removed (``utm_*``, ``ref``), remaining query
+      order preserved;
+    - trailing slashes trimmed from the path; an emptied query disappears.
+
+    Pure row-local string expressions (regexp + array ops) — zero shuffle,
+    whole-stage codegen, and every step has an exact DuckDB spelling so
+    normalized keys hash identically cross-engine.
+    """
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    prefix = F.regexp_extract(no_frag, r"^(https?://[^/?]+)", 1)
+    rest = F.substring(no_frag, F.length(prefix) + F.lit(1), F.length(no_frag))
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0, F.substring(rest, F.lit(1), qpos - F.lit(1))).otherwise(rest)
+    query = F.when(qpos > 0, F.substring(rest, qpos + F.lit(1), F.length(rest))).otherwise(
+        F.lit("")
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[a-z0-9_]*|ref)="),
+    )
+    return F.concat(
+        F.lower(prefix),
+        F.regexp_replace(path, r"/+$", ""),
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_domain(col: Column) -> Column:
+    """Registrable-host extraction from a NORMALIZED url (host already
+    lowercased)."""
+    return F.regexp_extract(col, r"^https?://([^/?:]+)", 1)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: list[str] | None = None,
+) -> DataFrame:
+    """URL-level dedup + domain blocklist: normalize every URL, drop
+    blocklisted domains (exact or subdomain match against a BROADCAST-sized
+    list — blocklists are metadata, inlined as expressions), and keep one
+    canonical document (lowest id) per normalized URL.
+
+    Returns ``(norm_url, domain, canonical_id, n_copies)``. ONE hash
+    aggregation on the normalized key — at 100 TB this is the same shape as
+    exact text dedup: map-side normalization, uniformly-hashed shuffle on
+    md5-sized keys, no skew (hot domains spread across their distinct
+    URLs).
+    """
+    norm = normalize_url(F.col(url_col)).alias("norm_url")
+    dom = url_domain(F.col("norm_url"))
+    out = df.select(F.col(id_col), norm).withColumn("domain", dom)
+    for b in blocked_domains or []:
+        out = out.filter(
+            ~((F.col("domain") == b.lower()) | F.col("domain").endswith("." + b.lower()))
+        )
+    return out.groupBy("norm_url", "domain").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )

@@ -1991,6 +1991,96 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+@register(
+    "url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        'https://'
+        || CASE doc_id % 5 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'tracker.net'
+                           WHEN 2 THEN 'Docs.Example.com' WHEN 3 THEN 'news.site.org'
+                           ELSE 'CDN.site.org' END
+        || '/p/' || (doc_id % 97)
+        || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=' || (doc_id % 11)
+                WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 13) || '&utm_campaign=x'
+                ELSE '/' END
+        || CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 7) ELSE '' END AS url
+      FROM documents),
+    n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+    pr AS (SELECT doc_id, no_frag,
+                  regexp_extract(no_frag, '^(https?://[^/?]+)', 1) AS prefix
+           FROM n),
+    r AS (SELECT doc_id, prefix, substr(no_frag, length(prefix) + 1) AS rest FROM pr),
+    s AS (SELECT doc_id, prefix,
+                 CASE WHEN strpos(rest, '?') > 0
+                      THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path,
+                 CASE WHEN strpos(rest, '?') > 0
+                      THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+          FROM r),
+    k AS (SELECT doc_id,
+                 lower(prefix) || regexp_replace(path, '/+$', '')
+                 || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                         ELSE '' END AS norm_url
+          FROM (SELECT doc_id, prefix, path,
+                       list_filter(string_split(query, '&'),
+                                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|ref)='))
+                         AS kept
+                FROM s)),
+    d AS (SELECT doc_id, norm_url,
+                 regexp_extract(norm_url, '^https?://([^/?:]+)', 1) AS domain
+          FROM k)
+    SELECT norm_url, domain, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM d
+    WHERE NOT (domain = 'tracker.net' OR ends_with(domain, '.tracker.net'))
+    GROUP BY 1, 2
+    """,
+)
+def url_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level provenance dedup + domain blocklist
+    (``operators/text.py::url_dedup``): normalize (fragment/tracking-param
+    stripping, case-folded scheme+host, trailing-slash trim), drop
+    blocklisted domains, keep one canonical doc per normalized URL — the
+    C4/RefinedWeb URL filter. The fixture has no URL column, so the entry
+    builds deterministic messy URLs from doc_id IN BOTH ENGINES: five
+    mixed-case domains (one blocklisted), three query shapes (tracking-only
+    — which must normalize into the no-query shape, creating cross-shape
+    duplicates — id+tracking, bare trailing slash) and a fragment on every
+    fourth doc. Every normalization step is a row-local string expression
+    with an exact DuckDB spelling; the aggregation is ONE hash groupBy on
+    the normalized key."""
+    from kamodo_dask_spark.operators.text import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    doms = F.array(
+        F.lit("Example.COM"),
+        F.lit("tracker.net"),
+        F.lit("Docs.Example.com"),
+        F.lit("news.site.org"),
+        F.lit("CDN.site.org"),
+    )
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(doms, (d % 5 + 1).cast("int")),
+        F.lit("/p/"),
+        (d % 97).cast("string"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("/?utm_source=feed&ref="), (d % 11).cast("string")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?id="), (d % 13).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("/")),
+        F.when(d % 4 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    return url_dedup(staged, blocked_domains=["tracker.net"])
+
+
 @register("dedup_clusters", _dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: pairwise matches → connected components → one
@@ -3337,10 +3427,14 @@ PARKED = [
     "vocabulary",
     "unigram_logprob",
     "bm25_search",
-    # sampling family (r4-green): sequence_packing stays in-window
+    # sampling family (r4-green): sequence_packing joined the parked set
+    # mid-round to make a window slot for the new url_dedup entry (which
+    # has never had a driver row; packing is r4-green and stays pinned by
+    # its python-oracle property test + bench budget)
     "dataset_split",
     "stratified_sample",
     "mixture_sample",
+    "sequence_packing",
     # multimodal (r4-green): multimodal_features (the mapInPandas pipeline
     # whose widening changed) stays in-window
     "multimodal_decode",

@@ -52,6 +52,7 @@ def _never_driver_green() -> list[str]:
 ROUND5_PENDING = [
     "interp_4d_corner",
     "streaming_interp",
+    "url_dedup",
 ]
 
 #: The round-5 window INTENT (see queries.py PARKED comment): the 33

@@ -1172,3 +1172,48 @@ def test_lsh_topk_tolerates_null_vector_rows(spark):
     tables = [rademacher_planes(4, 4, table=t) for t in range(2)]
     out = lsh_cosine_topk(df, df.filter("vec_id = 0"), k=2, tables=tables).collect()
     assert all(r["neighbor_id"] != 9 for r in out)  # NULL row never a candidate
+
+
+def test_normalize_url_edge_cases(spark):
+    """URL normalization semantics, pinned case by case."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.text import normalize_url
+
+    cases = [
+        # fragment stripped; host lowercased; path case preserved
+        ("https://Example.COM/Path/To#frag", "https://example.com/Path/To"),
+        # tracking params removed, other params preserved in order
+        ("https://a.com/p?utm_source=x&id=3&ref=y&b=2", "https://a.com/p?id=3&b=2"),
+        # all-tracking query disappears entirely
+        ("https://a.com/p/?utm_campaign=z", "https://a.com/p"),
+        # trailing slashes trimmed (also multiple)
+        ("http://a.com/p///", "http://a.com/p"),
+        # bare host: no path, no query
+        ("https://A.com", "https://a.com"),
+        # query on bare host
+        ("https://A.com?id=1", "https://a.com?id=1"),
+        # NULL propagates
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_dedup_blocklist_and_canonical(spark):
+    from kamodo_dask_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://Example.com/a?utm_source=x"),
+        (2, "https://example.com/a#frag"),          # dup of 1 after norm
+        (3, "https://sub.tracker.net/a"),           # blocked (subdomain)
+        (4, "https://tracker.net/b"),               # blocked (exact)
+        (5, "https://news.org/c?id=9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["norm_url"]: r for r in url_dedup(df, blocked_domains=["tracker.net"]).collect()}
+    assert set(out) == {"https://example.com/a", "https://news.org/c?id=9"}
+    a = out["https://example.com/a"]
+    assert a["canonical_id"] == 1 and a["n_copies"] == 2 and a["domain"] == "example.com"

@@ -72,6 +72,7 @@ STRICT_DEFAULT_ENTRIES = {
     "line_dedup",  # md5 + line counts
     "sequence_packing",  # int pack assignments
     "streaming_interp",  # dyadic-exact interpolation values
+    "url_dedup",  # normalized-url strings + counts
 }
 
 
