@@ -539,3 +539,41 @@ def url_dedup(
         F.min(id_col).alias("canonical_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Plain text from an HTML document — the extraction step between a web
+    crawl and every text operator above (the honest regex core of a
+    trafilatura-style extractor; a full DOM parser is a library dependency
+    a real deployment would add, but the pipeline SHAPE — row-local
+    expressions, zero shuffle — is identical):
+
+    - ``<script>``/``<style>`` blocks dropped wholesale (their text is not
+      content);
+    - ``<br>`` and closing block tags become newlines, all other tags a
+      space (so adjacent words don't fuse);
+    - the five HTML entities that survive in text corpora decoded
+      (``&amp; &lt; &gt; &quot; &#39;`` and ``&nbsp;``);
+    - horizontal whitespace runs collapsed, 3+ newlines squeezed to 2,
+      edges trimmed.
+
+    Every step is a regex/replace with an exact RE2 (DuckDB) spelling, so
+    the cleaned text hashes identically cross-engine.
+    """
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?>|</(p|div|h[1-6]|li|tr)>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)

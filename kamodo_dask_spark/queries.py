@@ -1992,6 +1992,80 @@ def _dedup_clusters_oracle() -> str:
 
 
 @register(
+    "html_extract",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id
+        || '</title><style>p {color: red}</style>'
+        || '<script>var x = 1 < 2 && doc;</script></head><body><h1>Heading '
+        || (doc_id % 7) || '</h1><p>' || text
+        || '</p><br/><div>A &amp; B &lt;tag&gt; &quot;q&quot; '
+        || '&#39;s&#39;&nbsp;end</div><ul><li>item ' || (doc_id % 3)
+        || '</li></ul></body></html>' AS html
+      FROM documents),
+    c1 AS (SELECT doc_id,
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           FROM h),
+    c2 AS (SELECT doc_id,
+                  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+           FROM c1),
+    c3 AS (SELECT doc_id,
+                  regexp_replace(t, '(?i)<br\\s*/?>|</(p|div|h[1-6]|li|tr)>',
+                                 chr(10), 'g') AS t
+           FROM c2),
+    c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c3),
+    c5 AS (SELECT doc_id,
+                  replace(replace(replace(replace(replace(replace(t,
+                    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)) AS t
+           FROM c4),
+    c6 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM c5),
+    c7 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM c6),
+    c8 AS (SELECT doc_id,
+                  regexp_replace(t, '\\n{3,}', chr(10) || chr(10), 'g') AS t
+           FROM c7)
+    SELECT doc_id, md5(trim(t)) AS clean_hash, length(trim(t)) AS n_chars
+    FROM c8
+    """,
+)
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (``operators/text.py::html_to_text``): the
+    step between a web crawl and every text operator in this catalog. The
+    fixture has no HTML, so the entry wraps each document in deterministic
+    HTML scaffolding IN BOTH ENGINES — script/style blocks (the script
+    body contains a bare ``<`` to prove block-stripping runs before tag
+    stripping), block tags that must become newlines, entities, and
+    whitespace mess — then extracts and hashes the cleaned text. Every
+    cleaning step is a regex/replace with identical Java-regex and RE2
+    spellings (DuckDB needs the explicit 'g' option where Spark is global
+    by default), so the hashes match bit-for-bit."""
+    from kamodo_dask_spark.operators.text import html_to_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><style>p {color: red}</style>"),
+        F.lit("<script>var x = 1 < 2 && doc;</script></head><body><h1>Heading "),
+        (d % 7).cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/><div>A &amp; B &lt;tag&gt; &quot;q&quot; "),
+        F.lit("&#39;s&#39;&nbsp;end</div><ul><li>item "),
+        (d % 3).cast("string"),
+        F.lit("</li></ul></body></html>"),
+    )
+    clean = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_hash"),
+        F.length(clean).alias("n_chars"),
+    )
+
+
+@register(
     "url_dedup",
     """
     WITH u AS (
@@ -3447,6 +3521,10 @@ PARKED = [
     "streaming_dedup",
     "stream_static_enrich",
     "stream_stream_join",
+    # rolling_1h_user joined the parked set mid-round to make a window
+    # slot for the new html_extract entry (r4-green; its perf stays pinned
+    # by the bench tracker)
+    "rolling_1h_user",
     # joins/aggs with an r4 row whose operators are unchanged this round
     "salted_enrich_join",
     "skewed_event_counts",

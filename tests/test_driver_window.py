@@ -53,6 +53,7 @@ ROUND5_PENDING = [
     "interp_4d_corner",
     "streaming_interp",
     "url_dedup",
+    "html_extract",
 ]
 
 #: The round-5 window INTENT (see queries.py PARKED comment): the 33

@@ -1217,3 +1217,20 @@ def test_url_dedup_blocklist_and_canonical(spark):
     assert set(out) == {"https://example.com/a", "https://news.org/c?id=9"}
     a = out["https://example.com/a"]
     assert a["canonical_id"] == 1 and a["n_copies"] == 2 and a["domain"] == "example.com"
+
+
+def test_html_to_text_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><style>p{x}</style><script>if (a<b) {go()}</script></head>"
+        "<body><h1>Title</h1><p>One &amp; two &lt;three&gt;</p>"
+        "<div>four&nbsp;&quot;five&quot;</div><br><br><br>"
+        "<span>six   seven</span></body></html>"
+    )
+    df = spark.createDataFrame([(html,), (None,)], "h string")
+    got = [r["t"] for r in df.select(html_to_text(F.col("h")).alias("t")).collect()]
+    assert got[0] == 'Title\nOne & two <three>\nfour "five"\n\nsix seven'
+    assert got[1] is None

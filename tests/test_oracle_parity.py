@@ -73,6 +73,7 @@ STRICT_DEFAULT_ENTRIES = {
     "sequence_packing",  # int pack assignments
     "streaming_interp",  # dyadic-exact interpolation values
     "url_dedup",  # normalized-url strings + counts
+    "html_extract",  # md5 of cleaned text + char counts
 }
 
 
