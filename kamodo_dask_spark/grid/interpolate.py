@@ -46,6 +46,10 @@ _LITERAL_AXIS_MAX = 2048
 #: AQE's runtime broadcast conversion. ~1M rows of (d doubles + measures)
 #: is well under the 8GB broadcast ceiling.
 _BROADCAST_GRID_MAX_ROWS = 1_000_000
+# Ceiling on the per-task hash-build side of the corner join: slab rows per
+# shuffle partition above which the SHUFFLE_HASH hint is NOT applied and AQE
+# picks the join (sort-merge spills; a hash build cannot).
+_HASH_BUILD_MAX_ROWS_PER_TASK = 2_000_000
 
 #: Below this dense-slab row bound, ``interpolate_points(strategy="auto")``
 #: skips the corner join entirely: collect the slab once, broadcast the dense
@@ -431,14 +435,26 @@ def interpolate_points(
     if dense_bound <= _BROADCAST_GRID_MAX_ROWS:
         grid_keyed = F.broadcast(grid_keyed)
     else:
-        # Large slabs: SHUFFLE_HASH with the grid as build side. Spark's
+        # Mid-size slabs: SHUFFLE_HASH with the grid as build side. Spark's
         # default picks a sort-merge join here — two full sorts on 4
         # normalized-double corner keys (measured 1.7× slower at a 1.23M-row
-        # slab × 1.6M corner rows). The hash build is safe at scale: each
-        # task builds only its hash-partitioned slab fraction (bounded by
-        # maxPartitionBytes), while the 2^d-exploded point stream — the side
-        # that grows with the query, not the dataset — only probes.
-        grid_keyed = grid_keyed.hint("SHUFFLE_HASH")
+        # slab × 1.6M corner rows). Per-task build size is the slab divided
+        # by spark.sql.shuffle.partitions (NOT the scan's maxPartitionBytes
+        # — post-shuffle partitioning is governed by the shuffle-partition
+        # count / AQE advisory size), so the hint is gated: hash-build only
+        # while dense_bound / shuffle_partitions stays under
+        # _HASH_BUILD_MAX_ROWS_PER_TASK (~2M rows ≈ low hundreds of MB of
+        # packed doubles + hash overhead per task). Slabs beyond that leave
+        # join selection to AQE, where sort-merge spills instead of OOMing
+        # the build.
+        try:
+            n_shuffle = int(
+                grid_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except Exception:
+            n_shuffle = 200
+        if dense_bound <= _HASH_BUILD_MAX_ROWS_PER_TASK * max(n_shuffle, 1):
+            grid_keyed = grid_keyed.hint("SHUFFLE_HASH")
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
 
     aggs = []

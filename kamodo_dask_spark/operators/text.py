@@ -474,8 +474,13 @@ def normalize_url(col: Column) -> Column:
     kamodo_dask.py:38-40):
 
     - fragment stripped;
+    - authority userinfo (``user:pass@``) stripped — otherwise
+      ``https://anything@blocked.com/…`` evades a domain blocklist because
+      the host extractor would see ``anything@blocked.com`` (or stop at the
+      ``:`` and see ``anything``);
     - scheme + host lowercased (path/query case preserved — it is
-      significant);
+      significant); the scheme match itself is case-INsensitive so
+      ``HTTPS://Example.COM`` dedups against its lowercase twin;
     - tracking parameters removed (``utm_*``, ``ref``), remaining query
       order preserved;
     - trailing slashes trimmed from the path; an emptied query disappears.
@@ -485,7 +490,10 @@ def normalize_url(col: Column) -> Column:
     normalized keys hash identically cross-engine.
     """
     no_frag = F.regexp_replace(col, r"#.*$", "")
-    prefix = F.regexp_extract(no_frag, r"^(https?://[^/?]+)", 1)
+    # Userinfo can only live in the authority: [^/?@]* cannot cross the
+    # first '/' or '?', so an '@' later in the path/query is untouched.
+    no_frag = F.regexp_replace(no_frag, r"(?i)^(https?://)[^/?@]*@", "$1")
+    prefix = F.regexp_extract(no_frag, r"(?i)^(https?://[^/?]+)", 1)
     rest = F.substring(no_frag, F.length(prefix) + F.lit(1), F.length(no_frag))
     qpos = F.instr(rest, "?")
     path = F.when(qpos > 0, F.substring(rest, F.lit(1), qpos - F.lit(1))).otherwise(rest)
@@ -507,8 +515,11 @@ def normalize_url(col: Column) -> Column:
 
 def url_domain(col: Column) -> Column:
     """Registrable-host extraction from a NORMALIZED url (host already
-    lowercased)."""
-    return F.regexp_extract(col, r"^https?://([^/?:]+)", 1)
+    lowercased, userinfo already stripped by :func:`normalize_url`). The
+    optional ``[^/@]*@`` group is defense-in-depth for callers passing raw
+    URLs: the host is what follows any userinfo, never the userinfo
+    itself."""
+    return F.regexp_extract(col, r"^https?://(?:[^/?@]*@)?([^/?:]+)", 1)
 
 
 def url_dedup(
@@ -553,7 +564,9 @@ def html_to_text(col: Column) -> Column:
     - ``<br>`` and closing block tags become newlines, all other tags a
       space (so adjacent words don't fuse);
     - the five HTML entities that survive in text corpora decoded
-      (``&amp; &lt; &gt; &quot; &#39;`` and ``&nbsp;``);
+      (``&amp; &lt; &gt; &quot; &#39;`` and ``&nbsp;``), with ``&amp;``
+      decoded LAST so escaped entities don't double-decode (``&amp;lt;``
+      must become the literal ``&lt;``, not ``<``);
     - horizontal whitespace runs collapsed, 3+ newlines squeezed to 2,
       edges trimmed.
 
@@ -566,11 +579,11 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     for ent, ch in (
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
+        ("&amp;", "&"),  # last: '&amp;lt;' → '&lt;' (literal), not '<'
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"[ \t]+", " ")

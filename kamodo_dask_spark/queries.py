@@ -2001,7 +2001,7 @@ def _dedup_clusters_oracle() -> str:
         || '<script>var x = 1 < 2 && doc;</script></head><body><h1>Heading '
         || (doc_id % 7) || '</h1><p>' || text
         || '</p><br/><div>A &amp; B &lt;tag&gt; &quot;q&quot; '
-        || '&#39;s&#39;&nbsp;end</div><ul><li>item ' || (doc_id % 3)
+        || '&#39;s&#39;&nbsp;esc &amp;lt;keep&amp;gt; end</div><ul><li>item ' || (doc_id % 3)
         || '</li></ul></body></html>' AS html
       FROM documents),
     c1 AS (SELECT doc_id,
@@ -2017,8 +2017,8 @@ def _dedup_clusters_oracle() -> str:
     c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c3),
     c5 AS (SELECT doc_id,
                   replace(replace(replace(replace(replace(replace(t,
-                    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                    '&quot;', '"'), '&#39;', chr(39)) AS t
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
            FROM c4),
     c6 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM c5),
     c7 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM c6),
@@ -2053,7 +2053,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>"),
         F.col("text"),
         F.lit("</p><br/><div>A &amp; B &lt;tag&gt; &quot;q&quot; "),
-        F.lit("&#39;s&#39;&nbsp;end</div><ul><li>item "),
+        F.lit("&#39;s&#39;&nbsp;esc &amp;lt;keep&amp;gt; end</div><ul><li>item "),
         (d % 3).cast("string"),
         F.lit("</li></ul></body></html>"),
     )
@@ -2070,7 +2070,8 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT doc_id,
-        'https://'
+        CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END
+        || CASE WHEN doc_id % 6 = 0 THEN 'user:pw@' ELSE '' END
         || CASE doc_id % 5 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'tracker.net'
                            WHEN 2 THEN 'Docs.Example.com' WHEN 3 THEN 'news.site.org'
                            ELSE 'CDN.site.org' END
@@ -2080,9 +2081,12 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE '/' END
         || CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 7) ELSE '' END AS url
       FROM documents),
-    n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+    n AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '(?i)^(https?://)[^/?@]*@', '\\1') AS no_frag
+          FROM u),
     pr AS (SELECT doc_id, no_frag,
-                  regexp_extract(no_frag, '^(https?://[^/?]+)', 1) AS prefix
+                  regexp_extract(no_frag, '(?i)^(https?://[^/?]+)', 1) AS prefix
            FROM n),
     r AS (SELECT doc_id, prefix, substr(no_frag, length(prefix) + 1) AS rest FROM pr),
     s AS (SELECT doc_id, prefix,
@@ -2101,7 +2105,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS kept
                 FROM s)),
     d AS (SELECT doc_id, norm_url,
-                 regexp_extract(norm_url, '^https?://([^/?:]+)', 1) AS domain
+                 regexp_extract(norm_url, '^https?://(?:[^/?@]*@)?([^/?:]+)', 1) AS domain
           FROM k)
     SELECT norm_url, domain, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM d
@@ -2134,7 +2138,8 @@ def url_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("doc_id")
     url = F.concat(
-        F.lit("https://"),
+        F.when(d % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 6 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
         F.element_at(doms, (d % 5 + 1).cast("int")),
         F.lit("/p/"),
         (d % 97).cast("string"),
