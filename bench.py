@@ -97,6 +97,18 @@ def _previous_timings(sf) -> dict[str, float]:
     import glob
     import re
 
+    # Preferred source: BENCH_LOCAL.json, the complete per-SF record this
+    # repo commits every bench run (the driver's BENCH_r{N}.json tail
+    # capture clips ~90-entry lines, so its "parsed" was null in r4/r5 and
+    # the tracker ran blind).
+    try:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json")) as f:
+            local = json.load(f).get(f"sf{sf}", {})
+        if local.get("queries"):
+            return local["queries"]
+    except Exception:
+        pass
+
     best_n, found = -1, {}
     for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -440,5 +452,42 @@ def run() -> dict:
     return out
 
 
+def _emit(out: dict) -> str:
+    """The driver keeps the last ~2000 chars of stdout, so a one-line dump
+    of all ~90 timings can NEVER parse whole (r4 and r5 both recorded
+    "parsed": null, losing the headline total). Persist the complete result
+    to BENCH_LOCAL.json in the repo — the durable artifact — and print a
+    summary line guaranteed to fit the tail window: total + trackers + the
+    slowest 15 queries inline, with "queries_full" pointing at the file.
+
+    BENCH_LOCAL.json is keyed by SF (a dev run at sf0.001 must not clobber
+    the driver's sf0.1 record) and doubles as the regression tracker's
+    baseline via _previous_timings."""
+    path = os.path.join(_REPO, "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:
+        doc = {}
+    doc[f"sf{out['sf']}"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+    line_out = dict(out)
+    timings = line_out.pop("queries")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    line_out["n_queries"] = len(timings)
+    line_out["queries"] = slowest
+    line_out["queries_full"] = "BENCH_LOCAL.json"
+    regs = line_out.get("regressions")
+    if regs and len(regs) > 10:
+        worst = sorted(regs.items(), key=lambda kv: -kv[1]["factor"])[:10]
+        line_out["regressions"] = dict(worst)
+        line_out["n_regressions"] = len(regs)
+    line = json.dumps(line_out, separators=(",", ":"))
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    return line
+
+
 if __name__ == "__main__":
-    print(json.dumps(run(), separators=(",", ":")))
+    print(_emit(run()))
