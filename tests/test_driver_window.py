@@ -44,84 +44,86 @@ def _never_driver_green() -> list[str]:
     return [n for n in QUERIES if n not in green]
 
 
-#: Presence floor: entries awaiting their first driver row as of round 5
+#: Presence floor: entries awaiting their first driver row as of round 6
 #: (this round's additions). The derived list above is computed FROM the
 #: catalog, so it cannot notice an entry being deleted outright — this
 #: hardcoded subset can. (Prune names once they have a recorded green round
 #: AND a deliberate removal decision.)
-ROUND5_PENDING = [
-    "interp_4d_corner",
-    "streaming_interp",
+ROUND6_PENDING: list[str] = [
+    "bpe_token_counts",
+    "substring_dedup",
+]
+
+#: The round-6 window INTENT (see queries.py PARKED comment): the 37
+#: entries parked in r5 (last driver row r4) are all back in-window, plus
+#: the 9 keepers whose machinery/oracle changes this round.
+ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
+    # formerly-parked families, all back for fresh r6 rows
+    "similarity_topk",
+    "quantized_similarity_topk",
+    "ann_ivf_topk",
+    "lsh_ann_topk",
+    "dedup_keep_first",
+    "minhash_est_jaccard",
+    "dedup_clusters",
+    "cluster_representatives",
+    "contamination",
+    "text_quality",
+    "language_id",
+    "doc_fingerprints",
+    "repetition_scores",
+    "gopher_rules",
+    "pii_redaction",
+    "pii_redaction_strict",
+    "doc_chunks",
+    "vocabulary",
+    "unigram_logprob",
+    "bm25_search",
+    "dataset_split",
+    "stratified_sample",
+    "mixture_sample",
+    "sequence_packing",
+    "multimodal_decode",
+    "multimodal_resize",
+    "video_frame_sample",
+    "streaming_tumbling_1h",
+    "streaming_sliding_30m",
+    "streaming_dedup",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "rolling_1h_user",
+    "salted_enrich_join",
+    "skewed_event_counts",
+    "interval_session_counts",
+    "incremental_upsert",
+    # r5-green keepers whose code/oracle changes in r6 — kept in-window for
+    # a fresh driver signal on the changed machinery
     "url_dedup",
     "html_extract",
-]
-
-#: The round-5 window INTENT (see queries.py PARKED comment): the 33
-#: relational-core entries parked in r4 (last driver row r3) are all back
-#: in-window; these representatives pin the un-parking against accidental
-#: re-parking.
-ROUND5_UNPARKED_MUST_BE_IN_WINDOW = [
-    "tumbling_1h",
-    "dense_time_grid",
-    "snap_to_grid",
-    "dedup_exact_groups",
-    "minhash_lsh_pairs",
-    "jaccard_near_dups",
-    "simhash_fingerprints",
-    "cosine_near_dups",
-    "midpoint",
-    "axis_values",
-    "bounds",
-    "topk_orders",
-    "anti_join",
-    "semi_join",
-    "median_and_stats",
-    "window_rank",
-    "running_user_totals",
-    "floor_10min",
-    "string_functions",
-    "math_functions",
-    "null_handling",
-    "regex_parse",
-    "date_arithmetic",
-    "json_extract",
-    "price_histogram",
-    "union_nations",
-    "distinct_agg",
-    "scalar_subquery",
-    "in_subquery",
-    "string_agg_per_nation",
-    "cube_counts",
-    "rollup_totals",
-    "pivot_event_types",
-    # r4-green keepers whose code/oracle changed in r5 — kept in-window for
-    # a fresh driver signal on the changed machinery
     "interp_1d",
     "interp_4d",
+    "interp_4d_corner",
+    "dedup_exact_groups",
+    "sessionization",
+    "streaming_interp",
     "asof_purchase_view",
-    "nearest_centroid",
-    "label_centroids",
-    "line_dedup",
-    "near_dup_cascade",
-    "incremental_dedup",
-    "multimodal_features",
 ]
 
 
-def test_round5_pending_entries_still_registered():
-    missing = [n for n in ROUND5_PENDING if n not in QUERIES]
+def test_round6_pending_entries_still_registered():
+    missing = [n for n in ROUND6_PENDING if n not in QUERIES]
     assert not missing, f"pending entries vanished from the catalog: {missing}"
 
 
-def test_round5_window_membership():
+def test_round6_window_membership():
     order = list(QUERIES)
     window = set(order[:DRIVER_WINDOW])
     missing = [
         n
-        for n in ROUND5_UNPARKED_MUST_BE_IN_WINDOW + ROUND5_PENDING
+        for n in ROUND6_UNPARKED_MUST_BE_IN_WINDOW + ROUND6_PENDING
         if n not in window
     ]
-    assert not missing, f"intended r5 window members fell outside: {missing}"
+    assert not missing, f"intended r6 window members fell outside: {missing}"
 
 
 def test_never_checked_entries_inside_window():

@@ -1248,3 +1248,171 @@ def test_html_to_text_semantics(spark):
     # trailing \n from the closing </p>: trim() strips spaces, not newlines
     assert got[1] == "&lt;kept&gt; and &amp; stay escaped\n"
     assert got[2] is None
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE tokenization (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_hand_traced_encodings():
+    """Encodings traceable by hand against the merge table: ' the' resolves
+    through ranks 0/1/2 to a single token; a byte with no applicable merge
+    stays a single-byte token; the pretokenizer isolates contractions and
+    digit runs exactly like the trainer did."""
+    from kamodo_dask_spark.operators.bpe import PRETOKEN_RE, bpe_encode
+
+    assert bpe_encode(" the") == [b" the"]
+    # pretokenizer shapes (must match the trainer's regex)
+    assert PRETOKEN_RE.findall("don't stop 2024!") == [
+        "don", "'t", " stop", " 2024", "!",
+    ]
+    # unknown bytes fall back to single-byte tokens (byte-level: no OOV)
+    toks = bpe_encode("\x01\x02")
+    assert all(len(t) == 1 for t in toks)
+    # empty text = zero tokens
+    assert bpe_encode("") == []
+
+
+def test_bpe_block_constants():
+    """The closed-form constants embedded in the bpe_token_counts oracle —
+    if the merge table regenerates differently, this fails before the
+    driver does."""
+    from kamodo_dask_spark.operators.bpe import bpe_token_count
+
+    assert bpe_token_count(" the") == 1
+    assert bpe_token_count(" quick brown fox") == 9
+    assert bpe_token_count(" don't stop") == 6
+    assert bpe_token_count(" 2024 tokens,") == 6
+    assert bpe_token_count(" quantization frontier") == 10
+
+
+def test_bpe_count_additive_over_pretokens():
+    """Merges never cross pretoken boundaries → counts are additive over
+    concatenation of pretoken-aligned blocks (the property the SQL oracle
+    relies on)."""
+    from kamodo_dask_spark.operators.bpe import bpe_token_count
+
+    blocks = [" the", " quick brown fox", " don't stop", " 2024 tokens,"]
+    text = "".join(b * (i + 1) for i, b in enumerate(blocks))
+    assert bpe_token_count(text) == sum(
+        (i + 1) * bpe_token_count(b) for i, b in enumerate(blocks)
+    )
+
+
+def test_bpe_spark_matches_python(spark):
+    """Real-corpus grounding: the mapInPandas stage over actual
+    documents.text agrees row-for-row with the driver-side pure-Python
+    encoder (memoization, Arrow round-trip, and NULL handling included)."""
+    from kamodo_dask_spark.operators.bpe import bpe_token_count, with_bpe_token_count
+    from kamodo_dask_spark.sources.parquet import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in with_bpe_token_count(docs).collect()
+    }
+    for r in docs.collect():
+        want = bpe_token_count(r["text"]) if r["text"] is not None else None
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_pack_sequences_with_bpe_counts(spark):
+    """BPE budgeting through pack_sequences: token offsets computed from
+    tokenizer-faithful counts obey the packing layout invariants (contiguous
+    per-shard streams, seq ranges consistent with offsets)."""
+    from kamodo_dask_spark.operators.bpe import with_bpe_token_count
+    from kamodo_dask_spark.operators.sampling import pack_sequences
+    from kamodo_dask_spark.sources.parquet import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    counted = with_bpe_token_count(docs)
+    out = pack_sequences(
+        counted, "doc_id", "n_bpe_tokens", seq_len=128, n_shards=4
+    ).collect()
+    assert out
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["token_offset"])
+        expect = 0
+        for r in rows:
+            assert r["token_offset"] == expect  # contiguous stream
+            assert r["first_seq"] == r["token_offset"] // 128
+            assert r["last_seq"] == (r["token_offset"] + r["n_tokens"] - 1) // 128
+            expect += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-document substring dedup (operators/dedup.py::substring_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_semantics(spark):
+    """Maximal shared spans, hand-checkable: partial overlap, exact dup,
+    sub-k invisibility, short-doc guard."""
+    from kamodo_dask_spark.operators.dedup import substring_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x c d e f g h y z"),   # shares the 6-word run "c d e f g h"
+        (3, "a b c d e f g h i j"),   # exact dup of 1 → one 10-word span
+        (4, "short doc"),             # < k words, silently dropped
+        (5, "a b c d q f g h i j"),   # breaks the run at word 4 vs doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["start_a"], r["start_b"], r["span_words"])
+        for r in substring_spans(df, k=5, min_words=5).collect()
+    }
+    assert got[(1, 2)] == (2, 2, 6)
+    assert got[(1, 3)] == (0, 0, 10)
+    assert got[(2, 3)] == (2, 2, 6)
+    # doc 5 shares only "q f g h i"?? no — vs doc 1 the longest runs are
+    # "a b c d" (4) and "f g h i j" (5): exactly one 5-word span survives
+    assert got[(1, 5)] == (5, 5, 5)
+    assert not any(4 in pair for pair in got)
+
+
+def test_substring_spans_max_df_cap(spark):
+    """Anchors present in more than max_df docs are boilerplate — capped
+    out BEFORE pairing, so a phrase shared by every doc produces no pairs."""
+    from kamodo_dask_spark.operators.dedup import substring_spans
+
+    common = "the same cookie banner text here"
+    rows = [(i, f"{common} unique{i} filler{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert substring_spans(df, k=5, min_words=5, max_df=3).count() == 0
+    # raising the cap re-admits them
+    assert substring_spans(df, k=5, min_words=5, max_df=10).count() > 0
+
+
+def test_substring_spans_hash_anchors_equivalent(spark):
+    """The production path (64-bit xxhash64 anchors in the exchange) gives
+    the same spans as plain gram strings."""
+    from kamodo_dask_spark.operators.dedup import substring_spans
+    from kamodo_dask_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    plain = {tuple(r) for r in substring_spans(docs).collect()}
+    hashed = {tuple(r) for r in substring_spans(docs, hash_anchors=True).collect()}
+    assert plain == hashed and plain
+
+
+def test_substring_spans_validates_params(spark):
+    from kamodo_dask_spark.operators.dedup import substring_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_words"):
+        substring_spans(df, k=5, min_words=3)

@@ -74,6 +74,8 @@ STRICT_DEFAULT_ENTRIES = {
     "streaming_interp",  # dyadic-exact interpolation values
     "url_dedup",  # normalized-url strings + counts
     "html_extract",  # md5 of cleaned text + char counts
+    "bpe_token_counts",  # int token counts, closed-form oracle
+    "substring_dedup",  # int span counts/lengths
 }
 
 
