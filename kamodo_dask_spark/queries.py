@@ -795,6 +795,21 @@ def _fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 FIXTURE_STATE_PARTITIONS = "8"
 
 
+def _ephemeral_checkpoint() -> "tempfile.TemporaryDirectory":
+    """Checkpoint directory for a FINITE streaming run (AvailableNow to a
+    memory sink): tmpfs (/dev/shm) when present, so the per-query
+    offset/commit/state-store writes don't pay disk fsync latency — a
+    fixed cost billed to every streaming entry. These runs complete inside
+    the entry and are never recovered, so checkpoint durability buys
+    nothing; a production deployment passes its own durable
+    checkpointLocation. Falls back to the default temp dir off-Linux."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.TemporaryDirectory(prefix="kds_ckpt_", dir=base)
+
+
 def _run_to_memory_sink(df: DataFrame, qname: str, mode: str) -> DataFrame:
     """Run a streaming plan to completion into a memory sink
     (``Trigger.AvailableNow``) and return the sink table; stops a
@@ -803,14 +818,16 @@ def _run_to_memory_sink(df: DataFrame, qname: str, mode: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == qname:
             q.stop()
-    query = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _ephemeral_checkpoint() as ckpt:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(qname)
 
 
@@ -1288,15 +1305,17 @@ def streaming_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = stream_grid_files(spark, src, schema)
     refresher = SlabRefresher(os.path.join(root, "slab_store"), strategy="cell")
-    q = (
-        stream.transform(normalize_measure_columns)
-        .writeStream.foreachBatch(refresher)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise RuntimeError("streaming_interp trigger did not finish in 180s")
+    with _ephemeral_checkpoint() as ckpt:
+        q = (
+            stream.transform(normalize_measure_columns)
+            .writeStream.foreachBatch(refresher)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("streaming_interp trigger did not finish in 180s")
     reg = refresher.current()
     # query points in ORIGINAL coordinates; dyadic offsets from the nodes
     pts = spark.range(0, 150).select(
