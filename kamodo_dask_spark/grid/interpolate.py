@@ -622,11 +622,23 @@ def interpolate_points_cells(
     dense_bound = int(np.prod([len(arrays[ax]) for ax in axes]))
     # the cell relation is 2^d× wider per row than the raw slab — scale the
     # broadcast cutoff down accordingly; above it, same hash-build logic as
-    # the corner join (cells build side, point stream probes)
+    # the corner join (cells build side, point stream probes), with the
+    # per-task ceiling also divided by 2^d: a hash build cannot spill, and
+    # an ungated hint OOMed the build at a 96M-cell relation (100^4 probe,
+    # 32 shuffle partitions → ~3M × 2^d-wide rows per task). Beyond the
+    # ceiling AQE picks the join; sort-merge spills instead of dying.
     if dense_bound <= _BROADCAST_GRID_MAX_ROWS // (2**d):
         cells = F.broadcast(cells)
     else:
-        cells = cells.hint("SHUFFLE_HASH")
+        try:
+            n_shuffle = int(
+                points_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except Exception:
+            n_shuffle = 200
+        per_task_max = _HASH_BUILD_MAX_ROWS_PER_TASK // (2**d)
+        if dense_bound <= per_task_max * max(n_shuffle, 1):
+            cells = cells.hint("SHUFFLE_HASH")
 
     point_cols = points_df.columns
     pts = _snap_columns(points_df, axes, arrays)

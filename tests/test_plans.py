@@ -490,3 +490,64 @@ def test_cell_strategy_persisted_relation_not_reexchanged(spark):
                 assert "_lo_x" in line, f"cells side re-exchanged: {line}"
     finally:
         cells.unpersist()
+
+
+def test_cell_join_hash_hint_gated_on_per_task_build_rows(spark):
+    """The cell-side SHUFFLE_HASH hint must be GATED like the corner join's:
+    a hash build cannot spill, and an ungated hint OOMed the build at a
+    96M-cell relation (100^4 probe slab / 32 shuffle partitions ~ 3M
+    2^d-wide rows per task). Same tiny physical data, two claimed axis
+    cardinalities: mid-size gets the hint (hash beats two full sorts),
+    beyond the per-task ceiling the hint is withheld so AQE can pick a
+    join that spills. autoBroadcastJoinThreshold is disabled so the plan
+    choice reflects the hint, not the toy data's stats."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import (
+        build_cell_relation,
+        interpolate_points_cells,
+    )
+
+    dims = (4, 4, 4, 4)
+    d2, d3, d4 = dims[1], dims[2], dims[3]
+    grid = spark.range(0, int(np.prod(dims)), 1, 4).select(
+        ((F.col("id") / (d2 * d3 * d4)).cast("long") % dims[0]).cast("double").alias("x1"),
+        ((F.col("id") / (d3 * d4)).cast("long") % d2).cast("double").alias("x2"),
+        ((F.col("id") / d4).cast("long") % d3).cast("double").alias("x3"),
+        (F.col("id") % d4).cast("double").alias("x4"),
+    ).withColumn("val", F.col("x1") + F.col("x2"))
+    axes = ("x1", "x2", "x3", "x4")
+    arrays_small = {ax: np.arange(4.0) for ax in axes}
+    cells = build_cell_relation(grid, axes, ["val"], axis_arrays=arrays_small)
+    pts = spark.range(0, 8, 1, 2).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 3 + 0.25).alias("x1"),
+        (F.col("id") % 3 + 0.25).alias("x2"),
+        (F.col("id") % 3 + 0.25).alias("x3"),
+        (F.col("id") % 3 + 0.25).alias("x4"),
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # mid-size claim: 20^4 = 160k dense bound — above the (2^d-scaled)
+        # broadcast cutoff, under per_task_max * shuffle.partitions
+        arrays_mid = {ax: np.arange(20.0) for ax in axes}
+        plan_mid = (
+            interpolate_points_cells(None, pts, axes, ["val"],
+                                     axis_arrays=arrays_mid, cells=cells)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        assert "ShuffledHashJoin" in plan_mid, plan_mid
+        # huge claim: 100^4 = 100M dense bound — beyond the ceiling, no hint
+        arrays_big = {ax: np.arange(100.0) for ax in axes}
+        plan_big = (
+            interpolate_points_cells(None, pts, axes, ["val"],
+                                     axis_arrays=arrays_big, cells=cells)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        assert "ShuffledHashJoin" not in plan_big, plan_big
+        assert "SortMergeJoin" in plan_big, plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

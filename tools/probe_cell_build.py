@@ -92,7 +92,9 @@ def build_cells_explode(grid, dims):
 
 
 def main():
-    dims = tuple(int(a) for a in sys.argv[1:5]) or (100, 100, 50, 40)
+    skip_explode = "--skip-explode" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dims = tuple(int(a) for a in argv[:4]) or (100, 100, 50, 40)
     n = int(np.prod(dims))
     spark = get_spark(
         "cell-probe", master="local[32]", extra_conf={"spark.driver.memory": "64g"}
@@ -111,10 +113,11 @@ def main():
     print(f"d-pass build+persist: {t_build:.1f} s ({n_cells:,} cells)")
 
     # 2. single-pass explode prototype (uniform-grid predecessor), noop sink
-    t0 = time.perf_counter()
-    build_cells_explode(grid, dims).write.format("noop").mode("overwrite").save()
-    t_explode = time.perf_counter() - t0
-    print(f"explode build (noop): {t_explode:.1f} s")
+    if not skip_explode:
+        t0 = time.perf_counter()
+        build_cells_explode(grid, dims).write.format("noop").mode("overwrite").save()
+        t_explode = time.perf_counter() - t0
+        print(f"explode build (noop): {t_explode:.1f} s")
 
     # 3. per-query cost on the persisted relation, 1M points, best-of-2
     pts = spark.range(0, 1_000_000, 1, 32).select(
