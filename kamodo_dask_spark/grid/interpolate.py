@@ -513,6 +513,14 @@ def build_cell_relation(
     sorts the whole axis in ONE task — fine for axis-sized relations
     (axes are small by construction), but a huge 1-D "grid" should use
     ``asof_uniform_grid`` or the corner join instead.
+
+    Cache-budget cap (measured, SCALE.md round-6 probe): the relation is
+    2^d× WIDER than the raw slab (every corner materialized in 2^d cells
+    ≈ ``dense_bound × 2^d × 8 B × n_measures``), and the strategy's
+    per-query win assumes the persisted relation is served from memory.
+    At 96M cells (~19 GB, past the local storage pool) query scans went
+    disk-bound and the corner join won outright — size the cache budget
+    before choosing this strategy for a long-lived slab.
     """
     from pyspark.sql import Window
 
@@ -572,7 +580,31 @@ def build_cell_relation(
             .filter(F.col("_nxt").isNotNull())
             .drop("_nxt")
         )
+    if not _cells_hash_join_safe(expected, len(axes), grid_df.sparkSession):
+        # SMJ regime (relation too big for an unspillable hash build): sort
+        # within the final window pass's partitions ONCE at build. The
+        # planner still inserts a cells-side Sort per query (its required
+        # ordering wraps the keys in NormalizeFloatingNumbers, which the
+        # cache's plain-column ordering cannot satisfy syntactically), but
+        # sorting already-ordered cached runs is spill-free and near-linear:
+        # measured 21.3 s -> 2.0 s per 1M-point query at a 19M-cell
+        # relation. No exchange: the subset hash partitioning (co-partition
+        # reuse) is kept.
+        cells = cells.sortWithinPartitions(*[f"_k_{ax}" for ax in axes])
     return cells
+
+
+def _cells_hash_join_safe(dense_bound: int, d: int, spark) -> bool:
+    """True while a cell relation of ``dense_bound`` nodes can safely be the
+    build side of a shuffled-hash join: per-task build rows (dense_bound /
+    shuffle partitions) under the corner-join ceiling scaled by the 2^d row
+    widening. A hash build cannot spill — beyond this, the join must be
+    left to AQE so sort-merge can spill instead of OOMing."""
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        n_shuffle = 200
+    return dense_bound <= (_HASH_BUILD_MAX_ROWS_PER_TASK // (2**d)) * max(n_shuffle, 1)
 
 
 def interpolate_points_cells(
@@ -629,16 +661,8 @@ def interpolate_points_cells(
     # ceiling AQE picks the join; sort-merge spills instead of dying.
     if dense_bound <= _BROADCAST_GRID_MAX_ROWS // (2**d):
         cells = F.broadcast(cells)
-    else:
-        try:
-            n_shuffle = int(
-                points_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-        except Exception:
-            n_shuffle = 200
-        per_task_max = _HASH_BUILD_MAX_ROWS_PER_TASK // (2**d)
-        if dense_bound <= per_task_max * max(n_shuffle, 1):
-            cells = cells.hint("SHUFFLE_HASH")
+    elif _cells_hash_join_safe(dense_bound, d, points_df.sparkSession):
+        cells = cells.hint("SHUFFLE_HASH")
 
     point_cols = points_df.columns
     pts = _snap_columns(points_df, axes, arrays)
