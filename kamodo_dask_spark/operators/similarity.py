@@ -662,3 +662,118 @@ def nearest_centroid_assign(
             best["score"].alias("score"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    keep: str = "far",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding cluster, find ε-similar pairs
+    (cosine ≥ ``threshold``) and drop the lower-priority side of every
+    pair, where priority is distance from the cluster centroid —
+    ``keep="far"`` keeps the LEAST-centroid-similar row of a pair (the
+    paper's choice: prototypical near-dups are the redundant ones),
+    ``keep="near"`` the most. Ties break to the smaller id, so the result
+    is deterministic.
+
+    Contract: a row is dropped iff ANY ε-neighbor in its cluster
+    outranks it — a single relational dominance pass over the pair set,
+    NOT the iterative keep-aware independent-set variant (that
+    computation is the connected-components + cluster-representatives
+    pipeline already in the stack; this one-pass rule is what scales to a
+    corpus-sized pair relation without driver-bound iteration). Rows
+    outside the dedup domain — NULL cluster, no centroid for the cluster,
+    wrong dimensionality, zero norm — have no measurable ε-neighbors and
+    are KEPT with a NULL ``centroid_sim``.
+
+    Plan shape at 100 TB: the centroid matrix is metadata-sized
+    (|clusters| × dims — the OUTPUT of :func:`label_centroids`), inlined
+    as one literal map, so per-row centroid similarity is a ZERO-shuffle
+    map expression; pair generation is the blocked per-cluster BLAS of
+    :func:`cosine_near_dup_pairs` (pair count ~N²/B inside blocks, never
+    all-pairs); the dominance pass joins the pair relation (already
+    ε-filtered, ≪ corpus) to the per-row sims and anti-joins the loser
+    ids back — every join keyed on the id, no skew by construction.
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    dims = len(centroids[0][1]) if centroids else 0
+    usable = [
+        (int(lbl), [float(x) for x in vec])
+        for lbl, vec in centroids
+        if len(vec) == dims and any(float(x) != 0.0 for x in vec)
+    ]
+    v = F.col(vec_col)
+    if not usable or dims == 0:
+        return df.select(
+            F.col(id_col),
+            F.col(cluster_col).cast("bigint").alias(cluster_col),
+            F.lit(None).cast("double").alias("centroid_sim"),
+        )
+    import math
+
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(lbl) for lbl, _ in usable]),
+        F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in usable]),
+    )
+    cnorm_map = F.map_from_arrays(
+        F.array(*[F.lit(lbl) for lbl, _ in usable]),
+        F.array(
+            *[F.lit(math.sqrt(sum(x * x for x in vec))) for _, vec in usable]
+        ),
+    )
+    lbl = F.col(cluster_col).cast("bigint")
+    in_domain = (
+        lbl.isNotNull()
+        & v.isNotNull()
+        & (F.size(v) == dims)
+        & F.array_contains(F.array(*[F.lit(l) for l, _ in usable]), lbl)
+    )
+    base = df.select(
+        F.col(id_col), v.alias(vec_col), lbl.alias(cluster_col),
+        F.when(in_domain, norm(v)).alias("_vnorm"),
+    )
+    sims = base.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.when(
+            F.col("_vnorm") > 0,
+            F.round(
+                dot(F.col(vec_col), F.element_at(cent_map, F.col(cluster_col)))
+                / (F.col("_vnorm") * F.element_at(cnorm_map, F.col(cluster_col))),
+                round_digits,
+            ),
+        ).alias("centroid_sim"),
+    )
+    domain = base.filter((F.col("_vnorm") > 0)).select(id_col, vec_col, cluster_col)
+    pairs = cosine_near_dup_pairs(
+        domain, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col=cluster_col,
+    )
+    sim_a = sims.select(
+        F.col(id_col).alias("id_a"), F.col("centroid_sim").alias("_sim_a")
+    )
+    sim_b = sims.select(
+        F.col(id_col).alias("id_b"), F.col("centroid_sim").alias("_sim_b")
+    )
+    flip = F.lit(1.0 if keep == "far" else -1.0)
+    key_a = F.struct((flip * F.col("_sim_a")).alias("s"), F.col("id_a").alias("i"))
+    key_b = F.struct((flip * F.col("_sim_b")).alias("s"), F.col("id_b").alias("i"))
+    dropped = (
+        pairs.join(sim_a, "id_a").join(sim_b, "id_b")
+        .select(
+            F.when(key_a < key_b, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
+        )
+        .distinct()
+    )
+    return (
+        sims.join(dropped, id_col, "left_anti")
+        .select(id_col, cluster_col, "centroid_sim")
+    )

@@ -590,3 +590,76 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     return F.trim(c)
+
+
+def hashed_ngram_weights(col, n_buckets: int = 4096, salt: str = "quality-v1",
+                         weights: list[float] | None = None) -> Column:
+    """Per-gram weights for :func:`quality_classifier` — the hashing trick
+    (Weinberger et al. 2009): gram → md5 bucket → weight-table lookup,
+    entirely row-local array expressions.
+
+    With ``weights`` (a trained model's bucket table, length
+    ``n_buckets``) the lookup is ``element_at`` on one literal array and
+    the result is a double array. Without it, the table is a
+    DETERMINISTIC INTEGER STAND-IN derived from the bucket index by exact
+    arithmetic (``(b·2654435761) % 2001 - 1000``, i.e. [-1000, 1000] —
+    divide by 1000 after pooling): integer weights make the pooled SUM
+    exact, so no engine's float-summation order can perturb the score.
+    The plumbing (tokenize → hash → lookup → pool) is the production
+    path; only the table's values are placeholders.
+    """
+    grams = F.concat(words(col), bigrams(col))
+    bucket = lambda g: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), g)), 1, 10), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError(f"weights must have {n_buckets} entries")
+        table = F.array(*[F.lit(float(w)) for w in weights])
+        return F.transform(grams, lambda g: F.element_at(table, (bucket(g) + 1).cast("int")))
+    return F.transform(grams, lambda g: (bucket(g) * F.lit(2654435761)) % 2001 - 1000)
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    salt: str = "quality-v1",
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016, the
+    CCNet/LLaMA wiki-vs-crawl filter shape): unigram+bigram bag, hashed
+    into ``n_buckets`` buckets, mean-pooled weight + bias through a
+    sigmoid. ``score`` is the calibrated probability; ``quality_pass`` is
+    the 0.5 cut. Documents with no tokens have no defined score (NULL).
+
+    Plan shape at 100 TB: one scan, zero shuffles — tokenization,
+    hashing, lookup, pooling, and the sigmoid are all row-local array
+    expressions (no UDF, no explode); a trained model rides along as ONE
+    literal array (metadata-sized: n_buckets floats), never a join. With
+    the stand-in table the pooled sum is exact integer arithmetic, so the
+    score is engine-portable to the last rounded digit.
+    """
+    lw = hashed_ngram_weights(F.col(text_col), n_buckets, salt, weights)
+    n = F.size(lw)
+    if weights is not None:
+        z = F.aggregate(lw, F.lit(0.0), lambda acc, x: acc + x) / n
+    else:
+        z = (
+            F.aggregate(lw, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            / (F.lit(1000.0) * n)
+        )
+    z = z + F.lit(float(bias))
+    score = F.when(
+        n > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_digits)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_grams"),
+        score.alias("score"),
+        (score >= 0.5).alias("quality_pass"),
+    )

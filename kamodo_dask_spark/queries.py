@@ -2593,6 +2593,120 @@ def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    """
+    WITH cent0 AS (
+      SELECT label, (i - 1)::BIGINT AS dim,
+             round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE label IS NOT NULL
+      GROUP BY 1, 2),
+    full_lbl AS (SELECT label FROM cent0 GROUP BY label
+                 HAVING count(c) = (SELECT max(len(embedding)) FROM embeddings)),
+    cent AS (SELECT c0.* FROM cent0 c0 JOIN full_lbl USING (label)),
+    cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+    -- dedup domain: labeled (with a usable full-rank centroid), full-rank,
+    -- NULL-free, non-zero-norm vectors — everything else is KEPT untouched
+    -- (no measurable eps-neighbors), mirroring the Spark contract
+    e AS (SELECT m.vec_id, m.label, m.embedding::DOUBLE[] AS v
+          FROM embeddings m JOIN cn ON cn.label = m.label
+          WHERE cn.cnorm > 0
+            AND len(m.embedding) = (SELECT max(len(embedding)) FROM embeddings)
+            AND len(list_filter(m.embedding, x -> x IS NULL)) = 0
+            AND sqrt(list_dot_product(m.embedding::DOUBLE[],
+                                      m.embedding::DOUBLE[])) > 0),
+    sim AS (SELECT e.vec_id, e.label,
+                   round(sum(e.v[cent.dim + 1] * cent.c)
+                         / (sqrt(list_dot_product(e.v, e.v)) * any_value(cn.cnorm)),
+                         6) AS centroid_sim
+            FROM e JOIN cent ON cent.label = e.label
+                 JOIN cn ON cn.label = e.label
+            GROUP BY e.vec_id, e.label, e.v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN (sa.centroid_sim, p.id_a) < (sb.centroid_sim, p.id_b)
+                           THEN p.id_b ELSE p.id_a END AS vec_id
+      FROM pairs p JOIN sim sa ON sa.vec_id = p.id_a
+                   JOIN sim sb ON sb.vec_id = p.id_b)
+    SELECT m.vec_id, m.label::BIGINT AS label, s.centroid_sim
+    FROM embeddings m LEFT JOIN sim s ON s.vec_id = m.vec_id
+    WHERE m.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def semantic_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`operators/similarity.py::
+    semantic_dedup`, Abbas et al. 2023): per-cluster ε-similar pairs
+    (cluster = label, threshold low enough to fire on random test
+    vectors), one relational dominance pass dropping the MORE
+    centroid-similar side of every pair, survivors re-emitted with their
+    centroid similarity. Centroid matrix is metadata-sized and inlined
+    (one literal map → zero-shuffle row-local sims); pairs come from the
+    blocked per-cluster BLAS; the dominance pass joins only the
+    ε-filtered pair relation. The oracle re-derives centroids, sims,
+    pairs, and the dominance rule relationally."""
+    from kamodo_dask_spark.operators.similarity import (
+        label_centroids,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_dims = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
+    by_label: dict[int, dict[int, float]] = {}
+    for r in label_centroids(emb).collect():
+        if r["label"] is None or r["centroid_val"] is None:
+            continue
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_val"]
+    centroids = [
+        (lbl, [dims[i] for i in sorted(dims)])
+        for lbl, dims in sorted(by_label.items())
+        if len(dims) == n_dims
+    ]
+    return semantic_dedup(emb, centroids, threshold=0.2, keep="far")
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH toks AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 ws || list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1]) AS grams
+          FROM toks),
+    w AS (SELECT doc_id, len(grams)::BIGINT AS n_grams,
+                 list_transform(grams, t ->
+                   ((('0x' || substr(md5('quality-v1|' || t), 1, 10))::BIGINT
+                     % 4096) * 2654435761) % 2001 - 1000) AS lw
+          FROM g),
+    s AS (SELECT doc_id, n_grams,
+                 CASE WHEN n_grams > 0 THEN
+                   round(1.0 / (1.0 + exp(-(list_aggregate(lw, 'sum')
+                                            / (1000.0 * n_grams)))), 6)
+                 END AS score
+          FROM w)
+    SELECT doc_id, n_grams, score, score >= 0.5 AS quality_pass FROM s
+    """,
+)
+def quality_classifier_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram quality classifier
+    (`operators/text.py::quality_classifier`, Joulin et al. 2016 — the
+    CCNet/LLaMA wiki-vs-crawl filter shape): unigram+bigram bag → md5
+    hashing trick into 4096 buckets → mean-pooled weight → sigmoid. One
+    scan, ZERO shuffles — everything is row-local array expressions, and
+    a trained bucket table would ride along as one literal array. The
+    stand-in table is exact integer arithmetic from the bucket index, so
+    both engines pool an exact integer sum and the score agrees to the
+    rounded digit."""
+    from kamodo_dask_spark.operators.text import quality_classifier
+
+    return quality_classifier(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
