@@ -1416,3 +1416,111 @@ def test_substring_spans_validates_params(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_words"):
         substring_spans(df, k=5, min_words=3)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup / quality_classifier (round 6)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_planted_pairs(spark):
+    """Planted 2-cluster corpus: cluster 0 holds an ε-similar pair whose
+    members differ in centroid similarity — keep='far' keeps the one
+    FARTHER from the centroid, keep='near' the other; the unrelated
+    vector and the out-of-domain rows (NULL label, zero norm) survive
+    either way (NULL centroid_sim for the degenerate ones)."""
+    from kamodo_dask_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cluster 0: v1 and v2 nearly parallel (cos ~ 0.9999); v1 is closer
+        # to the centroid direction than v2
+        (1, [1.0, 0.02], 0),
+        (2, [1.0, 0.00], 0),
+        # pulls the centroid toward +y so sims differ
+        (3, [0.0, 1.0], 0),
+        # cluster 1: lone vector
+        (4, [0.5, 0.5], 1),
+        # out of domain
+        (5, [1.0, 1.0], None),
+        (6, [0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    cent = {
+        0: [(1.0 + 1.0 + 0.0 + 0.0) / 4, (0.02 + 0.0 + 1.0 + 0.0) / 4],
+        1: [0.5, 0.5],
+    }
+    centroids = [(k, v) for k, v in sorted(cent.items())]
+
+    far = semantic_dedup(df, centroids, threshold=0.99, keep="far")
+    got = {r["vec_id"]: r["centroid_sim"] for r in far.collect()}
+    # v1 is MORE centroid-similar than v2 -> dominance drops v1
+    assert set(got) == {2, 3, 4, 5, 6}
+    assert got[5] is None and got[6] is None
+    assert got[4] is not None
+
+    near = semantic_dedup(df, centroids, threshold=0.99, keep="near")
+    got_n = {r["vec_id"] for r in near.collect()}
+    assert got_n == {1, 3, 4, 5, 6}
+
+
+def test_semantic_dedup_degenerate_inputs(spark):
+    from kamodo_dask_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label long"
+    )
+    # no usable centroids: everything kept, NULL sims
+    out = semantic_dedup(df, [(0, [0.0, 0.0])], threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["centroid_sim"] is None
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, [(0, [1.0, 0.0])], keep="sideways")
+
+
+def test_quality_classifier_hand_computed(spark):
+    """Replicate the stand-in pipeline in pure Python for one document and
+    demand the exact rounded score; empty docs yield NULL score/pass."""
+    import hashlib
+    import math
+
+    from kamodo_dask_spark.operators.text import quality_classifier
+
+    text = "Good text. good Text."
+    ws = [w for w in text.lower().split() if w]
+    grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"quality-v1|{g}".encode()).hexdigest()[:10], 16) % 4096
+
+    wsum = sum((bucket(g) * 2654435761) % 2001 - 1000 for g in grams)
+    z = wsum / (1000.0 * len(grams))
+    expected = round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    df = spark.createDataFrame(
+        [(1, text), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    assert got[1]["n_grams"] == len(grams)
+    assert abs(got[1]["score"] - expected) < 1e-12
+    assert got[1]["quality_pass"] == (expected >= 0.5)
+    for d in (2, 3):
+        assert got[d]["n_grams"] == 0
+        assert got[d]["score"] is None and got[d]["quality_pass"] is None
+
+
+def test_quality_classifier_trained_weights_path(spark):
+    """The element_at lookup path: an all-ones weight table pushes every
+    score to sigmoid(1), an all-minus-ones to sigmoid(-1) — exercised
+    end-to-end so a trained model drop-in is known to work."""
+    import math
+
+    from kamodo_dask_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    hi = quality_classifier(df, weights=[1.0] * 4096).collect()[0]
+    lo = quality_classifier(df, weights=[-1.0] * 4096).collect()[0]
+    assert abs(hi["score"] - round(1 / (1 + math.exp(-1)), 6)) < 1e-12
+    assert abs(lo["score"] - round(1 / (1 + math.exp(1)), 6)) < 1e-12
+    assert hi["quality_pass"] and not lo["quality_pass"]
+    with pytest.raises(ValueError, match="4096"):
+        quality_classifier(df, weights=[1.0])

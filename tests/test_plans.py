@@ -551,3 +551,15 @@ def test_cell_join_hash_hint_gated_on_per_task_build_rows(spark):
         assert "SortMergeJoin" in plan_big, plan_big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_quality_classifier_is_zero_shuffle(spark):
+    """The classifier's 100 TB contract: tokenize → hash → lookup → pool →
+    sigmoid is ONE scan of row-local array expressions — no Exchange, no
+    UDF (Python workers), no explode anywhere in the plan."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["quality_classifier"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
