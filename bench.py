@@ -441,6 +441,15 @@ def run() -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # host-speed forensics: absolute walls have drifted ~1.4-2x between
+    # runner environments with NO code diff (r4 line_dedup, r5 control
+    # entries, r6 full-catalog 1.4x vs the r5 driver record) — record the
+    # 15-min load average at finish so a cross-environment comparison can
+    # be recognized for what it is before any entry is called a regression
+    try:
+        out["loadavg_15m"] = round(os.getloadavg()[2], 1)
+    except OSError:
+        pass
     # empty tracker keys are omitted and the line is emitted with compact
     # separators: the driver's artifact capture keeps the TAIL of stdout,
     # and r4's spaced line overflowed it (BENCH_r04.json "parsed": null
