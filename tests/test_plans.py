@@ -563,3 +563,8 @@ def test_quality_classifier_is_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the gram→md5→weight subtree appears exactly ONCE: HOF trees are
+    # interpreted and Catalyst re-inlines shared subexpressions per
+    # reference — a second md5 in the plan means the staging projection
+    # collapsed and the pipeline runs multiple times per row (2.6× wall)
+    assert plan.count("md5") == 1, plan
