@@ -165,13 +165,24 @@ def _as_double(ax: str, df: DataFrame) -> F.Column:
     return F.col(ax).cast("double")
 
 
-def _snap_columns(points: DataFrame, axes: tuple[str, ...], arrays: dict[str, np.ndarray]) -> DataFrame:
+def _snap_columns(
+    points: DataFrame,
+    axes: tuple[str, ...],
+    arrays: dict[str, np.ndarray],
+    with_index: bool = False,
+) -> DataFrame:
     """Append ``_lo/_hi/_frac`` per axis and an ``_oob`` flag to the points.
 
     Small axes (the normal dense-grid case) snap JVM-side against a literal
     sorted array — stays inside whole-stage codegen, zero joins, zero
     shuffles. Oversized axes fall back to an Arrow-batched
     ``np.searchsorted`` (O(log n) per point).
+
+    ``with_index=True`` additionally emits the cell's low-corner AXIS INDEX
+    per axis (``_loi_{ax}`` int) — integer join keys for the cell strategy:
+    int keys carry no ``NormalizeFloatingNumbers`` wrapper, so a persisted
+    cell relation's build-time ordering/partitioning satisfies the join
+    requirements outright (the double-key join re-sorted per query).
     """
     big = [ax for ax in axes if len(arrays[ax]) > _LITERAL_AXIS_MAX]
     oob = F.lit(False)
@@ -192,23 +203,34 @@ def _snap_columns(points: DataFrame, axes: tuple[str, ...], arrays: dict[str, np
             lo = F.element_at(lit_arr, idx + F.lit(1))
             hi = F.element_at(lit_arr, idx + F.lit(2))
             frac = (x - lo) / (hi - lo)
-            df = df.withColumns({f"_lo_{ax}": lo, f"_hi_{ax}": hi, f"_frac_{ax}": frac})
+            cols = {f"_lo_{ax}": lo, f"_hi_{ax}": hi, f"_frac_{ax}": frac}
+            if with_index:
+                cols[f"_loi_{ax}"] = idx.cast("int")
+            df = df.withColumns(cols)
     if big:
-        df = _snap_udf(df, big, arrays)
+        df = _snap_udf(df, big, arrays, with_index=with_index)
     return df.withColumn("_oob", oob)
 
 
-def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarray]) -> DataFrame:
+def _snap_udf(
+    df: DataFrame,
+    axes_subset: list[str],
+    arrays: dict[str, np.ndarray],
+    with_index: bool = False,
+) -> DataFrame:
     """Arrow-batched searchsorted snap for large axes (broadcast axis arrays)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast({ax: arrays[ax] for ax in axes_subset})
 
     import pandas as pd
 
+    parts = ("lo", "hi", "frac") + (("loi",) if with_index else ())
     fields = [
-        T.StructField(f"_{part}_{ax}", T.DoubleType())
+        T.StructField(
+            f"_{part}_{ax}", T.IntegerType() if part == "loi" else T.DoubleType()
+        )
         for ax in axes_subset
-        for part in ("lo", "hi", "frac")
+        for part in parts
     ]
     out_type = T.StructType(fields)
 
@@ -225,13 +247,15 @@ def _snap_udf(df: DataFrame, axes_subset: list[str], arrays: dict[str, np.ndarra
             data[f"_lo_{ax}"] = lo
             data[f"_hi_{ax}"] = hi
             data[f"_frac_{ax}"] = (x - lo) / (hi - lo)
+            if with_index:
+                data[f"_loi_{ax}"] = i.astype(np.int32)
         return pd.DataFrame(data)
 
     snap = F.pandas_udf(_snap, out_type)
 
     packed = df.withColumn("_snap", snap(*[_as_double(ax, df) for ax in axes_subset]))
     for ax in axes_subset:
-        for part in ("lo", "hi", "frac"):
+        for part in parts:
             packed = packed.withColumn(f"_{part}_{ax}", F.col(f"_snap._{part}_{ax}"))
     return packed.drop("_snap")
 
@@ -554,21 +578,42 @@ def build_cell_relation(
             "partial or duplicated slabs"
         )
 
+    # Integer axis-index key per axis (``_ki_{ax}``) alongside the node
+    # value: int join keys carry no NormalizeFloatingNumbers wrapper, so a
+    # persisted relation's build-time hash partitioning AND in-partition
+    # ordering satisfy the point join's requirements syntactically — the
+    # double-key join re-sorted the whole relation per query. Derived by
+    # exact-equality position in the axis literal (the same exactness the
+    # value join itself assumed); NULL when a node value is not a literal
+    # array member, which the value join would also have failed to match.
+    # Axes beyond the literal bound keep the legacy value keys.
+    int_keys = all(len(arrays[ax]) <= _LITERAL_AXIS_MAX for ax in axes)
+    key = (lambda ax: f"_ki_{ax}") if int_keys else (lambda ax: f"_k_{ax}")
+    if int_keys:
+        idx_cols = {}
+        for ax in axes:
+            lit_arr = F.lit([float(v) for v in arrays[ax]])
+            pos = F.array_position(lit_arr, F.col(f"_k_{ax}"))
+            idx_cols[f"_ki_{ax}"] = F.when(pos > 0, (pos - 1).cast("int"))
+        base = base.withColumns(idx_cols)
+
     cells = base.select(
         *[F.col(f"_k_{ax}") for ax in axes],
+        *([F.col(f"_ki_{ax}") for ax in axes] if int_keys else []),
         *[F.array(F.col(m)).alias(f"_cells_{m}") for m in measures],
     )
+    carry = [f"_k_{a}" for a in axes] + ([f"_ki_{a}" for a in axes] if int_keys else [])
     # process axes LAST-first so the final array index is
     # b_1*2^(d-1) + ... + b_d (axis 1 most significant)
     for ax in reversed(axes):
         w = (
-            Window.partitionBy(*[f"_k_{a}" for a in axes if a != ax])
-            .orderBy(f"_k_{ax}")
+            Window.partitionBy(*[key(a) for a in axes if a != ax])
+            .orderBy(key(ax))
         )
         cells = (
             cells.select(
-                *[F.col(f"_k_{a}") for a in axes],
-                F.lead(f"_k_{ax}").over(w).alias("_nxt"),
+                *[F.col(c) for c in carry],
+                F.lead(key(ax)).over(w).alias("_nxt"),
                 *[
                     F.concat(
                         F.col(f"_cells_{m}"), F.lead(f"_cells_{m}").over(w)
@@ -582,15 +627,14 @@ def build_cell_relation(
         )
     if not _cells_hash_join_safe(expected, len(axes), grid_df.sparkSession):
         # SMJ regime (relation too big for an unspillable hash build): sort
-        # within the final window pass's partitions ONCE at build. The
-        # planner still inserts a cells-side Sort per query (its required
-        # ordering wraps the keys in NormalizeFloatingNumbers, which the
-        # cache's plain-column ordering cannot satisfy syntactically), but
-        # sorting already-ordered cached runs is spill-free and near-linear:
-        # measured 21.3 s -> 2.0 s per 1M-point query at a 19M-cell
-        # relation. No exchange: the subset hash partitioning (co-partition
-        # reuse) is kept.
-        cells = cells.sortWithinPartitions(*[f"_k_{ax}" for ax in axes])
+        # within the final window pass's partitions ONCE at build. With int
+        # keys the persisted ordering satisfies the join's required ordering
+        # outright (no normalization wrapper), so the per-query cells-side
+        # Sort is ELIDED from the plan; with legacy double keys the Sort
+        # node stays but runs spill-free over already-ordered cached runs
+        # (21.3 s -> 2.0 s per 1M-point query at a 19M-cell relation). No
+        # exchange: the subset hash partitioning (co-partition reuse) kept.
+        cells = cells.sortWithinPartitions(*[key(ax) for ax in axes])
     return cells
 
 
@@ -665,11 +709,23 @@ def interpolate_points_cells(
         cells = cells.hint("SHUFFLE_HASH")
 
     point_cols = points_df.columns
-    pts = _snap_columns(points_df, axes, arrays)
-    cond = reduce(
-        lambda a, b: a & b,
-        [pts[f"_lo_{ax}"] == cells[f"_k_{ax}"] for ax in axes],
-    )
+    # join on the integer axis-index keys when the relation carries them
+    # (built with all axes inside the literal bound): int keys avoid the
+    # NormalizeFloatingNumbers wrapper on join requirements, so a persisted
+    # relation's build partitioning AND ordering are reused as-is — no
+    # cells-side Exchange and no cells-side Sort in the per-query plan.
+    int_keys = all(f"_ki_{ax}" in cells.columns for ax in axes)
+    pts = _snap_columns(points_df, axes, arrays, with_index=int_keys)
+    if int_keys:
+        cond = reduce(
+            lambda a, b: a & b,
+            [pts[f"_loi_{ax}"] == cells[f"_ki_{ax}"] for ax in axes],
+        )
+    else:
+        cond = reduce(
+            lambda a, b: a & b,
+            [pts[f"_lo_{ax}"] == cells[f"_k_{ax}"] for ax in axes],
+        )
     joined = pts.join(cells, on=cond, how="left")
 
     out_cols = list(point_cols)

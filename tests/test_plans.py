@@ -390,11 +390,11 @@ def test_cell_strategy_point_side_zero_exchange(spark):
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan, plan
     # every hash exchange must belong to the CELL-BUILD subtree (window
-    # passes partition on the _k_* cell keys); the point stream itself is
-    # never shuffled and nothing aggregates per point
+    # passes partition on the _ki_*/_k_* cell keys); the point stream itself
+    # is never shuffled and nothing aggregates per point
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
-            assert "_k_x" in line, f"point-side exchange: {line}\n{plan}"
+            assert "_ki_x" in line or "_k_x" in line, f"point-side exchange: {line}\n{plan}"
     assert "HashAggregate" not in plan, plan
 
 
@@ -484,10 +484,15 @@ def test_cell_strategy_persisted_relation_not_reexchanged(spark):
         above_cache = plan.split("InMemoryRelation")[0]
         n_ex = above_cache.count("Exchange")
         assert n_ex == 1, f"{n_ex} exchanges above the cached cells:\n{above_cache}"
-        # and that one exchange is the POINT side (snapped _lo_ keys)
+        # and that one exchange is the POINT side (snapped _loi_ index keys)
         for line in above_cache.splitlines():
             if "Exchange hashpartitioning" in line:
-                assert "_lo_x" in line, f"cells side re-exchanged: {line}"
+                assert "_loi_x" in line, f"cells side re-exchanged: {line}"
+        # hash-join regime: neither side needs ordering — no Sort anywhere
+        # above the cache (the SMJ-regime Sort-elision contract has its own
+        # test below)
+        n_sorts = above_cache.count("Sort [")
+        assert n_sorts == 0, f"{n_sorts} sorts above the cached cells:\n{above_cache}"
     finally:
         cells.unpersist()
 
@@ -568,3 +573,66 @@ def test_quality_classifier_is_zero_shuffle(spark):
     # reference — a second md5 in the plan means the staging projection
     # collapsed and the pipeline runs multiple times per row (2.6× wall)
     assert plan.count("md5") == 1, plan
+
+
+def test_cell_smj_regime_elides_cells_side_sort(spark, monkeypatch):
+    """SMJ-regime contract (int keys): a persisted relation built beyond the
+    hash-safe ceiling is sorted within its build partitions on the INTEGER
+    axis-index keys — no NormalizeFloatingNumbers wrapper, so the cached
+    ordering satisfies the join requirement outright and each point query
+    plans exactly ONE Sort (the point side). With the legacy double keys
+    the cells side re-sorted per query (cheap over ordered runs, but
+    present)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.grid.interpolate import (
+        build_cell_relation,
+        interpolate_points_cells,
+    )
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    dims = (4, 4, 4, 4)
+    d2, d3, d4 = dims[1], dims[2], dims[3]
+    grid = spark.range(0, int(np.prod(dims)), 1, 4).select(
+        ((F.col("id") / (d2 * d3 * d4)).cast("long") % dims[0]).cast("double").alias("x1"),
+        ((F.col("id") / (d3 * d4)).cast("long") % d2).cast("double").alias("x2"),
+        ((F.col("id") / d4).cast("long") % d3).cast("double").alias("x3"),
+        (F.col("id") % d4).cast("double").alias("x4"),
+    ).withColumn("val", F.col("x1") + F.col("x2"))
+    axes = ("x1", "x2", "x3", "x4")
+    # shrink the hash-safe ceiling so this 256-node slab IS the SMJ regime:
+    # the build sorts within partitions and the query plans a sort-merge join
+    from kamodo_dask_spark.grid import interpolate as interp_mod
+
+    monkeypatch.setattr(interp_mod, "_HASH_BUILD_MAX_ROWS_PER_TASK", 16)
+    monkeypatch.setattr(interp_mod, "_BROADCAST_GRID_MAX_ROWS", 16)
+    arrays_big = {ax: np.arange(float(n)) for ax, n in zip(axes, dims)}
+    cells = build_cell_relation(grid, axes, ["val"], axis_arrays=arrays_big).persist()
+    try:
+        cells.count()
+        pts = spark.range(0, 100, 1, 2).select(
+            F.col("id").alias("point_id"),
+            *[((F.col("id") % 13) / 4.5).alias(ax) for ax in axes],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = interpolate_points_cells(
+                None, pts, axes, ["val"], axis_arrays=arrays_big, cells=cells
+            )
+            plan = executed_plan(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan, plan
+        above_cache = plan.split("InMemoryRelation")[0]
+        n_sorts = above_cache.count("Sort [")
+        assert n_sorts == 1, f"{n_sorts} sorts above the cached cells:\n{above_cache}"
+        for line in above_cache.splitlines():
+            if line.strip().startswith(":- Sort") or line.strip().startswith("+- Sort"):
+                assert "_loi_x" in line, f"cells-side sort survived: {line}"
+        # and zero exchanges above the cache beyond the point side
+        n_ex = above_cache.count("Exchange")
+        assert n_ex == 1, f"{n_ex} exchanges above the cached cells:\n{above_cache}"
+    finally:
+        cells.unpersist()
