@@ -2707,6 +2707,39 @@ def quality_classifier_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_profile",
+    """
+    WITH cols(column_name, v) AS (
+        SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'text', text FROM documents
+    )
+    SELECT column_name,
+           count(*)                 AS n_rows,
+           count(*) - count(v)      AS n_nulls,
+           count(DISTINCT v)        AS n_distinct,
+           min(v)                   AS min_value,
+           max(v)                   AS max_value
+    FROM cols GROUP BY column_name ORDER BY column_name
+    """,
+)
+def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column corpus profile
+    (`operators/profile.py::profile_columns`): melt to (column, value)
+    long form — a row-local ``stack`` projection, zero extra scans — then
+    one two-stage exact-distinct aggregation. The first profiling query
+    anyone runs on a new 100 TB drop; the reference has no profiling
+    surface at all (it assumes a known dense grid). ``exact=False`` swaps
+    in HyperLogLog++ for the corpus-scale path (pytest-bounded against
+    the exact counts; sketches have no cross-engine oracle)."""
+    from kamodo_dask_spark.operators.profile import profile_columns
+
+    return profile_columns(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
@@ -3711,16 +3744,19 @@ DRIVER_WINDOW = 50
 # un-parked — each was last driver-checked in r4 and must not go 3+ rounds
 # without a fresh row. Parked instead: 41 entries driver-green in
 # CORRECTNESS_r05 (1 round fresh — the safest set to sit out). KEPT
-# in-window from the r5-green set are the 9 entries whose machinery or
+# in-window from the r5-green set are the 8 entries whose machinery or
 # oracle changes THIS round: url_dedup + html_extract (normalization /
 # entity-order fixes changed both engines' oracles — they need fresh rows
 # under the new spelling), interp_1d / interp_4d / interp_4d_corner
-# (SHUFFLE_HASH hint now gated on per-task build rows),
-# dedup_exact_groups (r5 re-measure ask), sessionization +
-# streaming_interp (streaming shared-session optimization pass), and
-# asof_purchase_view (flagship as-of under fresh signal). 37 + 9 = 46,
-# leaving window slots for this round's new entries.
+# (SHUFFLE_HASH hint now gated on per-task build rows; cell joins moved
+# to integer axis-index keys), sessionization + streaming_interp
+# (streaming shared-session optimization pass), and asof_purchase_view
+# (flagship as-of under fresh signal). dedup_exact_groups was initially
+# kept for the r5 re-measure ask, then parked once the re-measure closed
+# as host noise (SCALE.md) — its slot goes to dataset_profile. 37 + 8 =
+# 45, leaving window slots for this round's new entries.
 PARKED = [
+    "dedup_exact_groups",
     # relational core (r5-green, unchanged this round)
     "pricing_summary",
     "slab_filter",

@@ -52,6 +52,7 @@ def _never_driver_green() -> list[str]:
 ROUND6_PENDING: list[str] = [
     "bpe_token_counts",
     "substring_dedup",
+    "dataset_profile",
 ]
 
 #: The round-6 window INTENT (see queries.py PARKED comment): the 37
@@ -103,7 +104,9 @@ ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
     "interp_1d",
     "interp_4d",
     "interp_4d_corner",
-    "dedup_exact_groups",
+    # dedup_exact_groups: initially a keeper for the r5 re-measure ask;
+    # parked once the re-measure closed as host noise (SCALE.md), freeing
+    # its window slot for dataset_profile
     "sessionization",
     "streaming_interp",
     "asof_purchase_view",

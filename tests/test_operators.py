@@ -1524,3 +1524,89 @@ def test_quality_classifier_trained_weights_path(spark):
     assert hi["quality_pass"] and not lo["quality_pass"]
     with pytest.raises(ValueError, match="4096"):
         quality_classifier(df, weights=[1.0])
+
+
+def test_profile_columns_hand_computed(spark):
+    """Exact profile over a frame with nulls, duplicates, and an array
+    column (profiled via its JSON rendering)."""
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 2, 3, 3],
+                "s": ["b", None, "a", "a", None],
+                "v": [[1.0], [1.0], [2.5], None, [2.5]],
+            }
+        )
+    )
+    out = {r["column_name"]: r.asDict() for r in profile_columns(df).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert all(out[c]["n_rows"] == 5 for c in out)
+    assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 3
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "3"
+    assert out["s"]["n_nulls"] == 2 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+    # array column: JSON-rendered values; NULL row stays NULL
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_value"] == "[1.0]" and out["v"]["max_value"] == "[2.5]"
+
+
+def test_profile_columns_subset_order_and_validation(spark):
+    import pytest
+
+    from kamodo_dask_spark.operators.profile import profile_columns
+
+    df = spark.range(10).selectExpr("id AS b", "id * 2 AS a")
+    out = profile_columns(df, columns=["b", "a"]).collect()
+    # output ordered by column_name regardless of requested order
+    assert [r["column_name"] for r in out] == ["a", "b"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, columns=["nope"]).collect()
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(df, columns=[])
+
+
+def test_profile_columns_approx_within_hll_error(spark):
+    """exact=False swaps count_distinct for HyperLogLog++ — the
+    corpus-scale path. Bound it against the exact counts at the default
+    relative error (2%? Spark's default rsd=0.05; allow 3x slack)."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.profile import profile_columns
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("u"),            # all distinct
+        (F.col("id") % 97).alias("m"),     # 97 distinct
+    )
+    exact = {r["column_name"]: r["n_distinct"] for r in profile_columns(df).collect()}
+    approx = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile_columns(df, exact=False).collect()
+    }
+    for c in ("u", "m"):
+        assert abs(approx[c] - exact[c]) <= max(1, 0.15 * exact[c]), (c, exact, approx)
+
+
+def test_profile_scan_pruned_to_profiled_columns(spark, tmp_path):
+    """The melt must not widen the scan: profiling 2 of 4 parquet columns
+    reads exactly those 2 (column pruning through the stack projection)."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.profile import profile_columns
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        "id",
+        (F.col("id") * 2).alias("a"),
+        (F.col("id") * 3).alias("b"),
+        F.lit("x").alias("c"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = profile_columns(df, columns=["a", "c"])._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "a" in read_schema and "c" in read_schema
+    assert "id" not in read_schema.split("ReadSchema")[1] and ",b:" not in read_schema
