@@ -3008,6 +3008,99 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_attributes",
+    f"""
+    SELECT q.doc_id, q.n_tokens_ws, q.n_tokens_re, q.quality,
+           l.pred_lang, fp.fingerprint
+    FROM ({_quality_sql()}) q
+    JOIN ({_langid_sql()}) l USING (doc_id)
+    JOIN (WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents)
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fingerprint
+          FROM w) fp USING (doc_id)
+    """,
+)
+def doc_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan multi-tagger (`operators/text.py::add_text_features` —
+    the Dolma "attributes" production shape): every row-local tagger
+    (token counts, quality, language, fingerprint) fuses into ONE
+    projection over ONE scan of the corpus. Running the taggers as
+    separate catalog entries costs one 100 TB scan EACH; this is the
+    shape a real pipeline runs, and `test_doc_attributes_single_scan`
+    pins the fused plan (1 scan, 0 exchanges). The oracle composes the
+    component entries' SQL by self-join — same spellings, so any
+    component drift fails both entries together."""
+    from kamodo_dask_spark.operators.text import add_text_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_text_features(docs).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        F.col("n_tokens_re").cast("bigint").alias("n_tokens_re"),
+        "quality",
+        "pred_lang",
+        "fingerprint",
+    )
+
+
+@register(
+    "filter_pipeline",
+    f"""
+    WITH j AS (
+        SELECT d.doc_id, d.source, d.text, t.quality, t.n_tokens_ws
+        FROM documents d
+        JOIN ({_quality_sql()}) t USING (doc_id)
+        JOIN ({_langid_sql()}) l USING (doc_id)
+        WHERE l.pred_lang = 'en' AND t.quality >= 0.5),
+    k AS (SELECT min(doc_id) AS doc_id FROM j GROUP BY md5(text)),
+    f AS (SELECT j.* FROM j JOIN k USING (doc_id))
+    SELECT source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_tokens_ws) AS BIGINT)  AS total_tokens,
+           round(sum(quality), 4)            AS sum_quality
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb/C4 filter CASCADE end-to-end, ordered for 100 TB:
+    row-local gates first (language + quality — zero shuffle, fused into
+    the scan projection, so most of the corpus dies before any exchange),
+    THEN exact dedup on the survivors (`exact_dedup`'s md5-keyed shuffle
+    moves only the filtered minority), then per-source keep stats. This
+    is the composition a real pipeline runs — the component entries prove
+    each stage alone; this one proves they compose without extra scans
+    or reordered semantics. sum(quality) not avg: the catalog's tie rule
+    (fixed-decimal avg over 2^k rows can land on an exact half)."""
+    from kamodo_dask_spark.operators.dedup import exact_dedup
+    from kamodo_dask_spark.operators.text import (
+        detect_language as _lang,
+        quality_score as _q,
+        whitespace_token_count as _wtc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        _lang(F.col("text")).alias("pred_lang"),
+        _q(F.col("text")).alias("quality"),
+        _wtc(F.col("text")).alias("n_tokens_ws"),
+    )
+    kept = tagged.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    deduped = exact_dedup(kept)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_ws").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("quality"), 4).alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id,
@@ -3753,10 +3846,13 @@ DRIVER_WINDOW = 50
 # (streaming shared-session optimization pass), and asof_purchase_view
 # (flagship as-of under fresh signal). dedup_exact_groups was initially
 # kept for the r5 re-measure ask, then parked once the re-measure closed
-# as host noise (SCALE.md) — its slot goes to dataset_profile. 37 + 8 =
-# 45, leaving window slots for this round's new entries.
+# as host noise (SCALE.md) — its slot goes to dataset_profile; likewise
+# asof_purchase_view and interp_1d (both r5-green, operators unchanged
+# this round) are parked so doc_attributes and filter_pipeline get slots.
 PARKED = [
     "dedup_exact_groups",
+    "asof_purchase_view",
+    "interp_1d",
     # relational core (r5-green, unchanged this round)
     "pricing_summary",
     "slab_filter",

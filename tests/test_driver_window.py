@@ -53,6 +53,8 @@ ROUND6_PENDING: list[str] = [
     "bpe_token_counts",
     "substring_dedup",
     "dataset_profile",
+    "doc_attributes",
+    "filter_pipeline",
 ]
 
 #: The round-6 window INTENT (see queries.py PARKED comment): the 37
@@ -101,7 +103,8 @@ ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
     # a fresh driver signal on the changed machinery
     "url_dedup",
     "html_extract",
-    "interp_1d",
+    # interp_1d: r5-green keeper, parked mid-round (as-of machinery
+    # unchanged) to free a slot for filter_pipeline
     "interp_4d",
     "interp_4d_corner",
     # dedup_exact_groups: initially a keeper for the r5 re-measure ask;
@@ -109,7 +112,8 @@ ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
     # its window slot for dataset_profile
     "sessionization",
     "streaming_interp",
-    "asof_purchase_view",
+    # asof_purchase_view: r5-green keeper, parked mid-round (operator
+    # unchanged) to free a slot for doc_attributes
 ]
 
 

@@ -636,3 +636,23 @@ def test_cell_smj_regime_elides_cells_side_sort(spark, monkeypatch):
         assert n_ex == 1, f"{n_ex} exchanges above the cached cells:\n{above_cache}"
     finally:
         cells.unpersist()
+
+
+def test_doc_attributes_single_scan(spark, tmp_path):
+    """The multi-tagger contract: every row-local tagger fuses into ONE
+    projection over ONE scan — running N taggers must not cost N corpus
+    scans, and nothing about tagging shuffles."""
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.text import add_text_features
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["the quick fox", "der schnelle fuchs"]})
+    ).write.parquet(p)
+    out = add_text_features(spark.read.parquet(p))
+    plan = executed_plan(out)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
