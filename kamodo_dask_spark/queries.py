@@ -3833,73 +3833,101 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parked or not.
 DRIVER_WINDOW = 50
 
-# ROUND 6 rotation (judge r5 ask #1): the 37 entries parked in r5 are ALL
-# un-parked — each was last driver-checked in r4 and must not go 3+ rounds
-# without a fresh row. Parked instead: 41 entries driver-green in
-# CORRECTNESS_r05 (1 round fresh — the safest set to sit out). KEPT
-# in-window from the r5-green set are the 8 entries whose machinery or
-# oracle changes THIS round: url_dedup + html_extract (normalization /
-# entity-order fixes changed both engines' oracles — they need fresh rows
-# under the new spelling), interp_1d / interp_4d / interp_4d_corner
-# (SHUFFLE_HASH hint now gated on per-task build rows; cell joins moved
-# to integer axis-index keys), sessionization + streaming_interp
-# (streaming shared-session optimization pass), and asof_purchase_view
-# (flagship as-of under fresh signal). dedup_exact_groups was initially
-# kept for the r5 re-measure ask, then parked once the re-measure closed
-# as host noise (SCALE.md) — its slot goes to dataset_profile; likewise
-# asof_purchase_view and interp_1d (both r5-green, operators unchanged
-# this round) are parked so doc_attributes and filter_pipeline get slots.
-PARKED = [
-    "dedup_exact_groups",
-    "asof_purchase_view",
-    "interp_1d",
-    # relational core (r5-green, unchanged this round)
-    "pricing_summary",
-    "slab_filter",
-    "snap_to_grid",
-    "bounds",
-    "midpoint",
-    "axis_values",
-    "revenue_by_nation",
-    "topk_orders",
-    "window_rank",
-    "semi_join",
-    "anti_join",
-    "distinct_agg",
-    "rollup_totals",
-    "union_nations",
-    "price_histogram",
-    "json_extract",
-    "regex_parse",
-    "date_arithmetic",
-    "null_handling",
-    "string_agg_per_nation",
-    "pivot_event_types",
-    "running_user_totals",
-    "string_functions",
-    "math_functions",
-    "median_and_stats",
-    "cube_counts",
-    "scalar_subquery",
-    "in_subquery",
-    "floor_10min",
-    "tumbling_1h",
-    "dense_time_grid",
-    # dedup/similarity entries with an r5 row whose operators are
-    # unchanged this round (the band/signature machinery is represented
-    # in-window by the un-parked r4 set plus substring dedup)
-    "jaccard_near_dups",
-    "minhash_lsh_pairs",
-    "incremental_dedup",
-    "near_dup_cascade",
-    "line_dedup",
-    "simhash_fingerprints",
-    "cosine_near_dups",
-    "label_centroids",
-    "nearest_centroid",
-    # multimodal pipeline (r5-green, unchanged)
-    "multimodal_features",
+#: Entries that must stay in-window THIS round regardless of staleness —
+#: the hand-curated part of the rotation: operators or oracles whose
+#: machinery changed this round need a fresh driver row under the new
+#: spelling even if they were green last round. Everything else rotates
+#: mechanically (see _compute_parked). Round-6 pins: url_dedup +
+#: html_extract (normalization / entity-decode-order fixes changed both
+#: engines' oracles), interp_4d + interp_4d_corner (SHUFFLE_HASH gate;
+#: cell joins moved to integer axis-index keys), sessionization +
+#: streaming_interp (streaming checkpoint/conf optimization pass).
+PINNED_THIS_ROUND = [
+    "url_dedup",
+    "html_extract",
+    "interp_4d",
+    "interp_4d_corner",
+    "sessionization",
+    "streaming_interp",
 ]
+
+#: A parked entry's last driver-green row may be at most this many rounds
+#: behind the latest recorded round (the rotation contract since r4:
+#: "no entry goes 3+ rounds without a fresh driver row").
+MAX_PARKED_STALENESS = 2
+
+
+def _latest_green_rounds() -> "tuple[int | None, dict[str, int]]":
+    """(latest recorded round, name -> most recent driver-green round)
+    from the committed CORRECTNESS_r*.json artifacts. green = hash_match
+    and no err — a red row is not a check."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = None
+    best: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        latest = rnd if latest is None else max(latest, rnd)
+        for name, row in doc.items():
+            if row.get("hash_match") is True and row.get("err") is None:
+                best[name] = max(best.get(name, -1), rnd)
+    return latest, best
+
+
+def _compute_parked(
+    order: "list[str]",
+    latest: "int | None",
+    green: "dict[str, int]",
+    pinned: "list[str]",
+) -> "list[str]":
+    """MECHANICAL rotation (replaces the per-round hand-maintained list,
+    judge r4/r5 rotation contract): the window must contain (a) every
+    entry with NO driver-green row yet and (b) this round's pins; the
+    remaining slots go to the MOST-STALE green entries first (ties by
+    registration order), so each parked entry returns before its last
+    green row ages past MAX_PARKED_STALENESS. Raises loudly if the
+    must-have set alone overflows the window or if anything would be
+    parked at the staleness ceiling — both mean the catalog outgrew the
+    window faster than it rotates and need a human decision."""
+    if latest is None:
+        return order[DRIVER_WINDOW:]  # fresh checkout: first N in-window
+    must = [n for n in order if n not in green or n in pinned]
+    if len(must) > DRIVER_WINDOW:
+        raise RuntimeError(
+            f"{len(must)} never-green + pinned entries exceed the "
+            f"{DRIVER_WINDOW}-row driver window — unpin some"
+        )
+    pos = {n: i for i, n in enumerate(order)}
+    rest = sorted(
+        (n for n in order if n not in must),
+        key=lambda n: (green[n], pos[n]),  # oldest green round first
+    )
+    n_slots = DRIVER_WINDOW - len(must)
+    parked = rest[n_slots:]
+    over = [n for n in parked if latest - green[n] >= MAX_PARKED_STALENESS]
+    if over:
+        raise RuntimeError(
+            f"rotation capacity exceeded: {over} would be parked at "
+            f"staleness >= {MAX_PARKED_STALENESS}"
+        )
+    return parked
+
+
+PARKED = _compute_parked(
+    list(QUERIES), *_latest_green_rounds(), PINNED_THIS_ROUND
+)
 
 
 def _apply_driver_window() -> None:

@@ -180,3 +180,47 @@ def test_every_entry_has_an_oracle_or_is_known_weak():
     the list of such entries explicit and empty."""
     no_oracle = [n for n in QUERIES if n not in ORACLES]
     assert no_oracle == [], f"entries without a DuckDB oracle: {no_oracle}"
+
+
+def test_compute_parked_policy():
+    """The mechanical rotation: never-green + pinned always in-window,
+    remaining slots most-stale-first, loud overflow failures."""
+    import pytest
+
+    from kamodo_dask_spark import queries as q
+
+    order = [f"e{i}" for i in range(8)]
+    # window of 4 (simulate by temporarily shrinking)
+    old = q.DRIVER_WINDOW
+    q.DRIVER_WINDOW = 4
+    try:
+        # e0 never green; e1 pinned (green r5); others green r3..r5
+        green = {"e1": 5, "e2": 3, "e3": 4, "e4": 5, "e5": 3, "e6": 4, "e7": 5}
+        parked = q._compute_parked(order, 5, green, ["e1"])
+        window = [n for n in order if n not in parked]
+        assert "e0" in window and "e1" in window
+        # two free slots go to the stalest greens: e2 (r3) then e5 (r3)
+        assert window == ["e0", "e1", "e2", "e5"]
+        # fresh checkout: no artifacts -> first N stay in-window
+        assert q._compute_parked(order, None, {}, []) == order[4:]
+        # overflow: 5 never-green entries cannot fit a 4-row window
+        with pytest.raises(RuntimeError, match="exceed"):
+            q._compute_parked(order, 5, {n: 5 for n in order[5:]}, [])
+        # staleness ceiling: parking an entry already at staleness 2 raises
+        green_all = {n: 5 for n in order}
+        green_all["e7"] = 3  # stale but squeezed out by pins
+        with pytest.raises(RuntimeError, match="staleness"):
+            q._compute_parked(order, 5, green_all, ["e0", "e1", "e2", "e3"])
+    finally:
+        q.DRIVER_WINDOW = old
+
+
+def test_auto_rotation_matches_r6_intent():
+    """With the committed r1-r5 artifacts, the mechanical policy must
+    reproduce the round-6 hand rotation: every r4-green formerly-parked
+    entry in-window, pins in-window, never-green entries in-window."""
+    from kamodo_dask_spark.queries import DRIVER_WINDOW, PINNED_THIS_ROUND, QUERIES
+
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    for n in PINNED_THIS_ROUND:
+        assert n in window, n
