@@ -493,8 +493,20 @@ def _emit(out: dict) -> str:
         worst = sorted(regs.items(), key=lambda kv: -kv[1]["factor"])[:10]
         line_out["regressions"] = dict(worst)
         line_out["n_regressions"] = len(regs)
-    line = json.dumps(line_out, separators=(",", ":"))
-    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    # Fit budget: an overlong line would be tail-clipped right back into
+    # the r4/r5 "parsed: null" failure (and raising here would lose the
+    # WHOLE summary) — so shrink, never assert: drop regressions detail
+    # first, then trim the inline slowest-queries list.
+    def _render() -> str:
+        return json.dumps(line_out, separators=(",", ":"))
+
+    line = _render()
+    if len(line) >= 1900 and "regressions" in line_out:
+        line_out["n_regressions"] = len(line_out.pop("regressions"))
+        line = _render()
+    while len(line) >= 1900 and line_out["queries"]:
+        line_out["queries"] = dict(list(line_out["queries"].items())[:-1])
+        line = _render()
     return line
 
 

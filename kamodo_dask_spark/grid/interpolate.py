@@ -471,13 +471,8 @@ def interpolate_points(
         # packed doubles + hash overhead per task). Slabs beyond that leave
         # join selection to AQE, where sort-merge spills instead of OOMing
         # the build.
-        try:
-            n_shuffle = int(
-                grid_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-        except Exception:
-            n_shuffle = 200
-        if dense_bound <= _HASH_BUILD_MAX_ROWS_PER_TASK * max(n_shuffle, 1):
+        # same gate as the cell relation's (d=0: corner rows are 1× wide)
+        if _cells_hash_join_safe(dense_bound, 0, grid_df.sparkSession):
             grid_keyed = grid_keyed.hint("SHUFFLE_HASH")
     joined = exploded.join(grid_keyed, on=[f"_k_{ax}" for ax in axes], how="left")
 
@@ -503,6 +498,30 @@ def interpolate_points(
             .alias(m)
         )
     return grouped.select(*out_cols)
+
+
+def _enable_subset_copartition(spark) -> None:
+    """Sticky, cell-strategy-scoped opt-in: accept co-partitioning on a
+    SUBSET of the join keys. A persisted cell relation keeps its
+    build-time window partitioning (hash on d−1 axis keys); with Spark's
+    conservative default (require ALL keys) every point query re-exchanges
+    the full slab-sized relation — this conf is what lets the query
+    shuffle ONLY the point side (plan-pinned in test_plans.py).
+
+    Deliberately NOT an engine-wide default (it used to be): the conf
+    changes exchange planning for every join in the session — a relation
+    pre-partitioned on a low-cardinality subset of later join keys would
+    run that join at the subset's parallelism. Sessions that never touch
+    the cell strategy keep Spark's default; sessions that do accept the
+    trade session-wide (the conf must be live at ACTION time, after these
+    lazy builders have returned, so a set/restore scope cannot work).
+    Axis keys are high-cardinality by construction, so the known downside
+    does not apply to the joins this enables."""
+    try:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    except Exception:
+        pass  # read-only conf service (e.g. Connect) — planner falls back
+        # to re-exchanging the cells side: slower, never wrong
 
 
 def build_cell_relation(
@@ -548,6 +567,7 @@ def build_cell_relation(
     """
     from pyspark.sql import Window
 
+    _enable_subset_copartition(grid_df.sparkSession)
     measures = measures or [c for c, _ in grid_df.dtypes if c not in axes]
     arrays = axis_arrays or _axis_arrays(grid_df, axes)
     expected = int(np.prod([len(arrays[ax]) for ax in axes]))
@@ -692,6 +712,7 @@ def interpolate_points_cells(
         axis_arrays = _axis_arrays(grid_df, axes)
     arrays = axis_arrays
     d = len(axes)
+    _enable_subset_copartition(points_df.sparkSession)
     if cells is None:
         cells = build_cell_relation(grid_df, axes, measures, fill_value, arrays)
 

@@ -820,6 +820,7 @@ def substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_anchors: bool = False,
+    occ_cap: int | None = None,
 ) -> DataFrame:
     """Exact CROSS-DOCUMENT repeated-span detection — the suffix-array
     dedup capability of Lee et al. 2022 ("Deduplicating Training Data
@@ -838,8 +839,10 @@ def substring_spans(
        k-gram at every word position — zero shuffle, no self-join.
     2. **Frequency cap**: anchors in more than ``max_df`` distinct docs are
        boilerplate (the same guard as ``jaccard_pairs``' ``max_df``) —
-       dropped BEFORE pairing, which bounds the join fan-out to
-       ``df ≤ max_df`` per gram, i.e. ≤ max_df² pairs per anchor value.
+       dropped BEFORE pairing. Note the doc cap alone does NOT bound pair
+       fan-out: a gram repeated n and m times within two docs emits n·m
+       position pairs; the OCCURRENCE count is what bounds the quadratic,
+       which is what ``occ_cap`` is for (below).
     3. **Anchor equi-join** on the gram (``id_a < id_b``): candidate
        position pairs. Never all-pairs — only docs sharing a capped anchor
        meet.
@@ -865,6 +868,21 @@ def substring_spans(
     anchors at every s-th position on one side) is the classic further
     cut-down; it changes maximal-span semantics, so it is deliberately not
     implemented here.
+
+    ``occ_cap`` (the production knob, pair with ``hash_anchors``): with it
+    unset, each gram's occurrences are gathered into ONE aggregation row
+    BEFORE the doc-count filter can drop it — a site-wide boilerplate
+    k-gram occurring millions of times across a web corpus builds a
+    multi-GB ``collect_list`` buffer in a single task and the in-row pair
+    emission is O(occ²). Setting ``occ_cap`` switches to a two-phase
+    plan: a narrow count aggregation first (gram → df, occurrences), the
+    cap filters BEFORE any occurrence list exists, and only surviving
+    grams are collected (the count agg and the filter join share the
+    gram hash partitioning, so the extra cost is one more pass over the
+    row-local anchor projection, not an extra wide shuffle). Dropping a
+    ``> occ_cap`` gram loses at most spans supported ONLY by grams more
+    frequent than the cap — the same boilerplate `max_df` already
+    targets.
 
     Reference parity: the reference has no dedup of any kind
     (kamodo_dask.py has no joins at all) — additive capability.
@@ -892,16 +910,45 @@ def substring_spans(
     g = docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
     if hash_anchors:
         g = g.withColumn("gram", F.xxhash64("gram"))
-    # Group-join inverted index (the jaccard_pairs shape): ONE shuffle on
-    # the gram groups all occurrences; the frequency cap and the cross-doc
-    # pair emission both happen JVM-side inside the bucket — vs a separate
-    # df-aggregation plus TWO capped-anchor joins, which executes the whole
-    # anchor pipeline three times (measured 5.8 s → 1.5 s at sf0.1).
-    grouped = g.groupBy("gram").agg(
-        F.array_sort(F.collect_list(F.struct(id_col, "pos"))).alias("_os")
-    )
-    ndocs = F.size(F.array_distinct(F.transform(F.col("_os"), lambda x: x[id_col])))
-    grouped = grouped.filter((ndocs >= 2) & (ndocs <= max_df))
+    if occ_cap is not None:
+        # Two-phase production path: count first (narrow rows), collect
+        # only survivors — no unbounded per-gram occurrence buffer ever
+        # materializes. The count agg, the filter join, and the collect
+        # agg all hash-partition on the gram, so the anchor projection
+        # runs twice but the occurrence stream crosses one extra
+        # co-partitioned exchange only.
+        stats = (
+            g.groupBy("gram")
+            .agg(
+                F.count_distinct(F.col(id_col)).alias("_df"),
+                F.count(F.lit(1)).alias("_occ"),
+            )
+            .filter(
+                (F.col("_df") >= 2)
+                & (F.col("_df") <= max_df)
+                & (F.col("_occ") <= occ_cap)
+            )
+            .select("gram")
+        )
+        grouped = g.join(stats, "gram").groupBy("gram").agg(
+            F.array_sort(F.collect_list(F.struct(id_col, "pos"))).alias("_os")
+        )
+    else:
+        # Group-join inverted index (the jaccard_pairs shape): ONE shuffle
+        # on the gram groups all occurrences; the frequency cap and the
+        # cross-doc pair emission both happen JVM-side inside the bucket —
+        # vs a separate df-aggregation plus TWO capped-anchor joins, which
+        # executes the whole anchor pipeline three times (measured
+        # 5.8 s → 1.5 s at sf0.1). Caveat at corpus scale: the collect
+        # runs BEFORE the cap, so boilerplate grams build their full
+        # occurrence row first — see the occ_cap docstring paragraph.
+        grouped = g.groupBy("gram").agg(
+            F.array_sort(F.collect_list(F.struct(id_col, "pos"))).alias("_os")
+        )
+        ndocs = F.size(
+            F.array_distinct(F.transform(F.col("_os"), lambda x: x[id_col]))
+        )
+        grouped = grouped.filter((ndocs >= 2) & (ndocs <= max_df))
     # occurrences sorted by (doc, pos): for each x, later entries y with a
     # DIFFERENT doc satisfy y.doc > x.doc — ordered pairs for free.
     m = grouped.select(

@@ -752,6 +752,14 @@ def semantic_dedup(
             ),
         ).alias("centroid_sim"),
     )
+    # eager checkpoint: sims feeds BOTH dominance-join sides AND the final
+    # anti-join — three consumers on different join keys, so Spark has no
+    # ReusedExchange point and each would re-scan the source and re-derive
+    # every per-row dot product (3 corpus scans for one query). The
+    # checkpointed relation is narrow (id, cluster, sim — tens of bytes a
+    # row vs the full embedding), so materializing it once is linear and
+    # small; the same precedent as minhash_signatures' checkpoint.
+    sims = sims.localCheckpoint(eager=True)
     domain = base.filter((F.col("_vnorm") > 0)).select(id_col, vec_col, cluster_col)
     pairs = cosine_near_dup_pairs(
         domain, threshold=threshold, id_col=id_col, vec_col=vec_col,

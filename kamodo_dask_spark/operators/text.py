@@ -490,9 +490,13 @@ def normalize_url(col: Column) -> Column:
     normalized keys hash identically cross-engine.
     """
     no_frag = F.regexp_replace(col, r"#.*$", "")
-    # Userinfo can only live in the authority: [^/?@]* cannot cross the
+    # Userinfo can only live in the authority: [^/?]* cannot cross the
     # first '/' or '?', so an '@' later in the path/query is untouched.
-    no_frag = F.regexp_replace(no_frag, r"(?i)^(https?://)[^/?@]*@", "$1")
+    # The class deliberately ADMITS '@' (greedy, so the match extends to
+    # the LAST '@' of the authority): WHATWG parses the host as whatever
+    # follows the final '@', and a one-layer strip ([^/?@]*@) would leave
+    # 'https://a@b@blocked.com' evading the blocklist after one pass.
+    no_frag = F.regexp_replace(no_frag, r"(?i)^(https?://)[^/?]*@", "$1")
     prefix = F.regexp_extract(no_frag, r"(?i)^(https?://[^/?]+)", 1)
     rest = F.substring(no_frag, F.length(prefix) + F.lit(1), F.length(no_frag))
     qpos = F.instr(rest, "?")
@@ -516,10 +520,11 @@ def normalize_url(col: Column) -> Column:
 def url_domain(col: Column) -> Column:
     """Registrable-host extraction from a NORMALIZED url (host already
     lowercased, userinfo already stripped by :func:`normalize_url`). The
-    optional ``[^/@]*@`` group is defense-in-depth for callers passing raw
-    URLs: the host is what follows any userinfo, never the userinfo
-    itself."""
-    return F.regexp_extract(col, r"^https?://(?:[^/?@]*@)?([^/?:]+)", 1)
+    optional ``[^/?]*@`` group is defense-in-depth for callers passing raw
+    URLs: greedy through every authority ``@`` (WHATWG: the host follows
+    the LAST one), so the host is what follows any userinfo, never the
+    userinfo itself."""
+    return F.regexp_extract(col, r"^https?://(?:[^/?]*@)?([^/?:]+)", 1)
 
 
 def url_dedup(
@@ -592,6 +597,24 @@ def html_to_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def _gram_bucket(g, salt: str, n_buckets: int) -> Column:
+    """Hashing-trick bucket index (md5 hex prefix → bigint → mod) — the
+    ONE definition shared by :func:`hashed_ngram_weights` and
+    :func:`quality_classifier`; a salt or width change in one cannot
+    desynchronize the other."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), g)), 1, 10), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+
+
+def _standin_weight(b) -> Column:
+    """Deterministic integer stand-in weight for bucket index ``b``:
+    ``(b·2654435761) % 2001 − 1000`` ∈ [−1000, 1000] (divide by 1000
+    after pooling). Shared for the same reason as :func:`_gram_bucket`."""
+    return (b * F.lit(2654435761)) % 2001 - 1000
+
+
 def hashed_ngram_weights(col, n_buckets: int = 4096, salt: str = "quality-v1",
                          weights: list[float] | None = None) -> Column:
     """Per-gram weights for :func:`quality_classifier` — the hashing trick
@@ -609,16 +632,13 @@ def hashed_ngram_weights(col, n_buckets: int = 4096, salt: str = "quality-v1",
     path; only the table's values are placeholders.
     """
     grams = F.concat(words(col), bigrams(col))
-    bucket = lambda g: (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), g)), 1, 10), 16, 10)
-        .cast("bigint") % n_buckets
-    )
+    bucket = lambda g: _gram_bucket(g, salt, n_buckets)
     if weights is not None:
         if len(weights) != n_buckets:
             raise ValueError(f"weights must have {n_buckets} entries")
         table = F.array(*[F.lit(float(w)) for w in weights])
         return F.transform(grams, lambda g: F.element_at(table, (bucket(g) + 1).cast("int")))
-    return F.transform(grams, lambda g: (bucket(g) * F.lit(2654435761)) % 2001 - 1000)
+    return F.transform(grams, lambda g: _standin_weight(bucket(g)))
 
 
 def quality_classifier(
@@ -652,10 +672,7 @@ def quality_classifier(
     # column in its own projection — CollapseProject leaves a non-cheap
     # multi-referenced column alone — and everything derives from the struct.
     grams = F.concat(words(F.col(text_col)), bigrams(F.col(text_col)))
-    bucket = lambda g: (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), g)), 1, 10), 16, 10)
-        .cast("bigint") % n_buckets
-    )
+    bucket = lambda g: _gram_bucket(g, salt, n_buckets)
     if weights is not None:
         if len(weights) != n_buckets:
             raise ValueError(f"weights must have {n_buckets} entries")
@@ -669,7 +686,7 @@ def quality_classifier(
     else:
         acc0 = F.struct(F.lit(0).cast("bigint").alias("s"), F.lit(0).alias("n"))
         step = lambda a, g: F.struct(
-            (a["s"] + ((bucket(g) * F.lit(2654435761)) % 2001 - 1000)).alias("s"),
+            (a["s"] + _standin_weight(bucket(g))).alias("s"),
             (a["n"] + 1).alias("n"),
         )
         z_of = lambda a: a["s"] / (F.lit(1000.0) * a["n"])

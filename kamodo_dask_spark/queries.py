@@ -2102,7 +2102,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     n AS (SELECT doc_id,
                  regexp_replace(regexp_replace(url, '#.*$', ''),
-                                '(?i)^(https?://)[^/?@]*@', '\\1') AS no_frag
+                                '(?i)^(https?://)[^/?]*@', '\\1') AS no_frag
           FROM u),
     pr AS (SELECT doc_id, no_frag,
                   regexp_extract(no_frag, '(?i)^(https?://[^/?]+)', 1) AS prefix
@@ -2124,7 +2124,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS kept
                 FROM s)),
     d AS (SELECT doc_id, norm_url,
-                 regexp_extract(norm_url, '^https?://(?:[^/?@]*@)?([^/?:]+)', 1) AS domain
+                 regexp_extract(norm_url, '^https?://(?:[^/?]*@)?([^/?:]+)', 1) AS domain
           FROM k)
     SELECT norm_url, domain, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM d
@@ -3761,7 +3761,12 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_dedup",
     """
     WITH w AS (
-      SELECT doc_id, pos - 1 AS pos, word
+      -- positions COMPACTED after dropping empty tokens (row_number over
+      -- the filtered rows), matching the operator's filter-then-posexplode
+      -- indexing: raw split positions would desync on consecutive spaces
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+             word
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                    generate_subscripts(string_split(text, ' '), 1) AS pos
             FROM documents)
@@ -3792,7 +3797,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY id_a, id_b, pos_a - pos_b, isl
     )
     SELECT id_a, id_b, count(*) AS n_spans, max(span_words) AS max_span_words,
-           sum(span_words) AS total_span_words
+           CAST(sum(span_words) AS BIGINT) AS total_span_words
     FROM runs WHERE span_words >= 5 GROUP BY id_a, id_b
     """,
 )

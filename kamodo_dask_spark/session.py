@@ -34,16 +34,15 @@ DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
-    # Accept co-partitioning on a SUBSET of the join keys (Spark's default
-    # demands all keys, purely as a skew precaution): a persisted cell
-    # relation keeps its build-time window partitioning (hash on d-1 axis
-    # keys) and point queries then shuffle ONLY the point side — without
-    # this every query re-exchanges the full slab-sized relation
-    # (grid/interpolate.py::interpolate_points_cells; plan-pinned in
-    # test_plans.py). Correctness is unaffected (subset-hashed rows are
-    # co-located for the full key too); the skew caveat applies to joins
-    # whose subset keys are low-cardinality, which axis keys are not.
-    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+    # NOTE: spark.sql.requireAllClusterKeysForCoPartition=false is NOT set
+    # here although the cell interpolation strategy depends on it — its
+    # blast radius is every join in the session (any relation already
+    # hash-partitioned on a SUBSET of later join keys would skip its
+    # re-exchange, trading parallelism for the reuse even where the subset
+    # key is low-cardinality). The cell-strategy entry points flip it on
+    # for their session instead (grid/interpolate.py::
+    # _enable_subset_copartition), so only sessions that actually run the
+    # cell strategy pay the planner-behavior change.
     "spark.ui.enabled": "false",
 }
 

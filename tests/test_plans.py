@@ -441,9 +441,10 @@ def test_gridded_eval_mesh_has_no_nested_loop(spark):
 def test_cell_strategy_persisted_relation_not_reexchanged(spark):
     """Amortization plan contract (round 6): above the broadcast cutoff,
     a PERSISTED cell relation joins via its build-time window partitioning
-    (hash on a subset of the axis keys, accepted because
-    spark.sql.requireAllClusterKeysForCoPartition=false in the session
-    defaults) — each point query exchanges ONLY the point stream. Without
+    (hash on a subset of the axis keys, accepted because the cell-strategy
+    entry points flip spark.sql.requireAllClusterKeysForCoPartition=false
+    for the session — _enable_subset_copartition, no longer an engine-wide
+    default) — each point query exchanges ONLY the point stream. Without
     this, every query re-shuffled the full slab-sized relation: measured
     12.4 s -> 2.2 s per 1M-point query at the 20M-row probe slab."""
     from pyspark.sql import functions as F
