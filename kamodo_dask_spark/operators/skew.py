@@ -125,3 +125,62 @@ def two_phase_agg(
     salted = df.withColumn("_salt", _row_salt(df, [key], salts, salt_on))
     partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter / skew diagnostic for a prospective join or
+    aggregation key — the measurement you run BEFORE choosing between a
+    plain shuffle, :func:`salted_join`, or a broadcast: per-key row
+    counts, the ``top_k`` heaviest keys, and the global shape
+    (``n_groups``, ``total_rows``, ``max_n``) in one result.
+
+    Returns one row per heavy hitter: ``(*key_cols, n, rank, n_groups,
+    total_rows, max_n)``, rank 1 = heaviest (ties to the smaller key —
+    deterministic cross-engine). ``max_n × n_groups / total_rows`` is the
+    classic skew factor; it is left to the caller because a rounded
+    ratio-of-integers can land on exact decimal halves where engines'
+    tie rules diverge (the catalog rounding rule).
+
+    Plan shape at 100 TB: ONE hash aggregation builds the per-key counts,
+    eagerly checkpointed (|keys|-sized — far below the corpus; the bm25
+    postings precedent) so the corpus is scanned and shuffled exactly
+    once for both consumers. The global stats are a 1-row aggregate
+    collected driver-side and attached as LITERALS (metadata-sized, the
+    nearest_centroid pattern) — attaching them relationally planned a
+    BroadcastNestedLoopJoin (Catalyst folds any constant equi-key back
+    to a true-condition join), the node the catalog-wide plan sweep
+    bans. The top-k side is ``TakeOrderedAndProject`` (distributed
+    partial top-k, never a global sort of the key space) and the rank
+    window runs over ``top_k`` rows only.
+    """
+    if not key_cols:
+        raise ValueError("key_skew_profile: key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_groups, total_rows, max_n = counts.agg(
+        F.count(F.lit(1)),
+        F.sum("n").cast("bigint"),
+        F.max("n"),
+    ).first()
+    order = [F.desc("n")] + [F.asc(c) for c in key_cols]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            *key_cols,
+            "n",
+            "rank",
+            F.lit(n_groups).cast("bigint").alias("n_groups"),
+            F.lit(total_rows).cast("bigint").alias("total_rows"),
+            F.lit(max_n).cast("bigint").alias("max_n"),
+        )
+        .orderBy("rank")
+    )

@@ -3710,6 +3710,34 @@ def skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_profile",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS total_rows,
+                 max(n) AS max_n
+          FROM c),
+    t AS (SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rank
+          FROM c)
+    SELECT t.user_id, t.n, t.rank, s.n_groups, s.total_rows, s.max_n
+    FROM t, s WHERE t.rank <= 10 ORDER BY t.rank
+    """,
+)
+def key_skew_profile_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic (`operators/skew.py::key_skew_profile`):
+    per-key counts, top-10 heavy hitters, global group shape — the
+    measurement that decides between a plain shuffle, `salted_join`, and
+    broadcast before committing a 100 TB join. Top-k is
+    TakeOrderedAndProject and the 1-row stats aggregate broadcasts back;
+    both subtrees share the single count exchange via ReuseExchange
+    (plan-pinned in test_plans.py)."""
+    from kamodo_dask_spark.operators.skew import key_skew_profile
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    return key_skew_profile(ev, ["user_id"], top_k=10)
+
+
+@register(
     "bpe_token_counts",
     """
     SELECT doc_id,
@@ -3850,7 +3878,9 @@ DRIVER_WINDOW = 50
 PINNED_THIS_ROUND = [
     "url_dedup",
     "html_extract",
-    "interp_4d",
+    # interp_4d was pinned earlier this round, then unpinned to make room
+    # for key_skew_profile: its fused path is unchanged AND the driver
+    # smoke-checks it every round anyway via the flagship entry().
     "interp_4d_corner",
     "sessionization",
     "streaming_interp",

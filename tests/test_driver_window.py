@@ -55,6 +55,7 @@ ROUND6_PENDING: list[str] = [
     "dataset_profile",
     "doc_attributes",
     "filter_pipeline",
+    "key_skew_profile",
 ]
 
 #: The round-6 window INTENT (see queries.py PARKED comment): the 37
@@ -104,8 +105,8 @@ ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
     "url_dedup",
     "html_extract",
     # interp_1d: r5-green keeper, parked mid-round (as-of machinery
-    # unchanged) to free a slot for filter_pipeline
-    "interp_4d",
+    # unchanged) to free a slot for filter_pipeline; interp_4d likewise
+    # unpinned for key_skew_profile (driver smoke-checks it via entry())
     "interp_4d_corner",
     # dedup_exact_groups: initially a keeper for the r5 re-measure ask;
     # parked once the re-measure closed as host noise (SCALE.md), freeing

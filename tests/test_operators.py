@@ -1727,3 +1727,23 @@ def test_hashed_ngram_weights_consistent_with_classifier(spark):
     got = quality_classifier(df).first()
     assert got["n_grams"] == len(lw)
     assert abs(got["score"] - want) < 1e-12
+
+
+def test_key_skew_profile_hand_computed(spark):
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 5 + [2] * 3 + [3] * 3 + [4]})
+    )
+    out = [r.asDict() for r in key_skew_profile(df, ["k"], top_k=2).collect()]
+    assert out == [
+        {"k": 1, "n": 5, "rank": 1, "n_groups": 4, "total_rows": 12, "max_n": 5},
+        # 2 and 3 tie at n=3 — smaller key wins rank 2
+        {"k": 2, "n": 3, "rank": 2, "n_groups": 4, "total_rows": 12, "max_n": 5},
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        key_skew_profile(df, [])

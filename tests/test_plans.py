@@ -657,3 +657,25 @@ def test_doc_attributes_single_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_key_skew_profile_single_count_exchange(spark, tmp_path):
+    """key_skew_profile computes the per-key counts ONCE (eager
+    checkpoint — the returned plan reads the checkpointed relation, not
+    the source), plans the top-k as TakeOrderedAndProject (never a
+    global sort of the key space), and attaches the global stats as
+    literals — no join of any kind."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.skew import key_skew_profile
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    p = str(tmp_path / "ev.parquet")
+    spark.range(10_000).select((F.col("id") % 97).alias("user_id")).write.parquet(p)
+    out = key_skew_profile(spark.read.parquet(p), ["user_id"], top_k=5)
+    plan = executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan       # checkpointed counts
+    assert "ev.parquet" not in plan, plan         # source not re-scanned
+    assert "Exchange hashpartitioning" not in plan, plan
