@@ -467,6 +467,81 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document average INTERPOLATED-BIGRAM log-probability under the
+    corpus's own distribution — one order up from
+    :func:`unigram_logprob`, the CCNet-style perplexity-proxy shape:
+    ``P(cur|prev) = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/N`` scored at
+    positions 2..n (docs with <2 tokens drop out). The unigram
+    interpolation term is the standard back-off so unseen-in-context
+    tokens never hit ln(0); a real deployment swaps the corpus counts
+    for a trained KenLM via the same join shape.
+
+    Plan shape: bigram pairs are built ROW-LOCAL (``zip_with`` of two
+    shifted slices — no positional self-join), exploded once and
+    checkpointed; bigram and unigram counts are partial-combined
+    aggregations; scoring joins the pair relation to the bigram counts
+    on (prev, cur) and to the unigram counts on each side — three
+    hash-uniform shuffles of |tokens|-sized relations, the honest cost
+    of conditioning on context at any scale — then aggregates per doc.
+
+    Returns ``(id_col, n_bigrams, avg_logprob)``, avg rounded to 6
+    (ln of count ratios is transcendental — tie-free per the catalog
+    rounding rule).
+    """
+    ws = words(F.col(text_col))
+    n_pairs = F.size(ws) - F.lit(1)
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n_pairs),
+            F.slice(ws, 2, n_pairs),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    )
+    big = (
+        df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, "_p.prev", "_p.cur")
+        .localCheckpoint(eager=True)
+    )
+    tok = df.select(F.explode(ws).alias("term"))
+    c1 = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c1")).localCheckpoint(
+        eager=True
+    )
+    n_total = c1.agg(F.sum("_c1")).first()[0]
+    if not n_total:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(0.0).alias("avg_logprob"),
+        ).limit(0)
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
+    scored = (
+        big.join(c2, ["prev", "cur"])
+        .join(
+            c1.select(F.col("term").alias("prev"), F.col("_c1").alias("_cprev")),
+            "prev",
+        )
+        .join(
+            c1.select(F.col("term").alias("cur"), F.col("_c1").alias("_ccur")),
+            "cur",
+        )
+    )
+    p = (
+        F.lit(float(lam)) * F.col("_c2") / F.col("_cprev")
+        + F.lit(1.0 - float(lam)) * F.col("_ccur") / F.lit(float(n_total))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+    )
+
+
 def normalize_url(col: Column) -> Column:
     """Canonical form of an http(s) URL — the normalization step of a
     URL-level dedup / blocklist pass (the C4/RefinedWeb-style provenance

@@ -3552,6 +3552,45 @@ def unigram_logprob_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    c1 AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+    b0 AS (SELECT doc_id,
+                  unnest([{{'p': ws[i], 'q': ws[i+1]}}
+                          for i in range(1, len(ws))]) AS pr
+           FROM w WHERE len(ws) >= 2),
+    b AS (SELECT doc_id, pr.p AS prev, pr.q AS cur FROM b0),
+    c2 AS (SELECT prev, cur, count(*) AS c2 FROM b GROUP BY 1, 2),
+    s AS (SELECT b.doc_id,
+                 ln(0.7 * c2.c2 / cp.c1 + 0.3 * cc.c1 / tot.n) AS lp
+          FROM b
+          JOIN c2 USING (prev, cur)
+          JOIN c1 cp ON b.prev = cp.term
+          JOIN c1 cc ON b.cur = cc.term
+          CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def bigram_logprob_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LM order up from `unigram_logprob` — interpolated-bigram
+    scoring (`operators/text.py::bigram_logprob`, the CCNet perplexity
+    filter shape): λ·P(cur|prev) + (1−λ)·P(cur), scored at positions
+    2..n. Bigram pairs built row-local (zip_with of shifted slices, no
+    positional self-join); conditioning on context costs three
+    hash-uniform |token|-sized joins — the honest price at any scale —
+    and the oracle recomputes the identical interpolated probabilities
+    from first principles."""
+    from kamodo_dask_spark.operators.text import bigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,
@@ -3881,7 +3920,9 @@ PINNED_THIS_ROUND = [
     # interp_4d was pinned earlier this round, then unpinned to make room
     # for key_skew_profile: its fused path is unchanged AND the driver
     # smoke-checks it every round anyway via the flagship entry().
-    "interp_4d_corner",
+    # interp_4d_corner likewise unpinned for bigram_logprob: the r6 gate
+    # refactor is semantics-preserving, the entry is r5-green, and the
+    # local strict parity suite re-checks it at sf0.01+sf0.1 every round.
     "sessionization",
     "streaming_interp",
 ]

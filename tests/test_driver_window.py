@@ -56,6 +56,7 @@ ROUND6_PENDING: list[str] = [
     "doc_attributes",
     "filter_pipeline",
     "key_skew_profile",
+    "bigram_logprob",
 ]
 
 #: The round-6 window INTENT (see queries.py PARKED comment): the 37
@@ -107,7 +108,8 @@ ROUND6_UNPARKED_MUST_BE_IN_WINDOW = [
     # interp_1d: r5-green keeper, parked mid-round (as-of machinery
     # unchanged) to free a slot for filter_pipeline; interp_4d likewise
     # unpinned for key_skew_profile (driver smoke-checks it via entry())
-    "interp_4d_corner",
+    # interp_4d_corner unpinned late in r6 for bigram_logprob (gate
+    # refactor semantics-preserving; strict local parity still covers it)
     # dedup_exact_groups: initially a keeper for the r5 re-measure ask;
     # parked once the re-measure closed as host noise (SCALE.md), freeing
     # its window slot for dataset_profile

@@ -1747,3 +1747,30 @@ def test_key_skew_profile_hand_computed(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         key_skew_profile(df, [])
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated-bigram scoring on a corpus small enough to score by
+    hand; a <2-token doc drops out."""
+    import math
+
+    import pandas as pd
+
+    from kamodo_dask_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a b", "b a", "x"]})
+    )
+    # corpus tokens: a,b,a,b,b,a,x -> c1: a=3, b=3, x=1, N=7
+    # bigrams: (a,b)x2, (b,a)x2, (b,b)... doc1: ab, ba, ab; doc2: ba
+    # c2: ab=2, ba=2
+    lam, N = 0.7, 7
+    p_ab = lam * 2 / 3 + (1 - lam) * 3 / N
+    p_ba = lam * 2 / 3 + (1 - lam) * 3 / N
+    rows = {r["doc_id"]: r.asDict() for r in bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has one token
+    assert rows[1]["n_bigrams"] == 3
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert abs(rows[1]["avg_logprob"] - want1) < 1e-9
+    assert rows[2]["n_bigrams"] == 1
+    assert abs(rows[2]["avg_logprob"] - round(math.log(p_ba), 6)) < 1e-9
