@@ -122,6 +122,75 @@ def weighted_mixture(
     return df.filter(bucket < thr)
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    token_count_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Dataset mixing by per-source TOKEN budget — the recipe real
+    pretraining mixes specify (Dolma/Pile style: "500B tokens of web, 30B
+    of code, ..."), where :func:`weighted_mixture`'s row fractions are the
+    wrong unit because sources differ wildly in document length.
+
+    ``budgets`` maps stratum value → token budget (absolute count); strata
+    not listed get ``default_budget``. The acceptance rate per stratum is
+    ``min(1, budget / total_tokens(stratum))`` — hash-threshold acceptance
+    then keeps an expected ``budget`` tokens per source, deterministically
+    (same keys accepted on every run, engine, and cluster size). The
+    threshold uses pure INTEGER arithmetic, ``min(BUCKETS, budget *
+    BUCKETS // total)``, so SQL oracles reproduce it bit-exactly with no
+    float-rounding portability hazard (banker's vs half-up).
+
+    100 TB design: pass 1 is one partial-combined aggregation to per-source
+    token totals — a relation of ``n_sources`` rows (metadata-sized by
+    construction: a mixture recipe names at most dozens of sources), which
+    is the ONE documented driver-side collect; pass 2 inlines the
+    thresholds as a CASE literal, so the acceptance scan is a zero-shuffle
+    projection+filter exactly like :func:`weighted_mixture`. Token counts
+    come in as a column (whitespace, BPE via ``operators/bpe.py``, or any
+    tokenizer), so the budget unit matches whatever the training loader
+    counts.
+    """
+    for name, b in {**budgets, "default_budget": default_budget}.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0, got {b}")
+    n_tok = F.col(token_count_col).cast("bigint")
+    totals = {
+        row["stratum"]: row["total"]
+        for row in df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(n_tok).alias("total"))
+        .collect()  # metadata-sized: one row per source (see docstring)
+    }
+
+    def _thr(stratum: str) -> int:
+        total = totals.get(stratum, 0)
+        budget = budgets.get(stratum, default_budget)
+        if total is None or total <= 0:
+            return 0
+        return min(_BUCKETS, budget * _BUCKETS // total)
+
+    bucket = split_bucket(F.col(key_col), salt)
+    thr = None
+    for name in budgets:
+        cond = F.col(stratum_col) == name
+        t = _thr(name)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    # unlisted strata each get their own default-budget threshold (their
+    # totals differ, so this cannot fold into one literal)
+    for name, total in sorted(totals.items(), key=lambda kv: str(kv[0])):
+        if name in budgets or name is None:
+            continue
+        cond = F.col(stratum_col) == name
+        t = _thr(name)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(0) if thr is None else thr.otherwise(0)
+    return df.filter(bucket < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

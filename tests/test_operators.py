@@ -789,6 +789,44 @@ def test_weighted_mixture_rates_and_determinism(spark):
         weighted_mixture(df, "lang", "doc_id", {"en": 1.5})
 
 
+def test_token_budget_mixture(spark):
+    """Per-source TOKEN-budget acceptance: expected kept tokens ≈ budget,
+    over-budget sources clamp to keep-everything, unlisted sources get the
+    default budget, membership is deterministic under repartition."""
+    from kamodo_dask_spark.operators.sampling import token_budget_mixture
+
+    # 1000 docs/lang, 10 tokens each -> 10_000 tokens per source
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3], 10) for i in range(3000)],
+        "doc_id long, lang string, n_tok long",
+    )
+    out = token_budget_mixture(
+        df, "lang", "doc_id", "n_tok", {"en": 5000, "de": 50000}, default_budget=0
+    )
+    kept = {r["lang"]: r["t"] for r in out.groupBy("lang").agg(
+        F.sum("n_tok").alias("t")).collect()}
+    assert kept["de"] == 10000              # budget > total clamps to all
+    assert "xx" not in kept                 # default budget 0 drops all
+    assert 3500 <= kept.get("en", 0) <= 6500  # ~5000 tokens, md5-uniform
+    # deterministic membership: same rows kept regardless of partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in token_budget_mixture(
+        df.repartition(13), "lang", "doc_id", "n_tok",
+        {"en": 5000, "de": 50000}, default_budget=0).collect()}
+    assert a == b
+    # default_budget applies per-stratum to unlisted sources
+    c = token_budget_mixture(
+        df, "lang", "doc_id", "n_tok", {"en": 5000}, default_budget=2500
+    )
+    kept_c = {r["lang"]: r["t"] for r in c.groupBy("lang").agg(
+        F.sum("n_tok").alias("t")).collect()}
+    assert 1200 <= kept_c.get("de", 0) <= 3800
+    assert 1200 <= kept_c.get("xx", 0) <= 3800
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_mixture(df, "lang", "doc_id", "n_tok", {"en": -1})
+
+
 def test_pii_counts_strict_no_double_count(spark):
     """A +CC-prefixed NANP number matches both the base and the intl
     pattern on raw text — sequential counting (extras counted on the
