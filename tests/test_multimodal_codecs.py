@@ -130,7 +130,80 @@ def test_decode_real_wav_features():
 
 def test_decode_real_unknown_container_raises():
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        _decode_real(b"\x00\x01 not any known container")
+
+
+def test_decode_real_jpeg_without_codec_names_pil():
+    """With no JPEG codec registered (this container has no PIL), a
+    JPEG-magic payload gets the specific install-PIL contract, not the
+    generic unknown-container one."""
+    from kamodo_dask_spark.operators import multimodal as mm
+
+    if any(name == "pil" for name, _, _ in mm.EXTRA_CODECS):
+        pytest.skip("PIL is installed here; the no-codec path is moot")
+    with pytest.raises(NotImplementedError, match="install PIL"):
         _decode_real(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+
+def test_extra_codec_registry_dispatch(spark):
+    """The pluggable-codec plumbing end to end: a registered codec claims
+    its container and its features flow through the same mapInPandas
+    stage/schema as the stdlib paths; unregistering restores the raise."""
+    from kamodo_dask_spark.operators import multimodal as mm
+
+    magic = b"KTST"
+
+    def decode(p):
+        return {
+            "width": len(p),
+            "height": 7,
+            "duration_ms": None,
+            "mean_intensity": 0.5,
+        }
+
+    mm.register_codec("test", lambda p: p[:4] == magic, decode)
+    try:
+        payload = magic + b"xyz"
+        feats = _decode_real(payload)
+        assert (feats["width"], feats["height"]) == (7, 7)
+        assert feats["n_bytes"] == 7 and feats["content_hash"]
+        # through the Spark stage, mixed with a stdlib-decoded PNG
+        png = png_encode(np.full((2, 3), 10, dtype=np.uint8))
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(png))],
+            "id long, payload binary",
+        )
+        rows = {
+            r["id"]: r
+            for r in extract_media_features(df, use_fake_decoder=False).collect()
+        }
+        assert rows[1]["height"] == 7 and rows[1]["mean_intensity"] == 0.5
+        assert (rows[2]["width"], rows[2]["height"]) == (3, 2)
+    finally:
+        mm.unregister_codec("test")
+    with pytest.raises(NotImplementedError):
+        _decode_real(magic + b"xyz")
+
+
+def test_pil_jpeg_decode_pinned_pixels():
+    """Active only where Pillow is installed (not this container): a flat
+    gray JPEG must decode to its exact dimensions and a mean intensity
+    within JPEG-lossiness tolerance of the pinned value."""
+    from kamodo_dask_spark.operators import multimodal as mm
+
+    if not mm.register_pil_codec():
+        pytest.skip("PIL not importable in this container")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 12, 3), 128, dtype=np.uint8)).save(
+        buf, format="JPEG", quality=95
+    )
+    feats = _decode_real(buf.getvalue())
+    assert (feats["width"], feats["height"]) == (12, 8)
+    assert feats["mean_intensity"] == pytest.approx(128 / 255.0, abs=0.02)
 
 
 def test_extract_media_features_real_decoder_spark(spark):
