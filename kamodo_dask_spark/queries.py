@@ -794,6 +794,17 @@ def _fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: state / |E|, not this constant. One definition so retuning is one edit.
 FIXTURE_STATE_PARTITIONS = "8"
 
+#: State partitions for JVM-side STREAMING stateful ops (windowed aggs,
+#: dropDuplicatesWithinWatermark, stream-stream joins) at fixture scale.
+#: r7 sweep (sf0.1, local[32], 2 runs each): 4 beats 8 — tumbling 0.95 →
+#: 0.77 s, dedup 1.38 → 1.15 s, stream-stream join 2.76 → 1.98 s — because
+#: every micro-batch pays per-partition state-store open/commit/maintain
+#: rounds that dwarf fixture data volume. Python-stateful sessionization is
+#: the OPPOSITE (see its entry): pandas work per state task wants
+#: parallelism, so it keeps 16. Production sizing scales with active-state
+#: volume, not these constants; see SCALE.md (round-7 state-store notes).
+STREAM_STATE_PARTITIONS = "4"
+
 
 def _ephemeral_checkpoint() -> "tempfile.TemporaryDirectory":
     """Checkpoint directory for a FINITE streaming run (AvailableNow to a
@@ -860,7 +871,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windowed aggs at fixture scale (measured: 1.8 s @ 32 → 0.86 s @ 8 at
     # sf0.1); production sizing scales partitions with active-state volume.
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
     ):
         ev = _fixture_event_stream(spark, sf_dir)
         agg = (
@@ -899,7 +910,7 @@ def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state partitions: same commit-overhead argument as
     # streaming_tumbling_1h (measured 1.4 s @ 32 → 0.80 s @ 8 at sf0.1)
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
     ):
         ev = _fixture_event_stream(spark, sf_dir)
         agg = (
@@ -946,7 +957,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in (0, 1):  # the same file delivered twice
             shutil.copy(events_path, os.path.join(root, f"0{i}_events.parquet"))
         with nanos_as_long(spark), scoped_conf(
-            spark, **{"spark.sql.shuffle.partitions": "16"}
+            spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
         ):
             ev = _raw_event_stream(spark, root, ts_unit)
             deduped = (
@@ -1001,7 +1012,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state partitions for the windowed agg (the broadcast join itself is
     # shuffle-free); same commit-overhead argument as streaming_tumbling_1h
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
     ):
         ev = _fixture_event_stream(spark, sf_dir)
         enriched = ev.join(
@@ -1046,7 +1057,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamodo_dask_spark.session import scoped_conf
 
     with nanos_as_long(spark), scoped_conf(
-        spark, **{"spark.sql.shuffle.partitions": FIXTURE_STATE_PARTITIONS}
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
     ):
         clicks = (
             _fixture_event_stream(spark, sf_dir)
@@ -1184,6 +1195,10 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.write_table(sentinel, spath)
         os.utime(spath, (2_000, 2_000))
 
+        # 16 partitions, NOT STREAM_STATE_PARTITIONS: applyInPandasWithState
+        # runs pandas per state task, so parallelism pays here (r7 sweep:
+        # 2.5 s @ 16 vs 2.7 @ 8 vs 3.1 @ 4) — the inverse of the JVM
+        # stateful ops, whose state-commit rounds dominate.
         with nanos_as_long(spark), scoped_conf(
             spark, **{"spark.sql.shuffle.partitions": "16"}
         ):
