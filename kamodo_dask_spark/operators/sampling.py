@@ -191,6 +191,85 @@ def token_budget_mixture(
     return df.filter(bucket < thr)
 
 
+def upsampled_token_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    token_count_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    max_repeats: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixing WITH upsampling: where
+    :func:`token_budget_mixture` clamps an over-budget source to
+    keep-everything, this emits each document ``epoch`` times so every
+    source contributes ~its token budget even when the budget exceeds the
+    source's total — the repeat-epochs half of a real pretraining recipe
+    ("2 epochs of wiki, 0.3 epochs of web").
+
+    The target repeat rate is ``budget / total_tokens(stratum)`` held as
+    an exact integer number of ten-thousandths (``rate_bp = budget *
+    BUCKETS // total``). Each document gets ``rate_bp // BUCKETS`` whole
+    epochs, plus one more iff its md5 bucket falls under ``rate_bp %
+    BUCKETS`` — so expected tokens per source ≈ budget, membership and
+    epoch counts are pure functions of the key (reproducible across runs/
+    engines/cluster sizes), and a rate < 1 degrades to exactly
+    :func:`token_budget_mixture`'s subsampling. ``max_repeats`` guards
+    against a mis-specified recipe replicating a tiny source into a blowup
+    (a 100 TB safety rail, not a semantic knob).
+
+    Output: the input columns plus ``epoch`` (1-based). Same two-pass
+    shape as :func:`token_budget_mixture`: metadata-sized totals collect,
+    then one zero-shuffle scan — the fan-out is a row-local
+    ``explode(sequence(...))``, no join, no shuffle.
+    """
+    for name, b in {**budgets, "default_budget": default_budget}.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0, got {b}")
+    if max_repeats < 1:
+        raise ValueError(f"max_repeats must be >= 1, got {max_repeats}")
+    n_tok = F.col(token_count_col).cast("bigint")
+    totals = {
+        row["stratum"]: row["total"]
+        for row in df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(n_tok).alias("total"))
+        .collect()  # metadata-sized: one row per source (see docstring)
+    }
+
+    def _rate_bp(stratum: str) -> int:
+        total = totals.get(stratum, 0)
+        budget = budgets.get(stratum, default_budget)
+        if total is None or total <= 0:
+            return 0
+        return min(max_repeats * _BUCKETS, budget * _BUCKETS // total)
+
+    rate = None
+    for name in sorted(totals, key=str):
+        if name is None:
+            continue
+        cond = F.col(stratum_col) == name
+        r = _rate_bp(name)
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(0) if rate is None else rate.otherwise(0)
+    bucket = split_bucket(F.col(key_col), salt)
+    # rate/_BUCKETS is IEEE-exact whenever the true quotient is an integer
+    # (both operands convert exactly; the correctly-rounded quotient of an
+    # exact ratio IS that integer), so the floor cannot off-by-one
+    repeats = F.floor(rate / _BUCKETS).cast("bigint") + (
+        bucket < rate % _BUCKETS
+    ).cast("bigint")
+    return (
+        df.withColumn("_n_epochs", repeats)
+        .filter(F.col("_n_epochs") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_n_epochs"))),
+        )
+        .drop("_n_epochs")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

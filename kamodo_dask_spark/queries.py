@@ -3969,6 +3969,58 @@ def mixture_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_bpe_tokens")
 
 
+@register(
+    "upsampled_mixture",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_BPE_FIXTURE_SQL} AS n_bpe_tokens FROM documents),
+    tot AS (SELECT lang, CAST(sum(n_bpe_tokens) AS BIGINT) AS total
+            FROM t GROUP BY lang),
+    r AS (SELECT lang,
+                 least(160000,
+                       (CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 8000
+                                  ELSE 1000 END) * 10000 // total) AS rate_bp
+          FROM tot),
+    e AS (SELECT doc_id, lang, n_bpe_tokens,
+                 rate_bp // 10000
+                 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             % 10000 < rate_bp % 10000
+                        THEN 1 ELSE 0 END AS n_epochs
+          FROM t JOIN r USING (lang))
+    SELECT doc_id, lang, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(unnest(range(1, CAST(n_epochs AS BIGINT) + 1)) AS BIGINT) AS epoch
+    FROM e
+    """,
+)
+def upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-epoch token mixing
+    (``operators/sampling.py::upsampled_token_mixture``): the other half of
+    a real pretraining recipe — a source whose token budget EXCEEDS its
+    size is repeated (fr: budget 8000 vs ~2300 tokens → most docs appear
+    3×, an md5-selected fraction 4×), while over-represented sources
+    downsample exactly as ``mixture_by_tokens`` (en) — all epoch counts
+    pure functions of the keys, integer arithmetic end to end. The oracle
+    re-derives per-doc epoch counts and ``unnest(range(...))`` does the
+    fan-out, pinning per-epoch row membership, not just counts. The
+    Spark fan-out is a row-local ``explode(sequence(...))`` — no join, no
+    shuffle."""
+    from kamodo_dask_spark.operators.bpe import with_bpe_token_count
+    from kamodo_dask_spark.operators.sampling import upsampled_token_mixture
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    staged = docs.select("doc_id", "lang", _bpe_fixture_text().alias("text"))
+    counted = with_bpe_token_count(staged)
+    out = upsampled_token_mixture(
+        counted,
+        "lang",
+        "doc_id",
+        "n_bpe_tokens",
+        {"en": 5000, "fr": 8000},
+        default_budget=1000,
+    )
+    return out.select("doc_id", "lang", "n_bpe_tokens", "epoch")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -62,6 +62,7 @@ def _never_driver_green() -> list[str]:
 #: can. Prune names once they have a recorded green round.
 PENDING_THIS_ROUND: list[str] = [
     "mixture_by_tokens",
+    "upsampled_mixture",
 ]
 
 

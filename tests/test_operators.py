@@ -827,6 +827,41 @@ def test_token_budget_mixture(spark):
         token_budget_mixture(df, "lang", "doc_id", "n_tok", {"en": -1})
 
 
+def test_upsampled_token_mixture(spark):
+    """Budget > total repeats documents (~budget tokens emitted); budget <
+    total degrades to subsampling with epoch=1; max_repeats caps blowups;
+    epoch counts are deterministic per key."""
+    from kamodo_dask_spark.operators.sampling import upsampled_token_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], 10) for i in range(2000)],
+        "doc_id long, lang string, n_tok long",
+    )  # 10_000 tokens per source
+    out = upsampled_token_mixture(
+        df, "lang", "doc_id", "n_tok", {"en": 25000, "de": 5000}
+    )
+    toks = {r["lang"]: r["t"] for r in out.groupBy("lang").agg(
+        F.sum("n_tok").alias("t")).collect()}
+    assert 23000 <= toks["en"] <= 27000   # ~2.5 epochs
+    assert 3500 <= toks["de"] <= 6500     # plain subsample
+    epochs = out.filter("lang = 'en'").groupBy("doc_id").count().collect()
+    assert {r["count"] for r in epochs} <= {2, 3}   # floor/ceil of 2.5
+    de_epochs = out.filter("lang = 'de'").groupBy("doc_id").count().collect()
+    assert {r["count"] for r in de_epochs} == {1}
+    # determinism under repartition
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in upsampled_token_mixture(
+        df.repartition(7), "lang", "doc_id", "n_tok",
+        {"en": 25000, "de": 5000}).collect())
+    assert a == b
+    # max_repeats rail: budget 100x total, cap 4 -> exactly 4 epochs each
+    capped = upsampled_token_mixture(
+        df, "lang", "doc_id", "n_tok", {"en": 1_000_000, "de": 0},
+        max_repeats=4)
+    n = {r["count"] for r in capped.groupBy("doc_id").count().collect()}
+    assert n == {4}
+
+
 def test_pii_counts_strict_no_double_count(spark):
     """A +CC-prefixed NANP number matches both the base and the intl
     pattern on raw text — sequential counting (extras counted on the
