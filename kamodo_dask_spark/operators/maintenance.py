@@ -78,3 +78,167 @@ def upsert_snapshot(
         keys, on=snapshot[key].eqNullSafe(keys["_upsert_key"]), how="left_anti"
     )
     return updates.select(*cols).unionByName(survivors.select(*cols))
+
+
+def upsert_history(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    validate: bool = True,
+) -> DataFrame:
+    """SCD-2 merge: apply a delta to a VERSIONED dimension, closing the
+    current row and appending a new version when attributes change —
+    Delta/Iceberg ``MERGE INTO`` with history tracking, as DataFrame
+    algebra over plain parquet.
+
+    ``history`` rows carry ``key``, attribute columns, ``valid_from``, and
+    ``valid_to`` (NULL = current version). ``updates`` rows carry ``key``,
+    the same attribute columns, and ``effective_col`` (when the new value
+    takes effect). Per update key:
+
+    - no current row → append ``(attrs, valid_from=eff, valid_to=NULL)``;
+    - current row with DIFFERENT attrs → close it (``valid_to=eff``) and
+      append the new version;
+    - current row with EQUAL attrs → no-op (no spurious version — the
+      property SCD-2 exists for).
+
+    Already-closed history rows pass through untouched. Attribute equality
+    is null-safe per column (NULL == NULL is "unchanged").
+
+    100 TB design — the two-scan MERGE shape every table format uses:
+    pass 1 is a broadcast LEFT SEMI probe of the current slice against the
+    delta keys, producing the delta-sized ``(key, valid_from)`` matched
+    relation (persisted: it is at most ``|updates|`` rows, and caching it
+    is what keeps the plan at two big-side scans instead of three); pass 2
+    is a broadcast left join of the current slice against the delta with a
+    row-local ``explode`` emitting 1–2 output rows per current row (the
+    possibly-closed current version, plus the new version when changed) —
+    so the big side is scanned exactly twice and NEVER shuffles, and the
+    delta never exceeds broadcast size by assumption. Insert-new keys come
+    from a tiny anti-join of the delta against the matched relation.
+
+    ``validate`` (default on) raises on (a) duplicate keys in the delta
+    (MERGE multiple-source-matches) and (b) an effective timestamp at or
+    before the matched current row's ``valid_from`` (an out-of-order delta
+    would write a zero-or-negative-length version interval). Both checks
+    aggregate delta-sized relations only.
+    """
+    out_cols = history.columns
+    attrs = [c for c in out_cols if c not in (key, valid_from, valid_to)]
+    expected = {key, effective_col, *attrs}
+    if set(updates.columns) != expected:
+        raise ValueError(
+            f"updates columns {sorted(updates.columns)} != expected "
+            f"{sorted(expected)} (history attrs + key + effective ts)"
+        )
+    if validate:
+        row = updates.agg(
+            F.count("*").alias("n"), F.count_distinct(F.col(key)).alias("k")
+        ).first()
+        if row["n"] != row["k"]:
+            raise ValueError(
+                f"updates carry duplicate {key!r} values ({row['n']} rows, "
+                f"{row['k']} distinct keys) — MERGE semantics forbid "
+                "multiple source matches; deduplicate the delta first"
+            )
+
+    closed = history.filter(F.col(valid_to).isNotNull())
+    current = history.filter(F.col(valid_to).isNull())
+    u = updates.select(
+        F.col(key).alias("_u_key"),
+        F.col(effective_col).alias("_u_eff"),
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+    )
+
+    # Pass 1 (big-side scan #1): which delta keys have a current version?
+    # Output is ≤ |updates| rows; persist so downstream consumers (anti-join
+    # for inserts, the monotonicity check) do not rescan the history.
+    matched = (
+        current.join(
+            F.broadcast(u.select("_u_key")),
+            on=F.col(key).eqNullSafe(F.col("_u_key")),
+            how="left_semi",
+        )
+        .select(
+            F.col(key).alias("_m_key"),
+            F.col(valid_from).alias("_m_from"),
+            *[F.col(a).alias(f"_m_{a}") for a in attrs],
+        )
+        .persist()
+    )
+    if validate:
+        # a no-op update (attrs equal) at eff == valid_from is legal (the
+        # idempotent re-apply case); only a CHANGING update must move time
+        # strictly forward, or it would write an empty version interval
+        m_changed = F.lit(False)
+        for a in attrs:
+            m_changed = m_changed | ~F.col(f"_m_{a}").eqNullSafe(
+                F.col(f"_u_{a}")
+            )
+        bad = (
+            matched.join(
+                F.broadcast(u), F.col("_m_key").eqNullSafe(F.col("_u_key"))
+            )
+            .filter(m_changed & (F.col("_u_eff") <= F.col("_m_from")))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"{bad} update(s) have {effective_col!r} at or before the "
+                f"current row's {valid_from!r} — out-of-order delta would "
+                "write an empty version interval"
+            )
+
+    inserts = (
+        u.join(
+            F.broadcast(matched.select("_m_key")),
+            F.col("_u_key").eqNullSafe(F.col("_m_key")),
+            how="left_anti",
+        )
+        .select(
+            F.col("_u_key").alias(key),
+            *[F.col(f"_u_{a}").alias(a) for a in attrs],
+            F.col("_u_eff").alias(valid_from),
+            F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+        )
+    )
+
+    # Pass 2 (big-side scan #2): one broadcast left join, then a row-local
+    # explode emits [current-version (closed iff changed)] + [new version
+    # iff changed] — both outputs in ONE pass, no second history scan.
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+    changed = F.col("_u_key").isNotNull() & changed
+    cur_struct = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
+        F.col(valid_from).alias(valid_from),
+        F.when(changed, F.col("_u_eff")).alias(valid_to),
+    )
+    new_struct = F.struct(
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_u_eff").alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    )
+    versions = (
+        current.join(
+            F.broadcast(u), F.col(key).eqNullSafe(F.col("_u_key")), how="left"
+        )
+        .select(
+            F.col(key),
+            F.explode(
+                F.when(changed, F.array(cur_struct, new_struct)).otherwise(
+                    F.array(cur_struct)
+                )
+            ).alias("_v"),
+        )
+        .select(F.col(key), "_v.*")
+    )
+    return (
+        closed.select(*out_cols)
+        .unionByName(versions.select(*out_cols))
+        .unionByName(inserts.select(*out_cols))
+    )

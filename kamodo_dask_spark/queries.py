@@ -1994,6 +1994,102 @@ def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_history",
+    """
+    WITH cur AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS v FROM customer),
+    hist_closed AS (
+      SELECT c_custkey, round(c_acctbal - 50, 2) AS acctbal,
+             DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to
+      FROM customer WHERE c_custkey % 7 = 0),
+    upd AS (
+      SELECT c_custkey, round(c_acctbal + 100, 2) AS v
+      FROM customer WHERE c_custkey % 10 <= 2
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal, 2) FROM customer
+      WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 50 = 0),
+    hist AS (
+      SELECT * FROM hist_closed
+      UNION ALL
+      SELECT c.c_custkey, c.v AS acctbal, DATE '2024-01-01' AS valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL AND u.v IS DISTINCT FROM c.v
+                  THEN DATE '2024-06-01' END AS valid_to
+      FROM cur c LEFT JOIN upd u USING (c_custkey)
+      UNION ALL
+      SELECT c.c_custkey, u.v, DATE '2024-06-01', NULL
+      FROM cur c JOIN upd u USING (c_custkey) WHERE u.v IS DISTINCT FROM c.v
+      UNION ALL
+      SELECT u.c_custkey, u.v, DATE '2024-06-01', NULL
+      FROM upd u LEFT JOIN cur c USING (c_custkey) WHERE c.c_custkey IS NULL)
+    SELECT c_custkey, acctbal, valid_from,
+           coalesce(valid_to, DATE '9999-12-31') AS valid_to
+    FROM hist
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned MERGE (``operators/maintenance.py::upsert_history``):
+    the history-tracking half of snapshot maintenance — changed attributes
+    close the current version (``valid_to`` stamped) and append a new one,
+    EQUAL attributes are a no-op (no spurious version), unknown keys
+    insert, closed history passes through. Scenario over ``customer``: a
+    seeded history (every 7th key carries a closed 2023 version), then a
+    delta that changes keys ``%10 ∈ {0,1,2}``, no-ops key ``%10 = 3``, and
+    inserts 30 brand-new keys. 100 TB shape = the two-scan MERGE every
+    table format runs: delta-keys semi-probe (persisted, delta-sized) +
+    ONE broadcast left join whose row-local ``explode`` emits the closed
+    and new versions together — the big side never shuffles. The oracle
+    rebuilds the full output history by set algebra; every (key, version
+    interval, value) row is hash-checked."""
+    import datetime as _dt
+
+    from kamodo_dask_spark.operators.maintenance import upsert_history
+
+    raw = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    d = _dt.date
+    cur = raw.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(d(2024, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    closed = raw.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") - 50, 2).alias("acctbal"),
+        F.lit(d(2023, 1, 1)).alias("valid_from"),
+        F.lit(d(2024, 1, 1)).alias("valid_to"),
+    )
+    history = closed.unionByName(cur)
+    eff = F.lit(d(2024, 6, 1)).alias("eff")
+    updates = (
+        raw.filter(F.col("c_custkey") % 10 <= 2)
+        .select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"), eff
+        )
+        .unionByName(
+            raw.filter(F.col("c_custkey") % 10 == 3).select(
+                "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), eff
+            )
+        )
+        .unionByName(
+            raw.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("acctbal"),
+                eff,
+            )
+        )
+    )
+    out = upsert_history(history, updates, "c_custkey", "eff")
+    # open intervals as SCD-2 high-date: NULL dates render differently
+    # across engine→pandas bridges (None vs NaT), so the checked relation
+    # uses the conventional 9999-12-31 sentinel for "current"
+    return out.withColumn(
+        "valid_to", F.coalesce("valid_to", F.lit(_dt.date(9999, 12, 31)))
+    )
+
+
 def _components_closure_sql(bands: int = 8) -> str:
     """The recursive-CTE transitive closure over the near-dup pair graph,
     shared by every clustering oracle (``dedup_clusters``,

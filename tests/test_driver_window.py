@@ -63,6 +63,7 @@ def _never_driver_green() -> list[str]:
 PENDING_THIS_ROUND: list[str] = [
     "mixture_by_tokens",
     "upsampled_mixture",
+    "scd2_history",
 ]
 
 

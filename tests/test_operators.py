@@ -977,6 +977,69 @@ def test_upsert_snapshot(spark):
         upsert_snapshot(old, bad, "id")
 
 
+def test_upsert_history_scd2(spark):
+    """SCD-2: changed attrs close the current row and append a version;
+    equal attrs are a no-op; unknown keys insert; closed history passes
+    through; validation rejects dup keys and out-of-order deltas."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators import upsert_history
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [
+            (1, 10.0, d(2023, 1, 1), d(2024, 1, 1)),   # closed old version
+            (1, 20.0, d(2024, 1, 1), None),             # current, will change
+            (2, 30.0, d(2024, 1, 1), None),             # current, no-op update
+            (3, 40.0, d(2024, 1, 1), None),             # current, untouched
+        ],
+        "id long, v double, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, 25.0, d(2024, 6, 1)),   # change
+            (2, 30.0, d(2024, 6, 1)),   # equal -> no-op
+            (9, 99.0, d(2024, 6, 1)),   # new key -> insert
+        ],
+        "id long, v double, eff date",
+    )
+    out = upsert_history(hist, upd, "id", "eff")
+    rows = sorted(
+        (r["id"], r["v"], r["valid_from"], r["valid_to"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, 10.0, d(2023, 1, 1), d(2024, 1, 1)),
+        (1, 20.0, d(2024, 1, 1), d(2024, 6, 1)),   # closed at eff
+        (1, 25.0, d(2024, 6, 1), None),            # new version
+        (2, 30.0, d(2024, 1, 1), None),            # no spurious version
+        (3, 40.0, d(2024, 1, 1), None),
+        (9, 99.0, d(2024, 6, 1), None),            # insert
+    ]
+    # applying the SAME delta to the result is a full no-op (idempotence
+    # on the valid intervals) except key 1 where 25.0 is now current
+    again = upsert_history(out, upd, "id", "eff")
+    assert sorted(
+        (r["id"], r["v"], r["valid_from"], r["valid_to"])
+        for r in again.collect()
+    ) == rows
+    dup = spark.createDataFrame(
+        [(1, 1.0, d(2025, 1, 1)), (1, 2.0, d(2025, 1, 1))],
+        "id long, v double, eff date",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        upsert_history(hist, dup, "id", "eff")
+    stale = spark.createDataFrame(
+        [(1, 1.0, d(2024, 1, 1))], "id long, v double, eff date"
+    )
+    with _pytest.raises(ValueError, match="out-of-order"):
+        upsert_history(hist, stale, "id", "eff")
+    bad_cols = spark.createDataFrame([(1, d(2025, 1, 1))], "id long, eff date")
+    with _pytest.raises(ValueError, match="columns"):
+        upsert_history(hist, bad_cols, "id", "eff")
+
+
 def test_minhash_family_not_degenerate(docs, spark):
     """Round-4 regression guard: the universal-hash family must actually
     wrap its modulus. The old (a·h+b) mod 2^61−1 family with a < 2^20 and
