@@ -270,6 +270,65 @@ def upsampled_token_mixture(
     )
 
 
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row a rank-quantile bucket of ``score_col`` in
+    ``[0, n_buckets)`` — the binning step of curriculum/quality-stratified
+    data recipes ("sample the top quality decile at 100%, the bottom at
+    10%"). Compose with :func:`weighted_mixture` on the bucket column for
+    the acceptance half.
+
+    Semantics: ``bucket(s) = count(rows with score < s) * n_buckets DIV
+    count(*)`` — EQUAL scores always share a bucket (deterministic with no
+    tie-break hash, reproducible across engines/runs/cluster sizes), so
+    bucket sizes are equal only up to tie mass; that is the honest
+    contract for a corpus-derived score. All arithmetic is integer
+    (``DIV``), so SQL oracles reproduce assignments bit-exactly.
+
+    100 TB design: one partial-combined aggregation to per-distinct-score
+    counts, a cumulative window over THAT relation (its size is the score
+    cardinality — integer lengths / rounded quality scores, orders of
+    magnitude below corpus size; round continuous scores first, which real
+    curricula do anyway), and a broadcast join back. The corpus relation
+    is scanned once and never shuffles; no driver-side collect anywhere.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    # NULL scores get a NULL bucket (no match below) rather than riding an
+    # engine-specific NULL sort position (Spark NULLS FIRST vs DuckDB LAST)
+    counts = (
+        df.filter(s.isNotNull())
+        .groupBy(s.alias("_cb_score"))
+        .agg(F.count("*").alias("_cb_c"))
+    )
+    # single-partition window over the DISTINCT-SCORE relation only (score
+    # cardinality ≪ corpus by contract) — the corpus itself never sorts
+    w = Window.orderBy("_cb_score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "_cb_score",
+        F.coalesce(F.sum("_cb_c").over(w), F.lit(0)).alias("_cb_lt"),
+        F.sum("_cb_c").over(
+            Window.orderBy("_cb_score").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_cb_n"),
+    )
+    out = df.join(
+        F.broadcast(cum), on=s == F.col("_cb_score"), how="left"
+    ).withColumn(
+        bucket_col,
+        F.expr(f"CAST((_cb_lt * {int(n_buckets)}) DIV _cb_n AS BIGINT)"),
+    )
+    return out.drop("_cb_score", "_cb_lt", "_cb_n")
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

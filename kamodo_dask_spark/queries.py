@@ -4117,6 +4117,49 @@ def upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_bpe_tokens", "epoch")
 
 
+@register(
+    "quality_curriculum",
+    """
+    WITH s AS (SELECT doc_id, n_chars FROM documents),
+    cnt AS (SELECT n_chars, count(*) AS c FROM s GROUP BY n_chars),
+    cum AS (SELECT n_chars,
+                   coalesce(sum(c) OVER (ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS c_lt,
+                   sum(c) OVER () AS n
+            FROM cnt),
+    b AS (SELECT s.doc_id, s.n_chars, CAST(c_lt * 10 // n AS BIGINT) AS bucket
+          FROM s JOIN cum USING (n_chars))
+    SELECT doc_id, n_chars, bucket FROM b
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          < (bucket + 1) * 1000
+    """,
+)
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-stratified sampling
+    (``operators/sampling.py::curriculum_buckets`` composed with
+    ``weighted_mixture``): rank-quantile deciles of a quality proxy
+    (``n_chars``), then per-decile md5 acceptance rising from 10% (bottom)
+    to 100% (top) — the "keep the best, thin the rest" recipe quality-
+    stratified pretraining mixes specify. Bucket = ``count(score < s) *
+    10 DIV count(*)`` — equal scores always share a bucket, all-integer
+    arithmetic, so membership is bit-reproducible cross-engine. 100 TB
+    shape: one partial-combined agg to distinct-score counts, a window
+    over THAT metadata-sized relation, broadcast join back, zero-shuffle
+    acceptance filter — the corpus is scanned once and never sorted."""
+    from kamodo_dask_spark.operators.sampling import (
+        curriculum_buckets,
+        weighted_mixture,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = curriculum_buckets(docs, "n_chars", n_buckets=10)
+    kept = weighted_mixture(
+        bucketed, "bucket", "doc_id", {b: (b + 1) / 10 for b in range(10)}
+    )
+    return kept.select("doc_id", "n_chars", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

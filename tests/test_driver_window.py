@@ -64,6 +64,7 @@ PENDING_THIS_ROUND: list[str] = [
     "mixture_by_tokens",
     "upsampled_mixture",
     "scd2_history",
+    "quality_curriculum",
 ]
 
 

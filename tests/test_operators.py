@@ -862,6 +862,44 @@ def test_upsampled_token_mixture(spark):
     assert n == {4}
 
 
+def test_curriculum_buckets(spark):
+    """Rank-quantile bucketing: equal scores share a bucket; uniform
+    distinct scores bucket evenly; heavy ties stay deterministic; NULL
+    scores get a NULL bucket; result is stable under repartition."""
+    from kamodo_dask_spark.operators.sampling import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, i % 100) for i in range(1000)], "id long, score long"
+    )
+    out = curriculum_buckets(df, "score", n_buckets=10)
+    got = {r["score"]: r["bucket"] for r in out.collect()}
+    # 100 distinct scores x 10 rows: score s has c_lt = 10*s, bucket = s//10
+    assert got == {s: s // 10 for s in range(100)}
+    # heavy ties: one score holding 70% of mass spans no bucket boundary
+    skew = spark.createDataFrame(
+        [(i, 5 if i < 700 else i) for i in range(1000)], "id long, score long"
+    )
+    sk = {r["id"]: r["bucket"] for r in curriculum_buckets(
+        skew, "score", n_buckets=4).collect()}
+    assert {sk[i] for i in range(700)} == {0}          # all ties together
+    assert sk[999] == 3
+    # NULL score -> NULL bucket, not an engine-dependent sort position
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 20)], "id long, score long"
+    )
+    nb = {r["id"]: r["bucket"] for r in curriculum_buckets(
+        withnull, "score", n_buckets=2).collect()}
+    assert nb == {1: None, 2: 0, 3: 1}
+    # determinism under repartition
+    again = {r["score"]: r["bucket"] for r in curriculum_buckets(
+        df.repartition(7), "score", n_buckets=10).collect()}
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        curriculum_buckets(df, "score", n_buckets=0)
+
+
 def test_pii_counts_strict_no_double_count(spark):
     """A +CC-prefixed NANP number matches both the base and the intl
     pattern on raw text — sequential counting (extras counted on the
