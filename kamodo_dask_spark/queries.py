@@ -4117,6 +4117,59 @@ def upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_bpe_tokens", "epoch")
 
 
+def _morton_sql(xexpr: str, yexpr: str, bits: int) -> str:
+    """The 2-D Morton interleave as portable SQL bit arithmetic — the same
+    shift/mask spelling ``operators/layout.py::zorder_key`` emits as Spark
+    expressions, generated term-by-term so both engines compute the
+    identical bigint."""
+    terms = []
+    for i in range(bits):
+        # every term fully parenthesized: engines disagree on the relative
+        # precedence of << vs | (DuckDB parses `a << b | c` as `a << (b|c)`)
+        terms.append(f"(((({xexpr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({yexpr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_morton_sql("l_partkey % 1024", "l_suppkey % 1024", 10)}
+                AS BIGINT) AS zval,
+           CAST({_morton_sql("l_partkey % 1024", "l_suppkey % 1024", 10)} >> 12
+                AS BIGINT) AS file_bucket
+    FROM lineitem
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys (``operators/layout.py::zorder_key``):
+    the write-side clustering that makes file-level min/max stats prune in
+    EVERY interleaved dimension — Delta/Iceberg ``OPTIMIZE ZORDER BY`` as
+    plain DataFrame algebra. Here lineitem is keyed on (part, supplier)
+    low-10-bit coordinates; ``file_bucket`` (z >> 12) is the 256-way file
+    assignment a layout job would range-write. The interleave is d·bits
+    row-local shift/mask terms inside one whole-stage-codegen projection —
+    no UDF, no shuffle in THIS relation (the physical move is
+    ``zorder_repartition``'s one range exchange, the same price as any
+    sort-based layout job; its both-dims-tight property is pytest-pinned).
+    Every Morton bit is hash-checked cross-engine."""
+    from kamodo_dask_spark.operators.layout import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = zorder_key(
+        [F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024], bits=10
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z.alias("zval"),
+        F.shiftright(z, 12).cast("bigint").alias("file_bucket"),
+    )
+
+
 @register(
     "quality_curriculum",
     """

@@ -65,6 +65,7 @@ PENDING_THIS_ROUND: list[str] = [
     "upsampled_mixture",
     "scd2_history",
     "quality_curriculum",
+    "zorder_layout",
 ]
 
 

@@ -1015,6 +1015,77 @@ def test_upsert_snapshot(spark):
         upsert_snapshot(old, bad, "id")
 
 
+def test_zorder_key_matches_reference(spark):
+    """Morton interleave matches a bit-twiddling Python reference, masks
+    out-of-range input, and rejects impossible widths."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.layout import zorder_key
+
+    def ref_morton(vals, bits):
+        z = 0
+        for j, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    rows = [(a, b) for a in [0, 1, 5, 255, 256, 1023] for b in [0, 3, 512, 1023]]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=10)).collect()
+    }
+    for a, b in rows:
+        assert out[(a, b)] == ref_morton([a, b], 10), (a, b)
+    # out-of-range masks to low bits instead of colliding across dims
+    big = spark.createDataFrame([(1024 + 5, 3)], "x long, y long")
+    got = big.select(zorder_key(["x", "y"], bits=10).alias("z")).first()["z"]
+    assert got == ref_morton([5, 3], 10)
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(["x", "y"], bits=32)
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_key([])
+
+
+def test_zorder_repartition_clusters_both_dims(spark):
+    """The point of Z-order: after range-partitioning on the Morton key,
+    EVERY partition's bounding box is tight in BOTH dimensions — unlike a
+    linear sort, which leaves the second dimension spanning the domain."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.layout import zorder_repartition
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    n_parts = 16
+
+    def max_spans(df):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+                F.count("*").alias("n"),
+            )
+            .filter(F.col("n") > 1)
+            .agg(F.max("sx"), F.max("sy"))
+            .first()
+        )
+        return spans[0], spans[1]
+
+    zx, zy = max_spans(zorder_repartition(pts, ["x", "y"], bits=6, n_partitions=n_parts))
+    lx, ly = max_spans(
+        pts.repartitionByRange(n_parts, "x").sortWithinPartitions("x")
+    )
+    # z-order: every 256-point partition is a ~16x16 box (span ≤ 31 with
+    # range-boundary slack); linear sort: y spans the full 0..63 domain
+    assert zx <= 31 and zy <= 31, (zx, zy)
+    assert ly == 63 and lx <= 7, (lx, ly)
+
+
 def test_upsert_history_scd2(spark):
     """SCD-2: changed attrs close the current row and append a version;
     equal attrs are a no-op; unknown keys insert; closed history passes
