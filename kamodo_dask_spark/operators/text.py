@@ -672,6 +672,44 @@ def html_to_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFD/NFKC/NFKD) — the
+    canonicalization step every multi-source corpus needs before hashing,
+    dedup, or tokenization: the SAME visible string arrives from different
+    crawls as composed ``é`` or decomposed ``e+U+0301``, and without this
+    pass exact dedup misses the duplicate, MinHash shingles diverge, and
+    the BPE byte stream differs.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    ``mapInPandas`` stage over ``unicodedata`` (stdlib, same tables
+    everywhere) — row-local, zero shuffle, schema preserved; NULLs pass
+    through. NFC is the cross-engine-checkable form (DuckDB exposes
+    ``nfc_normalize``, pinning the catalog entry hash-exact); the
+    compatibility forms (NFKC — fullwidth→ASCII, ligature fold) run the
+    same plumbing and are pytest-pinned instead.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    schema = df.schema
+    if text_col not in df.columns:
+        raise ValueError(f"no column {text_col!r} in {df.columns}")
+
+    def batches(it):
+        for pdf in it:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: unicodedata.normalize(form, s)
+                if isinstance(s, str)
+                else s
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
 def _gram_bucket(g, salt: str, n_buckets: int) -> Column:
     """Hashing-trick bucket index (md5 hex prefix → bigint → mod) — the
     ONE definition shared by :func:`hashed_ngram_weights` and

@@ -4132,6 +4132,59 @@ def _morton_sql(xexpr: str, yexpr: str, bits: int) -> str:
 
 
 @register(
+    "text_normalize",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' ||
+             repeat('e' || chr(769), CAST(doc_id % 4 AS INT)) ||
+             ' A' || chr(778) AS text
+      FROM documents),
+    norm AS (SELECT doc_id, text, nfc_normalize(text) AS ntext FROM raw)
+    SELECT doc_id, md5(ntext) AS norm_hash,
+           CAST(length(text) AS BIGINT)  AS n_before,
+           CAST(length(ntext) AS BIGINT) AS n_after
+    FROM norm
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization
+    (``operators/text.py::normalize_unicode``): the same visible string
+    arrives from different crawls composed or decomposed, and without this
+    pass exact dedup, MinHash shingles, and the BPE byte stream all
+    silently diverge. Fixture text is built with EXPLICIT combining marks
+    (acute U+0301, ring U+030A, count varying per doc) so the codepoint
+    count provably shrinks under composition — ``n_before``/``n_after``
+    pin the length change and ``md5(normalized)`` pins every byte, against
+    DuckDB's independent ICU-backed ``nfc_normalize``. Spark has no
+    normalizer builtin, so the stage is Arrow-batched ``mapInPandas`` over
+    stdlib ``unicodedata`` — row-local, zero shuffle, schema preserved."""
+    from kamodo_dask_spark.operators.text import normalize_unicode
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = F.concat(
+        # DECOMPOSED combining marks, spelled as escapes so no editor or
+        # tool can silently re-compose them: e+U+0301 (acute), A+U+030A
+        # (ring) — the oracle builds the identical sequence via chr()
+        F.lit("Cafe\u0301 "),
+        F.expr("repeat('e\u0301', CAST(doc_id % 4 AS INT))"),
+        F.lit(" A\u030a"),
+    )
+    raw = docs.select(
+        "doc_id",
+        fixture.alias("text"),
+        F.length(fixture).cast("bigint").alias("n_before"),
+    )
+    norm = normalize_unicode(raw, "text")
+    return norm.select(
+        "doc_id",
+        F.md5("text").alias("norm_hash"),
+        "n_before",
+        F.length("text").cast("bigint").alias("n_after"),
+    )
+
+
+@register(
     "zorder_layout",
     f"""
     SELECT l_orderkey, l_linenumber,

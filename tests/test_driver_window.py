@@ -66,6 +66,7 @@ PENDING_THIS_ROUND: list[str] = [
     "scd2_history",
     "quality_curriculum",
     "zorder_layout",
+    "text_normalize",
 ]
 
 

@@ -862,6 +862,36 @@ def test_upsampled_token_mixture(spark):
     assert n == {4}
 
 
+def test_normalize_unicode(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    compatibility forms; NULLs and non-text columns pass through; bad
+    form rejected."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),          # e + combining acute -> é
+            (2, "ＡＢ"),         # fullwidth AB (NFC-invariant)
+            (3, "ﬁle"),             # fi ligature (NFC-invariant)
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    nfc = {r["id"]: r["text"] for r in normalize_unicode(df, "text").collect()}
+    assert nfc == {1: "café", 2: "ＡＢ", 3: "ﬁle", 4: None}
+    nfkc = {
+        r["id"]: r["text"]
+        for r in normalize_unicode(df, "text", form="NFKC").collect()
+    }
+    assert nfkc == {1: "café", 2: "AB", 3: "file", 4: None}
+    with _pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, "text", form="NFX")
+    with _pytest.raises(ValueError, match="column"):
+        normalize_unicode(df, "body")
+
+
 def test_curriculum_buckets(spark):
     """Rank-quantile bucketing: equal scores share a bucket; uniform
     distinct scores bucket evenly; heavy ties stay deterministic; NULL
