@@ -599,6 +599,7 @@ def nearest_centroid_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine — the k-means
     E-step / cluster-labeling pass.
@@ -658,10 +659,112 @@ def nearest_centroid_assign(
         .filter(F.col("_vnorm") > 0)
         .select(
             F.col(id_col),
+            *([v] if keep_vec else []),
             (-best["neg_label"]).cast("bigint").alias("assigned_label"),
             best["score"].alias("score"),
         )
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    round_digits: int = 6,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Full Lloyd's k-means over an embedding column, DETERMINISTIC end to
+    end — the fit loop that completes the clustering stack
+    (:func:`nearest_centroid_assign` is its E-step, the
+    :func:`label_centroids` aggregation shape its M-step; SemDeDup and IVF
+    both consume its output centroids).
+
+    Determinism (reproducible across runs, engines, cluster sizes — the
+    property ``KMeans`` with a seed does NOT give across engines):
+
+    - init: the embeddings of the ``k`` rows with the smallest
+      ``(md5(id), id)`` — a hash-scatter over the corpus, no RNG; cluster
+      labels 0..k-1 follow that order;
+    - E-step: rounded-cosine argmax, ties to the smallest label;
+    - M-step: per-(cluster, dim) mean ROUNDED to ``round_digits`` — the
+      rounding is what makes iteration t+1's input identical across
+      engines regardless of float summation order;
+    - an empty cluster keeps its previous centroid (the standard carry).
+
+    Returns ``(assignments, centroids)``: the final E-step relation
+    ``(id, cluster, score)`` and the fitted ``[(label, vector), ...]``.
+
+    100 TB shape: per iteration ONE corpus scan — the E-step is a
+    zero-shuffle map with the k×d centroid matrix inlined as literals, and
+    the M-step is the posexplode + partial-combined (cluster, dim) agg
+    whose exchanged volume is k × dims × tasks, corpus-size-independent.
+    Driver state is only the k×d centroid matrix per round (metadata-sized
+    by definition). Total cost: ``n_iter + 2`` scans (init probe, one per
+    loop iteration, final labeling under the fitted centroids) — the same
+    per-iteration scan MLlib pays, with cross-engine reproducibility
+    MLlib's seeded RNG cannot give.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    init_rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)  # TakeOrderedAndProject; collect is k vectors (metadata)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k={k} but only {len(init_rows)} non-null vectors to seed from"
+        )
+    centroids = [
+        (i, [float(x) for x in r["_vec"]]) for i, r in enumerate(init_rows)
+    ]
+    assigned = None
+    for _ in range(n_iter):
+        assigned = nearest_centroid_assign(
+            df,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            keep_vec=True,
+        )
+        means = (
+            assigned.select(
+                F.col("assigned_label").alias("_cl"),
+                F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+            )
+            .groupBy("_cl", "_dim")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), round_digits).alias("_c"))
+            .collect()  # k × dims rows (metadata-sized)
+        )
+        by_label: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_label.setdefault(int(r["_cl"]), {})[int(r["_dim"])] = r["_c"]
+        centroids = [
+            (
+                lbl,
+                [new[d] for d in sorted(new)] if (new := by_label.get(lbl)) else old,
+            )
+            for lbl, old in centroids
+        ]
+    final = nearest_centroid_assign(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    ).select(
+        F.col(id_col),
+        F.col("assigned_label").alias("cluster"),
+        F.col("score"),
+    )
+    return final, centroids
 
 
 def semantic_dedup(

@@ -4131,6 +4131,80 @@ def _morton_sql(xexpr: str, yexpr: str, bits: int) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def _kmeans_score_sql(t: int) -> str:
+    """One E-step against centroid relation ``c{t}``: norms, dots, rounded
+    cosine, per-vector argmax — the same CTE shapes as the
+    ``nearest_centroid`` oracle, indexed so iterations chain."""
+    return f"""
+    cn{t} AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM c{t} GROUP BY 1),
+    d{t} AS (SELECT v.vec_id, c.label, sum(v.x * c.c) AS dp
+             FROM v JOIN c{t} c USING (dim) GROUP BY 1, 2),
+    s{t} AS (SELECT d.vec_id, d.label,
+                    round(d.dp / (vn.vnorm * cn.cnorm), 6) AS score
+             FROM d{t} d JOIN vn USING (vec_id) JOIN cn{t} cn USING (label)
+             WHERE vn.vnorm > 0 AND cn.cnorm > 0),
+    r{t} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, label) AS rn
+             FROM s{t})"""
+
+
+def _kmeans_mstep_sql(t: int) -> str:
+    """M-step: per-(cluster, dim) rounded mean from assignment ``r{t}``,
+    with the empty-cluster carry (a label winning no vectors keeps its
+    ``c{t}`` centroid)."""
+    return f"""
+    c{t + 1}m AS (SELECT a.label, v.dim, round(avg(v.x), 6) AS c
+                  FROM (SELECT vec_id, label FROM r{t} WHERE rn = 1) a
+                  JOIN v USING (vec_id) GROUP BY 1, 2),
+    c{t + 1} AS (SELECT * FROM c{t + 1}m
+                 UNION ALL
+                 SELECT label, dim, c FROM c{t}
+                 WHERE label NOT IN (SELECT DISTINCT label FROM c{t + 1}m))"""
+
+
+@register(
+    "kmeans_clusters",
+    f"""
+    WITH v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
+               FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM v GROUP BY 1),
+    seeds AS (SELECT vec_id,
+                     row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                       - 1 AS label
+              FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (SELECT i.label, v.dim, v.x AS c
+           FROM (SELECT * FROM seeds WHERE label < 4) i
+           JOIN v USING (vec_id)),
+    {_kmeans_score_sql(0)},
+    {_kmeans_mstep_sql(0)},
+    {_kmeans_score_sql(1)},
+    {_kmeans_mstep_sql(1)},
+    {_kmeans_score_sql(2)}
+    SELECT vec_id, label::BIGINT AS cluster, score
+    FROM r2 WHERE rn = 1
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means (``operators/similarity.py::kmeans_fit``,
+    k=4, 2 iterations): deterministic md5-scatter init (no RNG — the
+    smallest-(md5, id) rows seed clusters 0..3), rounded-cosine E-step
+    with smallest-label tie-break, per-(cluster, dim) rounded-mean M-step
+    with empty-cluster carry, then a final labeling under the fitted
+    centroids. The M-step ROUNDING is what makes iteration t+1's input
+    identical across engines regardless of float summation order — the
+    whole trajectory, not just the endpoint, is reproducible, so the
+    oracle unrolls both iterations relationally and every final
+    (vector, cluster, score) row hash-checks. 100 TB shape: each
+    iteration is ONE corpus scan (zero-shuffle literal-inlined E-step +
+    the k×dims×tasks-bounded M-step exchange); driver state is the k×d
+    centroid matrix per round."""
+    from kamodo_dask_spark.operators.similarity import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    return assigned
+
+
 @register(
     "text_normalize",
     """

@@ -67,6 +67,7 @@ PENDING_THIS_ROUND: list[str] = [
     "quality_curriculum",
     "zorder_layout",
     "text_normalize",
+    "kmeans_clusters",
 ]
 
 

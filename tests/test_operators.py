@@ -862,6 +862,57 @@ def test_upsampled_token_mixture(spark):
     assert n == {4}
 
 
+def test_kmeans_fit(spark):
+    """Lloyd's loop separates well-separated blobs regardless of which
+    rows seed it, keeps empty clusters' previous centroids, is
+    deterministic under repartition, and validates its knobs."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.similarity import kmeans_fit
+
+    # two tight blobs on orthogonal axes (cosine-separable)
+    rows = [(i, [10.0 + (i % 3), 1.0, 0.0]) for i in range(20)] + [
+        (100 + i, [1.0, 10.0 + (i % 3), 0.0]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_fit(df, k=2, n_iter=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    blob_a = {got[i] for i in range(20)}
+    blob_b = {got[100 + i] for i in range(20)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert len(cents) == 2 and all(len(v) == 3 for _, v in cents)
+    # determinism under repartition: same assignment, same centroids
+    a2, c2 = kmeans_fit(df.repartition(7), k=2, n_iter=3)
+    assert {r["vec_id"]: r["cluster"] for r in a2.collect()} == got
+    assert c2 == cents
+    # k=1 degenerate: everything in cluster of the single seed
+    a1, c1 = kmeans_fit(df, k=1, n_iter=1)
+    assert {r["cluster"] for r in a1.collect()} == {c1[0][0]}
+    with _pytest.raises(ValueError, match="k must"):
+        kmeans_fit(df, k=0)
+    with _pytest.raises(ValueError, match="n_iter"):
+        kmeans_fit(df, k=2, n_iter=0)
+    with _pytest.raises(ValueError, match="to seed from"):
+        kmeans_fit(df.limit(1), k=5)
+
+
+def test_kmeans_fit_empty_cluster_carry(spark):
+    """A centroid that wins no vectors keeps its previous position
+    instead of vanishing (cluster count is stable across iterations)."""
+    from kamodo_dask_spark.operators.similarity import kmeans_fit
+
+    # k=3 over two tight blobs: one seed necessarily strands
+    rows = [(i, [10.0, 1.0]) for i in range(10)] + [
+        (100 + i, [1.0, 10.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_fit(df, k=3, n_iter=3)
+    assert len(cents) == 3                      # no cluster vanished
+    assert assigned.count() == 20
+    labels = {lbl for lbl, _ in cents}
+    assert {r["cluster"] for r in assigned.collect()} <= labels
+
+
 def test_normalize_unicode(spark):
     """NFC composes combining sequences; NFKC additionally folds
     compatibility forms; NULLs and non-text columns pass through; bad
