@@ -679,3 +679,64 @@ def test_key_skew_profile_single_count_exchange(spark, tmp_path):
     assert "Scan ExistingRDD" in plan, plan       # checkpointed counts
     assert "ev.parquet" not in plan, plan         # source not re-scanned
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_zorder_layout_zero_exchange(spark):
+    """zorder_layout: the Morton key is d*bits row-local shift/mask terms
+    in ONE codegen projection — no exchange, no join, no Python eval."""
+    from kamodo_dask_spark.plans.checks import executed_plan, has_wholestage_codegen
+
+    df = QUERIES["zorder_layout"](spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert has_wholestage_codegen(df)
+
+
+def test_quality_curriculum_no_corpus_sort(spark):
+    """quality_curriculum: the corpus is scanned, aggregated to distinct-
+    score counts, and rejoined via BROADCAST — it must never globally sort
+    (no range exchange) and documents must scan at most twice (once for
+    the counts, once for the bucket join; Spark cannot share the scan)."""
+    from kamodo_dask_spark.plans.checks import assert_broadcast_join, executed_plan
+
+    df = QUERIES["quality_curriculum"](spark, SF)
+    plan = executed_plan(df)
+    assert_broadcast_join(df, count=1)
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("FileScan parquet") <= 2, plan
+
+
+def test_scd2_history_broadcast_merge(spark):
+    """scd2_history: the two-scan MERGE shape — every join broadcasts the
+    delta-sized side (no sort-merge join anywhere), and the version
+    fan-out is one row-local explode."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["scd2_history"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_kmeans_final_assign_zero_shuffle(spark):
+    """kmeans_clusters: the returned relation is the FINAL E-step — a
+    map-only scan with the fitted k x d centroid matrix inlined as
+    literals. No exchange, no join, no Python eval in the plan."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["kmeans_clusters"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_text_normalize_single_scan_no_exchange(spark):
+    """text_normalize: one documents scan feeding one Arrow-batched
+    mapInPandas stage — row-local, zero exchange."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["text_normalize"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
