@@ -989,3 +989,80 @@ def substring_spans(
     return runs.filter(F.col("span_words") >= min_words).select(
         "id_a", "id_b", "start_a", "start_b", "span_words"
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut repeated spans OUT of the text — the production payoff of
+    :func:`substring_spans` (Lee et al. 2022 remove the duplicated bytes,
+    not the documents): keep-first policy, so every span is excised from
+    the LARGER doc id of each pair (``id_b``; :func:`substring_spans`
+    guarantees ``id_a < id_b``) and the first occurrence survives.
+
+    Pipeline (three bounded shuffles, then row-local surgery):
+
+    1. cuts ``(doc, [start_b, start_b + span_words))`` from the span
+       relation — overlapping cuts are expected (one doc can share
+       overlapping runs with many partners);
+    2. interval MERGE per doc: running-max window over (doc, start) →
+       gaps-and-islands → maximal disjoint ranges. The shuffle key is the
+       doc id over the SPAN relation (dup mass only, not the corpus);
+    3. per-doc ranges collected to one array row (bounded: merged ranges
+       are disjoint within a document, so ≤ |doc words| / min_words of
+       them), joined to the corpus, and the words array is filtered by a
+       positional lambda — no UDF, no explode of the corpus.
+
+    The word array uses the SAME empty-token compaction as
+    :func:`substring_spans`, so positions line up by construction; output
+    text is whitespace-canonical (single spaces — the detector's view).
+    Docs with no cuts pass through unchanged (left join + empty-range
+    coalesce). Returns the input columns with ``text_col`` rewritten plus
+    ``n_words_before``/``n_words_after``.
+    """
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").cast("bigint").alias("_s"),
+        (F.col("start_b") + F.col("span_words")).cast("bigint").alias("_e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = cuts.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    )
+    merged = (
+        flagged.withColumn(
+            "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "_g")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    ranges = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_ranges")
+    )
+    joined = docs.join(ranges, on=id_col, how="left")
+    rng = F.coalesce(
+        F.col("_ranges"),
+        F.array().cast("array<struct<_s:bigint,_e:bigint>>"),
+    )
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # positional filter: word index i survives unless covered by a merged
+    # range. `rng` in the lambda BODY is a cheap bound/coalesce reference,
+    # not a rebuilt expression — the SCALE.md inlining trap does not bite.
+    kept = F.filter(
+        arr,
+        lambda word, i: ~F.exists(
+            rng, lambda r: (i >= r["_s"]) & (i < r["_e"])
+        ),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *out_cols,
+        F.array_join(kept, " ").alias(text_col),
+        F.size(arr).cast("bigint").alias("n_words_before"),
+        F.size(kept).cast("bigint").alias("n_words_after"),
+    )

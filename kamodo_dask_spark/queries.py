@@ -3949,10 +3949,12 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bpe_token_count(staged).select("doc_id", "n_bpe_tokens")
 
 
-@register(
-    "substring_dedup",
-    """
-    WITH w AS (
+#: Shared first-principles span derivation (word compaction → in-doc
+#: 5-grams → df-capped anchors → ordered cross-doc position pairs →
+#: diagonal gaps-and-islands → maximal runs WITH start offsets) — the base
+#: of both the detection oracle (`substring_dedup`) and the removal oracle
+#: (`substring_removal`), factored so the two cannot drift apart.
+_SPAN_BASE_SQL = """w AS (
       -- positions COMPACTED after dropping empty tokens (row_number over
       -- the filtered rows), matching the operator's filter-then-posexplode
       -- indexing: raw split positions would desync on consecutive spaces
@@ -3982,12 +3984,18 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ga.doc_id < gb.doc_id
     ),
     runs AS (
-      SELECT id_a, id_b, count(*) + 4 AS span_words
+      SELECT id_a, id_b, min(pos_b) AS start_b, count(*) + 4 AS span_words
       FROM (SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
                                                  ORDER BY pos_a) AS isl
             FROM m)
       GROUP BY id_a, id_b, pos_a - pos_b, isl
-    )
+    )"""
+
+
+@register(
+    "substring_dedup",
+    f"""
+    WITH {_SPAN_BASE_SQL}
     SELECT id_a, id_b, count(*) AS n_spans, max(span_words) AS max_span_words,
            CAST(sum(span_words) AS BIGINT) AS total_span_words
     FROM runs WHERE span_words >= 5 GROUP BY id_a, id_b
@@ -4013,6 +4021,62 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_spans"),
         F.max("span_words").alias("max_span_words"),
         F.sum("span_words").alias("total_span_words"),
+    )
+
+
+@register(
+    "substring_removal",
+    f"""
+    WITH {_SPAN_BASE_SQL},
+    cuts AS (SELECT id_b AS doc_id, start_b AS s, start_b + span_words AS e
+             FROM runs WHERE span_words >= 5),
+    ordered AS (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                FROM cuts),
+    isl2 AS (SELECT doc_id, s, e,
+                    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS gid
+             FROM ordered),
+    mrg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2
+            GROUP BY doc_id, gid),
+    kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+             WHERE NOT EXISTS (SELECT 1 FROM mrg m2
+                               WHERE m2.doc_id = w.doc_id
+                                 AND w.pos >= m2.s AND w.pos < m2.e)),
+    agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text2,
+                   count(*) AS n_after FROM kept GROUP BY doc_id),
+    nb AS (SELECT doc_id, count(*) AS n_before FROM w GROUP BY doc_id)
+    SELECT d.doc_id, md5(coalesce(a.text2, '')) AS clean_hash,
+           CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_words_before,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_words_after
+    FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN nb USING (doc_id)
+    """,
+)
+def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span REMOVAL (``operators/dedup.py::remove_spans``) — the
+    production payoff of ``substring_dedup``: Lee et al. 2022 cut the
+    duplicated bytes out rather than dropping documents. Keep-first
+    policy (spans excised from the larger doc id), overlapping cuts merged
+    per doc via a running-max gaps-and-islands pass over the SPAN relation
+    (dup mass only — the corpus itself never shuffles for the merge), then
+    row-local word-array surgery through a positional lambda (no UDF, no
+    corpus explode). The oracle re-derives spans from first principles
+    (shared ``_SPAN_BASE_SQL`` with the detection entry, so the two cannot
+    drift), merges intervals, excises, and hash-checks every document's
+    cleaned text plus before/after word counts — including untouched docs
+    and docs emptied entirely."""
+    from kamodo_dask_spark.operators.dedup import remove_spans, substring_spans
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = substring_spans(docs, k=5, min_words=5, max_df=20)
+    out = remove_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_hash"),
+        "n_words_before",
+        "n_words_after",
     )
 
 

@@ -68,6 +68,7 @@ PENDING_THIS_ROUND: list[str] = [
     "zorder_layout",
     "text_normalize",
     "kmeans_clusters",
+    "substring_removal",
 ]
 
 

@@ -1096,6 +1096,38 @@ def test_upsert_snapshot(spark):
         upsert_snapshot(old, bad, "id")
 
 
+def test_remove_spans(spark):
+    """Keep-first span removal: the shared run survives in the smaller
+    doc id, is excised from the larger; overlapping cuts merge; untouched
+    docs pass through; positions use the detector's compacted indexing."""
+    from kamodo_dask_spark.operators.dedup import remove_spans, substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " beta"),
+            (2, "gamma  delta " + shared + " epsilon"),   # double space: compaction
+            (3, "totally unrelated words here with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_spans(docs, k=5, min_words=5, max_df=20)
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert out[1]["text"] == "alpha " + shared + " beta"      # first kept
+    assert out[2]["text"] == "gamma delta epsilon"             # span excised
+    assert out[2]["n_words_before"] == 13 and out[2]["n_words_after"] == 3
+    assert out[3]["text"].startswith("totally unrelated")
+    assert out[3]["n_words_before"] == out[3]["n_words_after"]
+    # overlapping cuts merge: two spans sharing words remove their union
+    spans2 = spark.createDataFrame(
+        [(0, 2, 0, 2, 6), (0, 2, 0, 5, 6)],
+        "id_a long, id_b long, start_a long, start_b long, span_words long",
+    )
+    got = {r["doc_id"]: r for r in remove_spans(docs, spans2).collect()}
+    # words 2..10 removed from doc 2 (union of [2,8) and [5,11))
+    assert got[2]["n_words_after"] == got[2]["n_words_before"] - 9
+
+
 def test_zorder_key_matches_reference(spark):
     """Morton interleave matches a bit-twiddling Python reference, masks
     out-of-range input, and rejects impossible widths."""
