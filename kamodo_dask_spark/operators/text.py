@@ -815,3 +815,75 @@ def quality_classifier(
         score.alias("score"),
         (score >= 0.5).alias("quality_pass"),
     )
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    n_iter: int = 2,
+    round_digits: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """Train a logistic-regression classifier by full-batch gradient
+    descent, DETERMINISTICALLY — the training half of
+    :func:`quality_classifier` (which consumes a weight table but could
+    not produce one): fit a wiki-vs-crawl-style quality model on labeled
+    feature columns without leaving Spark or importing an ML runtime.
+
+    Each iteration: the margin ``w·x`` is a row-local literal-weighted
+    sum (the current weights ride as constants — zero shuffle), the
+    gradient ``avg(x_j · (σ(margin) − y))`` is ONE partial-combined
+    aggregation returning d doubles, and the weight update happens
+    driver-side with the new weights ROUNDED to ``round_digits`` — the
+    same trick as :func:`~kamodo_dask_spark.operators.similarity.kmeans_fit`:
+    rounding the per-iteration state makes the whole optimization
+    trajectory reproducible across engines, runs, and cluster sizes
+    regardless of float summation order. Weights start at zero (no RNG
+    anywhere).
+
+    Returns ``(weights, scored)``: the fitted vector (index-aligned with
+    ``feature_cols``) and the input with a rounded ``score`` column
+    (σ(w·x) under the final weights).
+
+    100 TB shape: ``n_iter`` corpus scans, each a map + d-column partial
+    agg; driver state is d floats per round. No feature matrix is ever
+    materialized or shuffled. Labels must be 0/1 doubles; callers bring
+    their own feature engineering (keep each feature an expression the
+    oracle can re-derive if cross-engine checking matters).
+    """
+    import builtins
+
+    if not feature_cols:
+        raise ValueError("need at least one feature column")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    d = len(feature_cols)
+    w = [0.0] * d
+    y = F.col(label_col).cast("double")
+
+    def margin(weights: list[float]) -> Column:
+        m = F.lit(0.0)
+        for wj, c in zip(weights, feature_cols):
+            m = m + F.lit(wj) * F.col(c).cast("double")
+        return m
+
+    def sigmoid(m: Column) -> Column:
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+    for _ in range(n_iter):
+        p = sigmoid(margin(w))
+        grad = df.agg(
+            *[
+                F.avg(F.col(c).cast("double") * (p - y)).alias(f"_g{j}")
+                for j, c in enumerate(feature_cols)
+            ]
+        ).first()
+        w = [
+            builtins.round(wj - lr * grad[f"_g{j}"], round_digits)
+            for j, wj in enumerate(w)
+        ]
+    scored = df.withColumn(
+        "score", F.round(sigmoid(margin(w)), round_digits)
+    )
+    return w, scored

@@ -4362,6 +4362,61 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "logreg_quality_fit",
+    """
+    WITH f AS (
+      SELECT doc_id, 1.0 AS x0, ln(1 + n_chars) AS x1,
+             (n_chars % 100) / 100.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    -- iteration 1: sigma(0) = 0.5 exactly, weights start at zero
+    g0 AS (SELECT avg(x0 * (0.5 - y)) AS g0, avg(x1 * (0.5 - y)) AS g1,
+                  avg(x2 * (0.5 - y)) AS g2 FROM f),
+    w1 AS (SELECT round(-g0, 6) AS w0, round(-g1, 6) AS w1,
+                  round(-g2, 6) AS w2 FROM g0),
+    -- iteration 2 under the ROUNDED weights
+    s1 AS (SELECT f.*, 1 / (1 + exp(-(w0*x0 + w1*x1 + w2*x2))) AS p
+           FROM f CROSS JOIN w1),
+    g1c AS (SELECT avg(x0 * (p - y)) AS g0, avg(x1 * (p - y)) AS g1,
+                   avg(x2 * (p - y)) AS g2 FROM s1),
+    w2 AS (SELECT round(w1.w0 - g1c.g0, 6) AS w0,
+                  round(w1.w1 - g1c.g1, 6) AS w1,
+                  round(w1.w2 - g1c.g2, 6) AS w2
+           FROM w1 CROSS JOIN g1c)
+    SELECT f.doc_id, CAST(y AS BIGINT) AS label,
+           round(1 / (1 + exp(-(w0*x0 + w1*x1 + w2*x2))), 6) AS score
+    FROM f CROSS JOIN w2
+    """,
+)
+def logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression TRAINING (``operators/text.py::logreg_fit``):
+    the half ``quality_classifier`` was missing — it consumes a weight
+    table; this fits one, by full-batch gradient descent with zero-init
+    weights (no RNG) and per-iteration weight ROUNDING, the
+    ``kmeans_fit`` trick that makes the whole optimization trajectory
+    engine-reproducible. Features here are oracle-re-derivable expressions
+    (bias, ln(1+n_chars), a bounded fractional term); label = is-English.
+    The oracle unrolls both GD iterations relationally (gradient CTE →
+    rounded weight CTE → next margin) and every per-document score under
+    the FITTED weights hash-checks. 100 TB shape: per iteration one
+    zero-shuffle margin projection + one partial-combined d-column avg —
+    driver state is d floats; no feature matrix ever materializes."""
+    from kamodo_dask_spark.operators.text import logreg_fit
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1) + F.col("n_chars")).alias("x1"),
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    _, scored = logreg_fit(docs, ["x0", "x1", "x2"], "y", lr=1.0, n_iter=2)
+    return scored.select(
+        "doc_id", F.col("y").cast("bigint").alias("label"), "score"
+    )
+
+
+@register(
     "quality_curriculum",
     """
     WITH s AS (SELECT doc_id, n_chars FROM documents),

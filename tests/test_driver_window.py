@@ -69,6 +69,7 @@ PENDING_THIS_ROUND: list[str] = [
     "text_normalize",
     "kmeans_clusters",
     "substring_removal",
+    "logreg_quality_fit",
 ]
 
 

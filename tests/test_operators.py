@@ -1096,6 +1096,30 @@ def test_upsert_snapshot(spark):
         upsert_snapshot(old, bad, "id")
 
 
+def test_logreg_fit(spark):
+    """GD separates a linearly separable set (loss falls, scores order
+    correctly), the trajectory is deterministic under repartition, and
+    knobs are validated."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.text import logreg_fit
+
+    rows = [(i, 1.0, i / 100.0, 1.0 if i >= 50 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x0 double, x1 double, y double")
+    w, scored = logreg_fit(df, ["x0", "x1"], "y", lr=2.0, n_iter=8)
+    s = {r["id"]: r["score"] for r in scored.collect()}
+    # ordering: higher x1 -> higher score; separated classes score apart
+    assert s[99] > s[75] > s[25] > s[0]
+    assert s[99] > 0.5 > s[0]
+    # deterministic trajectory under repartition
+    w2, _ = logreg_fit(df.repartition(7), ["x0", "x1"], "y", lr=2.0, n_iter=8)
+    assert w == w2
+    with _pytest.raises(ValueError, match="n_iter"):
+        logreg_fit(df, ["x0"], "y", n_iter=0)
+    with _pytest.raises(ValueError, match="feature"):
+        logreg_fit(df, [], "y")
+
+
 def test_remove_spans(spark):
     """Keep-first span removal: the shared run survives in the smaller
     doc id, is excised from the larger; overlapping cuts merge; untouched
