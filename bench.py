@@ -313,6 +313,37 @@ def cell_reuse_micro(spark, n_pts: int = 100_000) -> float:
         cells.unpersist()
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work host-speed constants, recorded with every run so a
+    cross-round wall-clock comparison can be NORMALIZED instead of argued
+    about: rounds 4-7 each saw untouched single-stage entries drift
+    1.3-2x between runner sessions with zero code diff (SCALE.md), and
+    loadavg alone cannot distinguish "host is simply slower today"
+    (hypervisor neighbors, clock state) from a real plan regression.
+
+    - ``py_spin_s``: single-core CPython integer loop — pure scalar speed,
+      immune to BLAS/JVM/thread-count differences;
+    - ``spark_sum_s``: best-of-2 whole-stage-codegen sum over
+      ``spark.range`` on all local cores — JVM+parallel throughput on the
+      exact engine the catalog runs on, no IO.
+
+    A round whose catalog wall moved by the same factor as these constants
+    is a host-speed change, full stop."""
+    py_spin = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        py_spin = min(py_spin, time.perf_counter() - t0)
+    spark_sum = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        spark_sum = min(spark_sum, time.perf_counter() - t0)
+    return {"py_spin_s": round(py_spin, 3), "spark_sum_s": round(spark_sum, 3)}
+
+
 def run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -450,6 +481,10 @@ def run() -> dict:
         out["loadavg_15m"] = round(os.getloadavg()[2], 1)
     except OSError:
         pass
+    # fixed-work host-speed constants (see _calibration): measured AFTER
+    # the catalog so a slow host shows up in them exactly as it showed up
+    # in the timings they normalize
+    out["calibration"] = _calibration(spark)
     # empty tracker keys are omitted and the line is emitted with compact
     # separators: the driver's artifact capture keeps the TAIL of stdout,
     # and r4's spaced line overflowed it (BENCH_r04.json "parsed": null

@@ -80,6 +80,76 @@ def upsert_snapshot(
     return updates.select(*cols).unionByName(survivors.select(*cols))
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC-style diff of two snapshot versions of the same table: one row
+    per changed key with ``op`` ∈ {'insert','delete','update'} — the feed a
+    downstream incremental consumer (index refresh, cache invalidation,
+    replication) actually wants, and the inverse question to
+    :func:`upsert_snapshot` (which APPLIES a delta; this RECOVERS one).
+
+    Output columns: ``key``, ``op_col``, then the snapshot's attribute
+    columns carrying the NEW image for inserts/updates and the OLD image
+    for deletes (the row a consumer needs to act on in each case).
+    Unchanged keys are omitted; attribute equality is null-safe per column.
+
+    100 TB shape: ONE full-outer join on the key — both sides genuinely
+    must be read to diff them, so the lower bound is two scans + one
+    co-partitioning, and that is the whole plan (AQE sort-merge; zero
+    exchanges when both snapshots are bucketed by the key, the layout
+    `write_bucketed` produces). The change test is a row-local null-safe
+    comparison; nothing is collected.
+    """
+    cols = old.columns
+    if set(cols) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: old {sorted(cols)} vs new "
+            f"{sorted(new.columns)}"
+        )
+    if op_col in cols:
+        raise ValueError(f"op_col {op_col!r} collides with a data column")
+    attrs = [c for c in cols if c != key]
+    # presence flags, NOT key-null tests: NULL is a legal key value under
+    # the null-safe join below, so "old side absent" must be detected by a
+    # column that is non-null iff the side matched
+    o = old.select(
+        F.col(key).alias("_o_key"),
+        F.lit(True).alias("_o_present"),
+        *[F.col(a).alias(f"_o_{a}") for a in attrs],
+    )
+    n = new.select(
+        F.col(key).alias("_n_key"),
+        F.lit(True).alias("_n_present"),
+        *[F.col(a).alias(f"_n_{a}") for a in attrs],
+    )
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"_o_{a}").eqNullSafe(F.col(f"_n_{a}"))
+    op = (
+        F.when(F.col("_o_present").isNull(), F.lit("insert"))
+        .when(F.col("_n_present").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    joined = o.join(
+        n, on=F.col("_o_key").eqNullSafe(F.col("_n_key")), how="full_outer"
+    ).withColumn(op_col, op)
+    use_new = F.col(op_col).isin("insert", "update")
+    return joined.filter(F.col(op_col).isNotNull()).select(
+        F.coalesce(F.col("_n_key"), F.col("_o_key")).alias(key),
+        F.col(op_col),
+        *[
+            F.when(use_new, F.col(f"_n_{a}"))
+            .otherwise(F.col(f"_o_{a}"))
+            .alias(a)
+            for a in attrs
+        ],
+    )
+
+
 def upsert_history(
     history: DataFrame,
     updates: DataFrame,

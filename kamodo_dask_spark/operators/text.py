@@ -7,7 +7,7 @@ results are engine-portable (the DuckDB oracle computes identical values).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small and deterministic.
@@ -417,6 +417,64 @@ def corpus_vocabulary(
         F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6).alias(
             "idf"
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — corpus-wide keyword/feature
+    extraction (the unsupervised labeling step of clustering/tagging
+    pipelines; where BM25 scores documents against a QUERY, this scores
+    every term against its own document with no query at all).
+
+    ``idf = ln((N+1)/(df+1))`` (the :func:`corpus_vocabulary` smoothing),
+    ``score = round(tf · idf, 6)``; ranking is over the ROUNDED score with
+    ties broken by term ascending, so the selected rows are identical
+    cross-engine (ln of a count ratio is transcendental — a 6-dp rounding
+    collision has measure zero, and when two terms DO tie the term order
+    decides in both engines).
+
+    Plan shape: the corpus is scanned and tokenized ONCE — tf (one
+    partial-combined (doc, term) aggregation) is eagerly checkpointed, and
+    BOTH consumers read the checkpoint: df is an aggregation over the
+    ALREADY (doc, term)-distinct tf relation (never the raw token stream),
+    and scoring joins tf back to that vocab-sized df relation on the term
+    (hash-uniform — tf rows per term ≤ N, bounded-skew by construction).
+    N is a metadata scalar inlined as a literal (no scalar crossJoin → no
+    BNLJ). The top-k is a row_number window partitioned by doc — rank
+    state is k rows per doc, never a global sort. Three hash-uniform
+    shuffles total at any scale.
+
+    Returns ``(id_col, term, tf, df, score, rank)``, ``rank`` 1-based.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    score = F.round(
+        F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        6,
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(id_col, "term", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -2090,6 +2090,71 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 <> 3),
+    new AS (
+      SELECT o_orderkey,
+             round(o_totalprice
+                   + CASE WHEN o_orderkey % 4 = 0 THEN 100 ELSE 0 END,
+                   2) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 <> 7),
+    j AS (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.price IS DISTINCT FROM n.price
+                    OR o.status IS DISTINCT FROM n.status THEN 'update'
+             END AS op,
+             CASE WHEN n.o_orderkey IS NULL THEN o.price
+                  ELSE n.price END AS price,
+             CASE WHEN n.o_orderkey IS NULL THEN o.status
+                  ELSE n.status END AS status
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, op, price, status FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (``operators/maintenance.py::snapshot_diff``)
+    — the inverse of ``incremental_upsert``: given two VERSIONS of a table,
+    recover the change feed (op ∈ insert/delete/update, unchanged keys
+    omitted) a downstream incremental consumer applies. Scenario over
+    ``orders``: the old version lacks keys ``%10 = 3`` (→ inserts), the new
+    version lacks ``%10 = 7`` (→ deletes), and keys ``%4 = 0`` got
+    repriced (+100 → updates). 100 TB shape: ONE full-outer join on the
+    key — the information-theoretic floor for a diff is two scans + one
+    co-partitioning, and that is the entire plan (zero exchanges when both
+    snapshots are bucketed by the key); the change test is a row-local
+    null-safe comparison. Every emitted (key, op, row image) is
+    hash-checked — a missed delete, a phantom update, or the wrong image
+    side (old vs new) all mismatch."""
+    from kamodo_dask_spark.operators.maintenance import snapshot_diff as _diff
+
+    raw = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = raw.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = raw.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, 100).otherwise(0),
+            2,
+        ).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return _diff(old, new, "o_orderkey")
+
+
 def _components_closure_sql(bands: int = 8) -> str:
     """The recursive-CTE transitive closure over the near-dup pair graph,
     shared by every clustering oracle (``dedup_clusters``,
@@ -3567,6 +3632,39 @@ def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return corpus_vocabulary(docs, min_df=5, max_df_frac=0.5)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_sql_words()}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT doc_id, term, tf, df,
+                 round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS score
+          FROM tf JOIN d USING (term), tot),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank FROM s)
+    SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms
+    (``operators/text.py::tfidf_top_terms``): corpus-wide keyword
+    extraction — the unsupervised-labeling complement to ``bm25_search``
+    (which needs a query) and the scoring use of ``vocabulary``'s idf.
+    Ranking is over the 6-dp-rounded score with term-ascending ties, so
+    the SELECTED rows (not just counts) hash-check cross-engine. 100 TB
+    shape: one scan + checkpointed tf, df aggregated from tf (never the
+    raw token stream), N inlined as a literal, per-doc row_number — three
+    hash-uniform shuffles, no global sort."""
+    from kamodo_dask_spark.operators.text import tfidf_top_terms as _tfidf
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _tfidf(docs, k=3)
 
 
 @register(

@@ -70,6 +70,8 @@ PENDING_THIS_ROUND: list[str] = [
     "kmeans_clusters",
     "substring_removal",
     "logreg_quality_fit",
+    "snapshot_diff",
+    "tfidf_top_terms",
 ]
 
 

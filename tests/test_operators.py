@@ -1286,6 +1286,90 @@ def test_upsert_history_scd2(spark):
         upsert_history(hist, bad_cols, "id", "eff")
 
 
+def test_tfidf_top_terms(spark):
+    """Scores match the hand formula; rank is per-doc, score-desc with
+    term-asc ties; k truncates; a corpus-ubiquitous term scores below a
+    doc-specific one."""
+    import math
+
+    from kamodo_dask_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in out.collect()
+    }
+    # N=3; idf(df=1)=ln(2), idf(df=2)=ln(4/3), idf(df=3)=0
+    assert rows[(1, 1)] == (
+        "apple", 2, 1, round(2 * math.log(4.0 / 2.0), 6))
+    assert rows[(1, 2)] == (
+        "banana", 1, 2, round(math.log(4.0 / 3.0), 6))
+    assert rows[(3, 1)] == (
+        "date", 3, 1, round(3 * math.log(4.0 / 2.0), 6))
+    # "common" appears in every doc -> idf ln(4/4)=0: ranks last, but is
+    # still listed when k reaches it
+    assert rows[(3, 2)] == ("common", 1, 3, 0.0)
+    # doc 2: banana (df=2) and cherry (df=1) -> cherry scores higher
+    assert rows[(2, 1)][0] == "cherry"
+    assert len([k for k in rows if k[0] == 2]) == 2  # k truncates
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_top_terms(df, k=0)
+
+
+def test_snapshot_diff(spark):
+    """Diff recovers insert/delete/update with the right row image per op;
+    unchanged keys are omitted; NULL keys and NULL attrs compare
+    null-safely; schema/op-col collisions raise."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),      # unchanged
+            (2, 20.0, "b"),      # value update
+            (3, 30.0, None),     # NULL attr, unchanged (null-safe)
+            (4, 40.0, "d"),      # deleted
+            (None, 50.0, "e"),   # NULL key, updated
+        ],
+        "id long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 21.0, "b"),
+            (3, 30.0, None),
+            (5, 55.0, "f"),      # inserted
+            (None, 51.0, "e"),
+        ],
+        "id long, v double, s string",
+    )
+    out = {
+        r["id"]: (r["op"], r["v"], r["s"])
+        for r in snapshot_diff(old, new, "id").collect()
+    }
+    assert out == {
+        2: ("update", 21.0, "b"),     # new image
+        4: ("delete", 40.0, "d"),     # old image
+        5: ("insert", 55.0, "f"),     # new image
+        None: ("update", 51.0, "e"),  # NULL key matched null-safely
+    }
+    # identical snapshots -> empty diff
+    assert snapshot_diff(old, old, "id").count() == 0
+    with _pytest.raises(ValueError, match="schema"):
+        snapshot_diff(old, new.drop("s"), "id")
+    with _pytest.raises(ValueError, match="op_col"):
+        snapshot_diff(old, new, "id", op_col="v")
+
+
 def test_minhash_family_not_degenerate(docs, spark):
     """Round-4 regression guard: the universal-hash family must actually
     wrap its modulus. The old (a·h+b) mod 2^61−1 family with a < 2^20 and
