@@ -767,6 +767,97 @@ def kmeans_fit(
     return final, centroids
 
 
+def pca_power_iteration(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    round_digits: int = 6,
+) -> "tuple[DataFrame, list[float]]":
+    """Top principal component of an embedding column by POWER ITERATION,
+    deterministic end to end — the dimensionality-reduction fit that
+    completes the embedding stack (:func:`kmeans_fit` clusters, this finds
+    the dominant axis: whitening, drift diagnostics, 1-D curriculum
+    ordering by "how mainstream is this vector").
+
+    Never materializes the d×d covariance: each iteration applies it as
+    two corpus-local passes, ``s_i = ⟨x_i − μ, v⟩`` (zero-shuffle map, μ
+    and v inlined as literals) then ``w = avg_i(s_i · (x_i − μ))`` (one
+    posexplode + partial-combined per-dim aggregation — the
+    :func:`label_centroids` M-step shape, exchanged volume d × tasks,
+    corpus-size-independent). Driver state per round is the d-float
+    ``w`` — metadata-sized by definition.
+
+    Determinism (the :func:`kmeans_fit` recipe): init is the constant
+    vector ``round(1/√d, r)``; every per-row projection and every per-dim
+    mean is ROUNDED to ``round_digits`` in-engine, so iteration t+1's
+    input is identical across engines/cluster sizes regardless of float
+    summation order. Intermediate iterates stay UNNORMALIZED (power
+    iteration only needs direction; for small fixed ``n_iter`` the scale
+    stays bounded, and skipping the per-round normalization keeps every
+    driver-side operation exact) — scale and sign are fixed once at the
+    end: the returned component has unit norm and a positive first nonzero
+    coordinate.
+
+    Rows with NULL vectors or a length other than the corpus-max ``d``
+    are dropped (no defined projection). Raises when the iterate
+    collapses to zero (rank-0 input after centering).
+
+    Returns ``(scores, component)``: ``(id_col, pc1)`` — each row's
+    rounded projection on the unit component — and the component itself.
+    """
+    import math
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    v = F.col(vec_col)
+    d = df.agg(F.max(F.size(v))).first()[0]
+    if not d or d <= 0:
+        raise ValueError("no non-empty vectors to fit on")
+    rows = df.filter(v.isNotNull() & (F.size(v) == d)).select(
+        F.col(id_col), v.alias("_x")
+    )
+    mu = (
+        rows.select(F.posexplode("_x").alias("_dim", "_val"))
+        .groupBy("_dim")
+        .agg(F.round(F.avg(F.col("_val").cast("double")), round_digits).alias("_m"))
+        .collect()  # d rows (metadata-sized)
+    )
+    mu_vec = [0.0] * d
+    for r in mu:
+        mu_vec[int(r["_dim"])] = float(r["_m"])
+    mu_arr = F.array(*[F.lit(m) for m in mu_vec])
+    centered = F.zip_with("_x", mu_arr, lambda a, b: a.cast("double") - b)
+
+    w = [round(1.0 / math.sqrt(d), round_digits)] * d
+    for _ in range(n_iter):
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        s = F.round(dot(centered, w_arr), round_digits)
+        means = (
+            rows.select(s.alias("_s"), F.posexplode(centered).alias("_dim", "_c"))
+            .groupBy("_dim")
+            .agg(
+                F.round(F.avg(F.col("_s") * F.col("_c")), round_digits).alias("_w")
+            )
+            .collect()  # d rows (metadata-sized)
+        )
+        w = [0.0] * d
+        for r in means:
+            w[int(r["_dim"])] = float(r["_w"])
+    nrm = math.sqrt(sum(x * x for x in w))
+    if nrm == 0.0:
+        raise ValueError(
+            "power iteration collapsed to the zero vector — centered input "
+            "has no variance along the iterate"
+        )
+    sgn = next((-1.0 if x < 0 else 1.0 for x in w if x != 0.0), 1.0)
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    pc1 = F.round(dot(centered, w_arr) * F.lit(sgn) / F.lit(nrm), round_digits)
+    scores = rows.select(F.col(id_col), pc1.alias("pc1"))
+    component = [sgn * x / nrm for x in w]
+    return scores, component
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -4367,6 +4367,60 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _pca_iter_sql(t: int) -> str:
+    """One power-iteration step against iterate relation ``w{t}``: rounded
+    per-vector projection, then rounded per-dim mean of projection×centered
+    — the same two-pass covariance application the Spark operator runs."""
+    return f"""
+    s{t} AS (SELECT c.vec_id, round(sum(c.x * w.w), 6) AS s
+             FROM c JOIN w{t} w USING (dim) GROUP BY 1),
+    w{t + 1} AS (SELECT c.dim, round(avg(s.s * c.x), 6) AS w
+                 FROM c JOIN s{t} s USING (vec_id) GROUP BY 1)"""
+
+
+@register(
+    "pca_power_iteration",
+    f"""
+    WITH dd AS (SELECT max(len(embedding)) AS nd FROM embeddings),
+    v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
+          FROM embeddings, dd, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          WHERE len(embedding) = nd),
+    mu AS (SELECT dim, round(avg(x), 6) AS m FROM v GROUP BY 1),
+    c AS (SELECT vec_id, dim, x - m AS x FROM v JOIN mu USING (dim)),
+    w0 AS (SELECT dim, round(1.0 / sqrt(nd), 6) AS w FROM mu, dd),
+    {_pca_iter_sql(0)},
+    {_pca_iter_sql(1)},
+    fin AS (SELECT sqrt(sum(w * w)) AS nrm,
+                   coalesce((SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END
+                             FROM w2 WHERE w <> 0 ORDER BY dim LIMIT 1),
+                            1.0) AS sgn
+            FROM w2)
+    SELECT c.vec_id, round(sum(c.x * w.w) * f.sgn / f.nrm, 6) AS pc1
+    FROM c JOIN w2 w USING (dim), fin f
+    GROUP BY c.vec_id, f.sgn, f.nrm
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration
+    (``operators/similarity.py::pca_power_iteration``, 2 iterations): the
+    dimensionality-reduction fit completing the embedding stack — PC-1
+    projections drive whitening, drift diagnostics, and "how mainstream"
+    curriculum ordering. The covariance is never materialized: each
+    iteration applies it as a zero-shuffle rounded projection (μ and the
+    iterate inlined as literals) plus one posexplode per-dim mean whose
+    exchanged volume is d×tasks, corpus-size-independent; iterates stay
+    unnormalized (direction is all that matters; rounding pins the
+    trajectory cross-engine exactly as ``kmeans_clusters``), and unit
+    scale + positive-first-coordinate sign are fixed once at the end. The
+    oracle unrolls both iterations relationally; every (vector, pc1) row
+    hash-checks. Driver state: d floats per round."""
+    from kamodo_dask_spark.operators.similarity import pca_power_iteration
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scores, _ = pca_power_iteration(emb, n_iter=2)
+    return scores
+
+
 @register(
     "text_normalize",
     """

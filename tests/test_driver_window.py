@@ -72,6 +72,7 @@ PENDING_THIS_ROUND: list[str] = [
     "logreg_quality_fit",
     "snapshot_diff",
     "tfidf_top_terms",
+    "pca_power_iteration",
 ]
 
 

@@ -1324,6 +1324,47 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def test_pca_power_iteration(spark):
+    """Recovers the dominant axis of an anisotropic cloud (sign-fixed,
+    unit norm); projections order along that axis; NULL/ragged rows drop;
+    rank-0 input raises."""
+    import math
+
+    from kamodo_dask_spark.operators.similarity import pca_power_iteration
+
+    # points on the line span{(1, 2)} with a small orthogonal wiggle:
+    # t in [-10, 10], x = (t + eps*2, 2t - eps*1) where eps alternates
+    rows = []
+    for i in range(-10, 11):
+        eps = 0.1 if i % 2 == 0 else -0.1
+        rows.append((i + 10, [float(i + 2 * eps), float(2 * i - eps)]))
+    rows.append((100, None))          # dropped: NULL
+    rows.append((101, [1.0]))         # dropped: ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scores, comp = pca_power_iteration(df, n_iter=3)
+    # component ~ (1, 2)/sqrt(5), first coordinate positive
+    want = [1 / math.sqrt(5), 2 / math.sqrt(5)]
+    assert math.isclose(sum(x * x for x in comp), 1.0, rel_tol=1e-9)
+    assert comp[0] > 0
+    assert abs(comp[0] - want[0]) < 0.02 and abs(comp[1] - want[1]) < 0.02
+    got = {r["vec_id"]: r["pc1"] for r in scores.collect()}
+    assert 100 not in got and 101 not in got and len(got) == 21
+    # projections are monotone in t (the cloud's parameter)
+    ordered = [got[i + 10] for i in range(-10, 11)]
+    assert ordered == sorted(ordered)
+    # deterministic under repartition
+    s2, c2 = pca_power_iteration(df.repartition(7), n_iter=3)
+    assert c2 == comp
+    assert {r["vec_id"]: r["pc1"] for r in s2.collect()} == got
+    # rank-0 (all-identical vectors -> zero variance) raises
+    flat = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="collapsed"):
+        pca_power_iteration(flat, n_iter=1)
+
+
 def test_snapshot_diff(spark):
     """Diff recovers insert/delete/update with the right row image per op;
     unchanged keys are omitted; NULL keys and NULL attrs compare
