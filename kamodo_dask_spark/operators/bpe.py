@@ -90,6 +90,111 @@ def bpe_token_count(text: str) -> int:
     return sum(len(_encode_pretoken(tok)) for tok in PRETOKEN_RE.findall(text))
 
 
+def _apply_merge(syms, left: str, right: str):
+    """Greedy leftmost non-overlapping application of ONE merge rule to a
+    symbol array, as a row-local fold (``F.aggregate``) — the exact
+    semantics of the reference trainer's while-loop
+    (tools/gen_bpe_merges.py::train): 'aaaa' under (a,a) → [aa, aa],
+    'aaaa a' → [aa, aa, a]. The accumulator trick ``element_at('' ++ acc,
+    -1)`` reads the last element without tripping ANSI's out-of-bounds
+    error on the empty initial accumulator."""
+    from pyspark.sql import functions as F
+
+    merged = F.lit(left + right)
+
+    def step(acc, s):
+        last = F.element_at(F.concat(F.array(F.lit("")), acc), -1)
+        hit = (last == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train_merges(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    min_count: int = 2,
+) -> "list[tuple[str, str, int, int]]":
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016) — the
+    learn-the-merges half of the tokenizer stack (``bpe_encode`` applies a
+    merge table; this produces one). Character-level over a word-frequency
+    vocabulary: per round, count adjacent symbol pairs weighted by word
+    frequency, take the most frequent (ties to the LARGEST pair — the
+    embedded-table generator's ``max`` tie-break, so the two trainers
+    agree), and apply it greedily leftmost non-overlapping to every word.
+
+    Everything is integer/string arithmetic — no floats anywhere — so the
+    whole trajectory is engine-exact: a relational oracle can unroll the
+    rounds and hash-check each chosen pair, its count, AND the corpus
+    token total after applying it (which pins the greedy application
+    itself: for self-pairs the merged-occurrence count differs from the
+    raw pair count exactly when runs overlap).
+
+    100 TB shape: the corpus is tokenized ONCE into the (word, freq)
+    vocabulary (one hash shuffle; Zipf makes the vocab orders of magnitude
+    smaller than the corpus). Every training round then runs on the vocab
+    relation only: pair emission is a row-local ``zip_with`` of shifted
+    slices (no posexplode join), the count is one partial-combined
+    aggregation whose exchange carries (pair, partial) rows, the winner is
+    a ``TakeOrderedAndProject`` limit-1, and the merge application is a
+    row-local fold. The vocab is eagerly checkpointed per round (lineage
+    truncation — the connected-components discipline). Driver state: one
+    (pair, count) per round.
+
+    Returns ``[(left, right, pair_count, corpus_tokens_after), ...]``,
+    stopping early when the best pair's count falls below ``min_count``
+    (the generator's noise rule) or no pairs remain.
+    """
+    from pyspark.sql import functions as F
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    freq = F.col(freq_col).cast("bigint")
+    cur = vocab.select(
+        freq.alias("_freq"),
+        # per-character split; regexp_extract_all('.') has no zero-width
+        # trailing-empty edge the way split-on-lookahead does
+        F.regexp_extract_all(F.col(word_col), F.lit("."), F.lit(0)).alias(
+            "_syms"
+        ),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int, int]] = []
+    for _ in range(n_merges):
+        syms = F.col("_syms")
+        n = F.size(syms)
+        pair = F.zip_with(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            cur.select(F.col("_freq"), F.explode(pair).alias("_p"))
+            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            .agg(F.sum("_freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.desc("l"), F.desc("r"))
+            .limit(1)  # TakeOrderedAndProject; driver gets ONE row
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        cur = cur.select(
+            F.col("_freq"), _apply_merge(syms, left, right).alias("_syms")
+        ).localCheckpoint(eager=True)
+        total = int(
+            cur.agg(
+                F.sum(F.size(F.col("_syms")) * F.col("_freq")).cast("bigint")
+            ).first()[0]
+        )
+        merges.append((left, right, cnt, total))
+    return merges
+
+
 def with_bpe_token_count(
     df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
 ) -> DataFrame:

@@ -4367,6 +4367,97 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _bpe_train_iter_sql(t: int) -> str:
+    """One BPE training round against symbol relation ``s{t}``: weighted
+    pair counts → single winner (count desc, pair desc — the trainer's
+    ``max`` tie-break) → greedy leftmost non-overlapping application via
+    gaps-and-islands (a run of k consecutive self-pair matches merges
+    ⌈k/2⌉ times, exactly the fold's semantics) → renumbered ``s{t+1}``,
+    plus the round's audit row ``a{t}``."""
+    return f"""
+    p{t} AS (SELECT a.sym AS l, b.sym AS r, CAST(sum(v.freq) AS BIGINT) AS cnt
+             FROM s{t} a JOIN s{t} b ON a.word = b.word AND b.pos = a.pos + 1
+             JOIN v ON v.word = a.word
+             GROUP BY 1, 2),
+    m{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l DESC, r DESC
+             LIMIT 1),
+    f{t} AS (SELECT s.word, s.pos, s.sym,
+                    coalesce(s.sym = m.l AND lead(s.sym) OVER
+                      (PARTITION BY s.word ORDER BY s.pos) = m.r,
+                      FALSE) AS hit
+             FROM s{t} s, m{t} m),
+    g{t} AS (SELECT *, CASE WHEN hit THEN pos - row_number() OVER
+                      (PARTITION BY word, hit ORDER BY pos) END AS isl
+             FROM f{t}),
+    t{t} AS (SELECT *, hit AND (pos - min(pos) OVER
+                      (PARTITION BY word, isl)) % 2 = 0 AS take
+             FROM g{t}),
+    u{t} AS (SELECT *, coalesce(lag(take) OVER
+                      (PARTITION BY word ORDER BY pos), FALSE) AS prev
+             FROM t{t}),
+    s{t + 1} AS (SELECT u.word,
+                        row_number() OVER (PARTITION BY u.word
+                                           ORDER BY u.pos) AS pos,
+                        CASE WHEN u.take THEN m.l || m.r ELSE u.sym END AS sym
+                 FROM u{t} u, m{t} m
+                 WHERE u.take OR NOT u.prev),
+    a{t} AS (SELECT CAST({t} AS BIGINT) AS rank, m.l AS lhs, m.r AS rhs,
+                    m.cnt AS pair_count,
+                    (SELECT CAST(sum(v.freq * c.n) AS BIGINT)
+                     FROM (SELECT word, count(*) AS n FROM s{t + 1}
+                           GROUP BY 1) c
+                     JOIN v ON v.word = c.word) AS corpus_tokens_after
+             FROM m{t} m)"""
+
+
+@register(
+    "bpe_train",
+    f"""
+    WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS word
+               FROM documents),
+    v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+    s0 AS (SELECT word, i::BIGINT AS pos, substring(word, i, 1) AS sym
+           FROM v, UNNEST(range(1, length(word) + 1)) AS tt(i)),
+    {_bpe_train_iter_sql(0)},
+    {_bpe_train_iter_sql(1)},
+    {_bpe_train_iter_sql(2)}
+    SELECT * FROM a0 UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a2
+    """,
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING
+    (``operators/bpe.py::bpe_train_merges``, 3 rounds): learn the merge
+    table from the corpus itself — the trainable half of the tokenizer
+    stack (``bpe_token_counts`` applies an embedded table; this produces
+    one). All-integer/string arithmetic end to end, so the oracle unrolls
+    every round relationally and hash-checks the chosen pair, its
+    frequency-weighted count, AND the corpus token total after the greedy
+    leftmost application (the total is what pins the application: for
+    self-pairs, overlapping runs merge ⌈k/2⌉ times, not k). 100 TB shape:
+    ONE corpus tokenize+count shuffle builds the Zipf-small word vocab;
+    every round then touches only the vocab relation — row-local zip_with
+    pair emission, one partial-combined pair count, TakeOrderedAndProject
+    limit-1, row-local fold application, eager checkpoint per round.
+    Driver state: one (pair, count) per round."""
+    from kamodo_dask_spark.operators.bpe import bpe_train_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("word")
+    ).groupBy("word").agg(F.count("*").alias("freq"))
+    merges = bpe_train_merges(vocab, 3)
+    return spark.createDataFrame(
+        [(i, l, r, c, t) for i, (l, r, c, t) in enumerate(merges)],
+        "rank long, lhs string, rhs string, pair_count long, "
+        "corpus_tokens_after long",
+    )
+
+
 def _pca_iter_sql(t: int) -> str:
     """One power-iteration step against iterate relation ``w{t}``: rounded
     per-vector projection, then rounded per-dim mean of projection×centered

@@ -73,6 +73,7 @@ PENDING_THIS_ROUND: list[str] = [
     "snapshot_diff",
     "tfidf_top_terms",
     "pca_power_iteration",
+    "bpe_train",
 ]
 
 

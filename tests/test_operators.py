@@ -1324,6 +1324,73 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def _bpe_train_local(vocab, n_merges, min_count=2):
+    """Reference trainer for the cross-check: the tools/gen_bpe_merges.py
+    algorithm (most-frequent pair, max-pair ties, greedy leftmost
+    application), character-level over (word, freq) items."""
+    words = {tuple(w): f for w, f in vocab}
+    out = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, f in words.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pairs[best] < min_count:
+            break
+        merged, new_words = best[0] + best[1], {}
+        for w, f in words.items():
+            o, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == best[0] and w[i + 1] == best[1]:
+                    o.append(merged)
+                    i += 2
+                else:
+                    o.append(w[i])
+                    i += 1
+            new_words[tuple(o)] = new_words.get(tuple(o), 0) + f
+        words = new_words
+        total = sum(len(w) * f for w, f in words.items())
+        out.append((best[0], best[1], pairs[best], total))
+    return out
+
+
+def test_bpe_train_merges(spark):
+    """Distributed trainer ≡ the reference greedy algorithm: pair counts
+    weighted by word freq, max-pair tie-break, greedy leftmost application
+    (self-pair runs merge non-overlapping), min_count stop."""
+    from kamodo_dask_spark.operators.bpe import bpe_train_merges
+
+    vocab = [
+        ("aaaaa", 3),    # (a,a) count 4*3; greedy -> [aa, aa, a]
+        ("banana", 2),   # (a,n)/(n,a) interplay
+        ("bandana", 1),
+        ("aa", 5),
+    ]
+    df = spark.createDataFrame(vocab, "word string, freq long")
+    got = bpe_train_merges(df, 4)
+    want = _bpe_train_local([(list(w), f) for w, f in vocab], 4)
+    assert got == want
+    # greedy non-overlap pinned directly: first merge must be (a,a) and
+    # the corpus total must reflect [aa,aa,a] for 'aaaaa' (3 syms), not
+    # the overlapping count
+    l, r, cnt, total = got[0]
+    assert (l, r) == ("a", "a")
+    # counts: aaaaa contributes 4*3, aa contributes 1*5, banana 0, bandana 0
+    assert cnt == 17
+    # after merge: aaaaa->3 syms *3 + banana->6*2 + bandana->7*1 + aa->1*5
+    assert total == 3 * 3 + 12 + 7 + 5
+    # determinism under repartition
+    assert bpe_train_merges(df.repartition(5), 4) == want
+    # min_count stop: singleton vocab with no repeating pair stops at 0
+    lone = spark.createDataFrame([("xy", 1)], "word string, freq long")
+    assert bpe_train_merges(lone, 3) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, 0)
+
+
 def test_pca_power_iteration(spark):
     """Recovers the dominant axis of an anisotropic cloud (sign-fixed,
     unit norm); projections order along that axis; NULL/ragged rows drop;
