@@ -740,3 +740,93 @@ def test_text_normalize_single_scan_no_exchange(spark):
     assert "Exchange" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_snapshot_diff_single_join(spark):
+    """snapshot_diff: ONE join between the two versions (the diff's
+    information floor) and nothing else wide — no window, no Python."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["snapshot_diff"](spark, SF))
+    assert plan.count("Join") >= 1
+    # one logical join: no operator name appears for a second join pass
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_tfidf_no_global_sort_df_from_tf(spark):
+    """tfidf_top_terms: the top-k is a per-doc window (hash partitioning,
+    never a global range sort), and df aggregates from the CHECKPOINTED tf
+    relation — the corpus parquet is scanned at most once (count probe
+    aside, which scans zero data columns)."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    plan = executed_plan(df)
+    assert "rangepartitioning" not in plan, plan
+    # tf is checkpointed: the plan reads the RDD scan, not parquet twice
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_pca_projection_zero_shuffle(spark):
+    """pca_power_iteration: the RETURNED relation is the final projection —
+    a map-only scan with mu and the fitted component inlined as literals.
+    No exchange, no join, no Python eval."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["pca_power_iteration"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_bpe_train_vocab_rounds_are_vocab_local(spark):
+    """bpe_train: training rounds run on the CHECKPOINTED vocab relation —
+    the last round's winner selection plans as TakeOrderedAndProject over
+    a partial-combined pair aggregation, reading the checkpoint (no
+    parquet rescan), and the merge application is a row-local fold (no
+    Python eval anywhere)."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.bpe import _apply_merge
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    syms = F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0))
+    n = F.size(syms)
+    pair = F.zip_with(
+        F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    top = (
+        vocab.select(F.col("freq"), F.explode(pair).alias("_p"))
+        .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.desc("l"), F.desc("r"))
+        .limit(1)
+    )
+    plan = executed_plan(top)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Python" not in plan, plan
+    applied = vocab.select(_apply_merge(syms, "t", "h").alias("s"))
+    plan2 = executed_plan(applied)
+    assert "Exchange" not in plan2, plan2
+    assert "Python" not in plan2, plan2
