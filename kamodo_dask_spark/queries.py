@@ -4367,6 +4367,79 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _pagerank_iter_sql(t: int) -> str:
+    """One PageRank round against rank relation ``s{t}``: rounded dangling
+    mass, per-destination contribution sum, rounded rank update — the
+    exact arithmetic (including the ``1.0 - 0.85`` spelling, so both
+    engines derive the identical teleport double) the Spark operator
+    runs."""
+    return f"""
+    d{t} AS (SELECT round(coalesce(sum(pr), 0), 6) AS mass
+             FROM s{t} WHERE outd = 0),
+    c{t} AS (SELECT e.dst AS node, sum(s.pr / s.outd) AS cin
+             FROM s{t} s JOIN e ON s.node = e.src
+             WHERE s.outd > 0 GROUP BY 1),
+    s{t + 1} AS (SELECT s.node, s.outd,
+                        round((1.0 - 0.85) / nn.n
+                              + 0.85 * (coalesce(c.cin, 0)
+                                        + d.mass / nn.n), 6) AS pr
+                 FROM s{t} s LEFT JOIN c{t} c USING (node), d{t} d, nn)"""
+
+
+@register(
+    "pagerank",
+    f"""
+    WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1),
+    s0 AS (SELECT n.node, coalesce(od.outd, 0) AS outd,
+                  round(1.0 / nn.n, 6) AS pr
+           FROM nodes n LEFT JOIN od USING (node), nn),
+    {_pagerank_iter_sql(0)},
+    {_pagerank_iter_sql(1)}
+    SELECT node, pr FROM s2
+    """,
+)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (``operators/graph.py::pagerank``, 2 iterations, d=0.85)
+    over the part co-purchase graph — directed edges from the smaller to
+    the larger partkey within each order, so the graph has genuine SINKS
+    and the dangling-mass redistribution is exercised, not decorative.
+    Link analysis is the importance half of graph curation
+    (``dedup_clusters`` is the connectivity half). Per-iteration rounding
+    pins the trajectory cross-engine (the ``kmeans_clusters`` recipe);
+    the oracle unrolls both rounds and every final (node, rank)
+    hash-checks. 100 TB shape: nodes/out-degrees built once and
+    checkpointed; each round is one hash-uniform rank⋈edges join + one
+    partial-combined per-destination sum + a left join back for
+    zero-in-degree nodes; the dangling mass is the only driver-side
+    scalar. Rank state never leaves the cluster."""
+    from kamodo_dask_spark.operators.graph import pagerank as _pr
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return _pr(edges, n_iter=2, damping=0.85)
+
+
 def _bpe_train_iter_sql(t: int) -> str:
     """One BPE training round against symbol relation ``s{t}``: weighted
     pair counts → single winner (count desc, pair desc — the trainer's

@@ -74,6 +74,7 @@ PENDING_THIS_ROUND: list[str] = [
     "tfidf_top_terms",
     "pca_power_iteration",
     "bpe_train",
+    "pagerank",
 ]
 
 

@@ -1324,6 +1324,46 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def test_pagerank(spark):
+    """Hand graph with a sink: ranks match the formula exactly (same
+    rounding), mass is conserved within rounding, sink outranks its
+    feeders, deterministic under repartition, bad args raise."""
+    from kamodo_dask_spark.operators.graph import pagerank
+
+    # A -> B, A -> C, B -> C; C is dangling
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=2).collect()}
+
+    def expected():
+        n = 3
+        pr = {x: round(1.0 / n, 6) for x in "ABC"}
+        out = {"A": 2, "B": 1, "C": 0}
+        base = (1.0 - 0.85) / n
+        for _ in range(2):
+            mass = round(sum(pr[x] for x in pr if out[x] == 0), 6)
+            cin = {"B": pr["A"] / 2, "C": pr["A"] / 2 + pr["B"]}
+            pr = {
+                x: round(base + 0.85 * (cin.get(x, 0.0) + mass / n), 6)
+                for x in pr
+            }
+        return pr
+
+    assert got == expected()
+    assert got["C"] > got["B"] > got["A"]
+    # teleport + dangling redistribution conserve mass (to rounding)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got == {
+        r["node"]: r["pr"]
+        for r in pagerank(edges.repartition(5), n_iter=2).collect()
+    }
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.5)
+
+
 def _bpe_train_local(vocab, n_merges, min_count=2):
     """Reference trainer for the cross-check: the tools/gen_bpe_merges.py
     algorithm (most-frequent pair, max-pair ties, greedy leftmost
