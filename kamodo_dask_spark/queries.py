@@ -4367,6 +4367,95 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+@register(
+    "record_linkage",
+    """
+    WITH lw AS (SELECT p_partkey AS lid,
+                       list_filter(string_split_regex(lower(p_name), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM part),
+    rr AS (SELECT lid + 1000000 AS rid,
+                  CASE WHEN lid % 3 = 0 THEN list_append(ws, 'mangled')
+                       WHEN lid % 3 = 1 THEN list_prepend('mangled', ws)
+                       ELSE ws END AS ws
+           FROM lw),
+    lt AS (SELECT lid, unnest(list_distinct(ws)) AS word FROM lw),
+    rt AS (SELECT rid, unnest(list_distinct(ws)) AS word FROM rr),
+    lb AS (SELECT lid, unnest(list_distinct(
+             [ws[i] || ' ' || ws[i + 1] for i in range(1, greatest(len(ws), 1))]
+           )) AS bkey FROM lw),
+    rb AS (SELECT rid, unnest(list_distinct(
+             [ws[i] || ' ' || ws[i + 1] for i in range(1, greatest(len(ws), 1))]
+           )) AS bkey FROM rr),
+    keep AS (SELECT bkey FROM (SELECT bkey FROM lb UNION ALL
+                               SELECT bkey FROM rb)
+             GROUP BY bkey HAVING count(*) <= 1000),
+    cand AS (SELECT DISTINCT l.lid, r.rid
+             FROM lb l JOIN keep USING (bkey) JOIN rb r USING (bkey)),
+    ln AS (SELECT lid, count(*) AS n FROM lt GROUP BY 1),
+    rn AS (SELECT rid, count(*) AS n FROM rt GROUP BY 1),
+    sh AS (SELECT c.lid, c.rid, count(*) AS s
+           FROM cand c
+           JOIN lt ON lt.lid = c.lid
+           JOIN rt ON rt.rid = c.rid AND rt.word = lt.word
+           GROUP BY 1, 2),
+    sc AS (SELECT sh.rid, sh.lid,
+                  round(sh.s / (ln.n + rn.n - sh.s), 6) AS jaccard
+           FROM sh JOIN ln USING (lid) JOIN rn USING (rid)
+           WHERE round(sh.s / (ln.n + rn.n - sh.s), 6) >= 0.5),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY rid
+                 ORDER BY jaccard DESC, lid) AS k FROM sc)
+    SELECT rid AS cand_key, lid AS p_partkey, jaccard FROM rk WHERE k = 1
+    """,
+)
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution
+    (``operators/linkage.py::link_records``): match a corrupted re-ingest
+    of the ``part`` catalog (every third name gains a trailing noise
+    word, every other third a leading one) back to the originals with NO
+    shared key —
+    adjacent-word-bigram blocking (selective where single words are not:
+    part names draw from ~100 colors, so word blocks explode
+    quadratically while bigram blocks stay small), a document-frequency
+    guard dropping stop-bigrams BEFORE pairing, exact word-set Jaccard
+    verification on the candidate relation only, and per-record argmax
+    resolution (jaccard desc, id asc — deterministic). Every (right, best
+    left, score) row hash-checks. 100 TB shape: candidates bounded by
+    Σ df²  over kept blocking keys, never |L|·|R|; the verify join and the
+    per-record window are both candidate-sized."""
+    from kamodo_dask_spark.operators.linkage import link_records
+
+    parts = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ws = F.filter(
+        F.split(F.lower(F.col("p_name")), r"\s+"), lambda w: w != ""
+    )
+    corrupted = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(ws, F.array(F.lit("mangled"))),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.array(F.lit("mangled")), ws),
+        )
+        .otherwise(ws)
+    )
+    right = parts.select(
+        (F.col("p_partkey") + 1000000).alias("cand_key"),
+        F.concat_ws(" ", corrupted).alias("p_name"),
+    )
+    out = link_records(
+        parts,
+        right,
+        "p_partkey",
+        "cand_key",
+        text_col="p_name",
+        threshold=0.5,
+        max_block=1000,
+    )
+    return out.select("cand_key", "p_partkey", "jaccard")
+
+
 def _pagerank_iter_sql(t: int) -> str:
     """One PageRank round against rank relation ``s{t}``: rounded dangling
     mass, per-destination contribution sum, rounded rank update — the

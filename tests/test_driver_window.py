@@ -75,6 +75,7 @@ PENDING_THIS_ROUND: list[str] = [
     "pca_power_iteration",
     "bpe_train",
     "pagerank",
+    "record_linkage",
 ]
 
 

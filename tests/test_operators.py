@@ -1324,6 +1324,46 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def test_link_records(spark):
+    """Corrupted records resolve to their originals; the best match wins
+    with id-asc ties; sub-threshold and blocked-out records are absent;
+    the frequency guard prunes stop-bigrams; bad args raise."""
+    from kamodo_dask_spark.operators.linkage import link_records
+
+    left = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta"),   # duplicate of 1 -> tie, id asc
+            (4, "iota kappa lambda mu"),
+        ],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),        # 1 (tie with 3 -> smaller id)
+            (11, "zeta eta theta"),          # 2
+            (12, "nu xi omicron pi"),        # no shared bigram -> absent
+            (13, "iota kappa unrelated1 unrelated2"),  # J=2/6 < 0.5 -> absent
+        ],
+        "rid long, name string",
+    )
+    out = {
+        r["rid"]: (r["lid"], r["jaccard"])
+        for r in link_records(left, right, "lid", "rid").collect()
+    }
+    assert out == {10: (1, 0.75), 11: (2, 0.75)}
+    # frequency guard: with max_block=1 every bigram (df>=2 across the
+    # corrupted copies) is dropped -> no candidates at all
+    assert (
+        link_records(left, right, "lid", "rid", max_block=1).count() == 0
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        link_records(left, right, "lid", "rid", threshold=0.0)
+    with pytest.raises(ValueError, match="must differ"):
+        link_records(left, right, "id", "id")
+
+
 def test_pagerank(spark):
     """Hand graph with a sink: ranks match the formula exactly (same
     rounding), mass is conserved within rounding, sink outranks its
