@@ -830,3 +830,27 @@ def test_bpe_train_vocab_rounds_are_vocab_local(spark):
     plan2 = executed_plan(applied)
     assert "Exchange" not in plan2, plan2
     assert "Python" not in plan2, plan2
+
+
+def test_pagerank_final_state_is_checkpoint(spark):
+    """pagerank: iterations materialize via eager checkpoints — the
+    returned relation reads the final checkpointed rank state (no parquet
+    rescan, no residual exchange in the returned plan)."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["pagerank"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_record_linkage_no_cross_join(spark):
+    """record_linkage: every join is an equi-join on a blocking key, word,
+    or id — a cartesian/nested-loop pairing of the two relations must
+    never appear, and the resolution window hash-partitions (no global
+    range sort)."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["record_linkage"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
