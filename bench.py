@@ -86,6 +86,18 @@ SF01_BUDGETS = {
     # to sort-merge (corner) or a per-batch rebuild regression (interp).
     "interp_4d_corner": 6.0,
     "streaming_interp": 5.0,
+    # r7 additions, ~2x headroom over isolated warm measurements: linkage
+    # guards against a blocking regression re-exploding the candidate set
+    # (its first fixture produced 6.3M candidates from 64 degenerate
+    # bigram blocks — 9.6 s; the serial-suffixed fixture + max_block=100
+    # measures ~2.2 s), pagerank against a lost checkpoint re-running the
+    # iteration lineage, the trainers against a fold/codegen regression.
+    "record_linkage": 6.0,
+    "pagerank": 9.0,
+    "pca_power_iteration": 6.0,
+    "bpe_train": 4.0,
+    "kmeans_clusters": 4.5,
+    "substring_removal": 5.0,
 }
 
 

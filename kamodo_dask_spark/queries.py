@@ -4368,11 +4368,52 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversions",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts, event_type
+               FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           coalesce(s3.t3 - s1.t1 <= 7200000000, FALSE) AS converted
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequential-pattern analysis
+    (``operators/funnel.py::funnel``): per user, the greedy-earliest
+    view → click → purchase chain with strictly increasing timestamps,
+    converted iff the chain completes within 2 hours — the
+    ``MATCH_RECOGNIZE`` query class as plain relational algebra (neither
+    Spark SQL nor the reference has the primitive). Timestamps are exact
+    integer microseconds; every (user, t1, t2, t3, converted) row
+    hash-checks. 100 TB shape: events projected+checkpointed ONCE, then
+    one hash join + partial-combined min per step over strictly shrinking
+    per-user aggregates — no windows, no per-user event arrays, power-user
+    skew costs only their filter width."""
+    from kamodo_dask_spark.operators.funnel import funnel
+
+    events = read_table(spark, sf_dir, "events")
+    return funnel(
+        events,
+        ["view", "click", "purchase"],
+        window_us=7_200_000_000,
+    )
+
+
+@register(
     "record_linkage",
     """
     WITH lw AS (SELECT p_partkey AS lid,
-                       list_filter(string_split_regex(lower(p_name), '\\s+'),
-                                   x -> x <> '') AS ws
+                       list_filter(string_split_regex(
+                         lower(p_name) || ' ' || (p_partkey % 1000)::VARCHAR,
+                         '\\s+'), x -> x <> '') AS ws
                 FROM part),
     rr AS (SELECT lid + 1000000 AS rid,
                   CASE WHEN lid % 3 = 0 THEN list_append(ws, 'mangled')
@@ -4389,7 +4430,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            )) AS bkey FROM rr),
     keep AS (SELECT bkey FROM (SELECT bkey FROM lb UNION ALL
                                SELECT bkey FROM rb)
-             GROUP BY bkey HAVING count(*) <= 1000),
+             GROUP BY bkey HAVING count(*) <= 100),
     cand AS (SELECT DISTINCT l.lid, r.rid
              FROM lb l JOIN keep USING (bkey) JOIN rb r USING (bkey)),
     ln AS (SELECT lid, count(*) AS n FROM lt GROUP BY 1),
@@ -4411,21 +4452,30 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage / entity resolution
     (``operators/linkage.py::link_records``): match a corrupted re-ingest
-    of the ``part`` catalog (every third name gains a trailing noise
-    word, every other third a leading one) back to the originals with NO
-    shared key —
-    adjacent-word-bigram blocking (selective where single words are not:
-    part names draw from ~100 colors, so word blocks explode
-    quadratically while bigram blocks stay small), a document-frequency
-    guard dropping stop-bigrams BEFORE pairing, exact word-set Jaccard
-    verification on the candidate relation only, and per-record argmax
-    resolution (jaccard desc, id asc — deterministic). Every (right, best
-    left, score) row hash-checks. 100 TB shape: candidates bounded by
-    Σ df²  over kept blocking keys, never |L|·|R|; the verify join and the
-    per-record window are both candidate-sized."""
+    of the ``part`` catalog (serial-suffixed names; every third record
+    gains a trailing noise word, every other third a leading one) back to
+    the originals with NO shared key — adjacent-word-bigram blocking, a
+    document-frequency guard that DROPS the stop-bigrams (the base name
+    vocabulary is tiny, so bare-name bigrams are exactly the quadratic
+    blocks the guard exists for — only the selective serial bigrams
+    survive it), exact word-set Jaccard verification on the candidate
+    relation only, and per-record argmax resolution (jaccard desc, id asc
+    — deterministic). Every (right, best left, score) row hash-checks.
+    100 TB shape: candidates bounded by Σ df² over KEPT blocking keys,
+    never |L|·|R|; the verify join and the per-record window are both
+    candidate-sized."""
     from kamodo_dask_spark.operators.linkage import link_records
 
-    parts = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    raw = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # serial-suffixed catalog names (base vocabulary is tiny, so bare-name
+    # bigram blocks would be the quadratic stop-word case the guard
+    # exists for — the serial bigram is the selective key that survives)
+    parts = raw.select(
+        "p_partkey",
+        F.concat_ws(
+            " ", F.col("p_name"), (F.col("p_partkey") % 1000).cast("string")
+        ).alias("p_name"),
+    )
     ws = F.filter(
         F.split(F.lower(F.col("p_name")), r"\s+"), lambda w: w != ""
     )
@@ -4451,7 +4501,7 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_key",
         text_col="p_name",
         threshold=0.5,
-        max_block=1000,
+        max_block=100,
     )
     return out.select("cand_key", "p_partkey", "jaccard")
 

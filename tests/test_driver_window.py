@@ -76,6 +76,7 @@ PENDING_THIS_ROUND: list[str] = [
     "bpe_train",
     "pagerank",
     "record_linkage",
+    "funnel_conversions",
 ]
 
 

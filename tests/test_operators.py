@@ -1324,6 +1324,58 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def test_funnel(spark):
+    """Greedy-earliest chain semantics: strictly increasing timestamps,
+    per-step earliest-after-previous, window bound on t_last - t1, broken
+    chains carry NULLs, simultaneous events don't chain, bad args raise."""
+    import datetime as dt
+
+    from kamodo_dask_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: converts (0 -> 10 -> 30, within 60 min)
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(30), "purchase"),
+        # click BEFORE the first view must not chain
+        (1, ts(-5), "click"),
+        # user 2: completes but outside the window (0 -> 10 -> 90)
+        (2, ts(0), "view"), (2, ts(10), "click"), (2, ts(90), "purchase"),
+        # user 3: chain breaks at click (purchase first, no click after view)
+        (3, ts(0), "purchase"), (3, ts(5), "view"),
+        # user 4: simultaneous view+click -> strict > rejects the click
+        (4, ts(0), "view"), (4, ts(0), "click"),
+        # user 5: never reaches step 1 -> absent
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+        # user 6: greedy t1 is the EARLIEST view; a later view that would
+        # convert is not considered (greedy, not exists-any)
+        (6, ts(0), "view"), (6, ts(100), "view"),
+        (6, ts(110), "click"), (6, ts(120), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["t1"] is not None, r["t2"] is not None,
+                       r["t3"] is not None, r["converted"])
+        for r in funnel(df, ["view", "click", "purchase"],
+                        window_us=3_600_000_000).collect()
+    }
+    assert out == {
+        1: (True, True, True, True),
+        2: (True, True, True, False),   # completed but late
+        3: (True, False, False, False),
+        4: (True, False, False, False),  # strict > at equal ts
+        6: (True, True, True, False),    # greedy t1 makes the span 120 min
+    }
+    assert 5 not in out
+    with pytest.raises(ValueError, match="steps"):
+        funnel(df, ["view"], window_us=1)
+    with pytest.raises(ValueError, match="window_us"):
+        funnel(df, ["view", "click"], window_us=0)
+
+
 def test_link_records(spark):
     """Corrupted records resolve to their originals; the best match wins
     with id-asc ties; sub-threshold and blocked-out records are absent;
