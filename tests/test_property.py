@@ -408,3 +408,123 @@ def test_pack_sequences_matches_python_oracle(spark, seed, seq_len, n_shards):
             }
             off += n_tok
     assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_funnel_matches_bruteforce(spark, seed):
+    """funnel() against a python greedy reference over random event
+    streams: per-user chain times, NULL propagation after a break, and the
+    window bound all agree — including duplicate timestamps (strict >) and
+    users missing step 1 entirely."""
+    import datetime as dt
+
+    from kamodo_dask_spark.operators.funnel import funnel
+
+    rng = np.random.default_rng(seed)
+    steps = ["a", "b", "c"]
+    types = ["a", "b", "c", "x"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for _ in range(rng.integers(5, 60)):
+        rows.append(
+            (
+                int(rng.integers(0, 6)),
+                t0 + dt.timedelta(seconds=int(rng.integers(0, 50))),
+                types[int(rng.integers(0, len(types)))],
+            )
+        )
+    window_us = int(rng.integers(1, 40)) * 1_000_000
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["converted"])
+        for r in funnel(df, steps, window_us=window_us).collect()
+    }
+
+    expected = {}
+    us = {
+        u: sorted(
+            (int(ts.timestamp() * 1_000_000), ty)
+            for uu, ts, ty in rows
+            if uu == u
+        )
+        for u in {r[0] for r in rows}
+    }
+    for u, evs in us.items():
+        chain = []
+        bound = None
+        for step in steps:
+            nxt = min(
+                (t for t, ty in evs if ty == step and (bound is None or t > bound)),
+                default=None,
+            )
+            chain.append(nxt)
+            if nxt is None:
+                break
+            bound = nxt
+        if chain[0] is None:
+            continue
+        chain += [None] * (len(steps) - len(chain))
+        converted = chain[-1] is not None and chain[-1] - chain[0] <= window_us
+        expected[u] = (chain[0], chain[1], chain[2], converted)
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None)
+def test_link_records_matches_bruteforce(spark, seed):
+    """link_records against a python reference: for every right record the
+    reference computes Jaccard against ALL left records (no blocking) and
+    keeps the best >= threshold; the operator must agree whenever the true
+    best match shares at least one kept bigram (blocking completeness on
+    these small vocabularies), and must never emit a pair a full scan would
+    reject."""
+    from kamodo_dask_spark.operators.linkage import link_records
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def name():
+        k = int(rng.integers(2, 5))
+        return " ".join(vocab[int(rng.integers(0, len(vocab)))] for _ in range(k))
+
+    left = [(i, name()) for i in range(10)]
+    right = [(100 + i, name()) for i in range(10)]
+    ldf = spark.createDataFrame(left, "lid long, name string")
+    rdf = spark.createDataFrame(right, "rid long, name string")
+    thr = 0.34
+    got = {
+        r["rid"]: (r["lid"], r["jaccard"])
+        for r in link_records(
+            ldf, rdf, "lid", "rid", threshold=thr, max_block=10_000
+        ).collect()
+    }
+
+    def toks(s):
+        return set(s.split())
+
+    def bigrams(s):
+        ws = s.split()
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    for rid, rname in right:
+        best = None
+        for lid, lname in left:
+            sh = len(toks(lname) & toks(rname))
+            if sh == 0:
+                continue
+            j = round(sh / (len(toks(lname)) + len(toks(rname)) - sh), 6)
+            if j >= thr and (best is None or (j, -lid) > (best[1], -best[0])):
+                best = (lid, j)
+        if best is not None and bigrams(right[rid - 100][1]) & bigrams(
+            dict(left)[best[0]]
+        ):
+            assert got.get(rid) == (best[0], best[1]), (rid, best, got.get(rid))
+        # soundness: anything emitted must be >= threshold under full scan
+        if rid in got:
+            lid, j = got[rid]
+            sh = len(toks(dict(left)[lid]) & toks(rname))
+            jj = round(
+                sh / (len(toks(dict(left)[lid])) + len(toks(rname)) - sh), 6
+            )
+            assert jj == j and jj >= thr
