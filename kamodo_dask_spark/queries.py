@@ -4368,6 +4368,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_scan",
+    """
+    WITH v1 AS (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                       NULL::VARCHAR AS status
+                FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                  o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(status, '<pre-evolution>') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(price), 2) AS total
+    FROM u GROUP BY 1
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lakehouse add-a-column migration with
+    NO table format: version-1 files wrote ``(key, price)``, version-2
+    files added ``status``; ONE ``mergeSchema`` parquet scan unifies them,
+    NULL-backfilling the missing column for old files, and the aggregate
+    runs over the union. The entry WRITES both versions (deterministic
+    derivation from ``orders``: even keys as v1, odd as v2) into an
+    ephemeral directory and reads them back merged, so the driver row
+    checks the actual parquet round trip, not a DataFrame union; the
+    oracle reproduces the semantics relationally (v1 rows carry NULL
+    status). 100 TB shape: schema merge happens in footer reconciliation
+    at planning time — the scan itself stays one pass with pushdown
+    intact; files never rewrite (the whole point of additive schema
+    evolution)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "price"
+    ).write.mode("overwrite").parquet(f"{base}/v=1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/v=1", f"{base}/v=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("status"), F.lit("<pre-evolution>")).alias("status")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )
+
+
+@register(
     "funnel_conversions",
     """
     WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts, event_type

@@ -77,6 +77,7 @@ PENDING_THIS_ROUND: list[str] = [
     "pagerank",
     "record_linkage",
     "funnel_conversions",
+    "schema_evolution_scan",
 ]
 
 
