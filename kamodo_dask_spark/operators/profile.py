@@ -85,3 +85,102 @@ def profile_columns(
         )
         .orderBy("column_name")
     )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chi-square contingency cells for two categorical columns — the
+    independence audit of dataset profiling (is the language mix the same
+    across sources, or does one source skew?). Emits every (a, b) cell of
+    the margin cross product — INCLUDING zero-observation cells, which a
+    naive observed-only groupBy silently drops even though they contribute
+    ``expected`` to the statistic — with observed count, expected count
+    under independence, and the cell's chi-square contribution
+    ``(obs − exp)² / exp``.
+
+    Determinism: expected is rounded once (``round(row·col/n, r)``, exact
+    integer products into one IEEE division) and the contribution is
+    computed FROM the rounded expected, so both numbers reproduce
+    cross-engine bit-for-bit.
+
+    100 TB shape: one corpus scan to the (a, b) observed counts; margins
+    aggregate from the OBSERVED relation (cardinality |a|·|b|, metadata-
+    sized for categorical columns — never a corpus rescan); the cell
+    universe is a cross join of the two margin relations (|a|×|b| rows —
+    the one place a cross join is the honest plan) with observed counts
+    left-joined and zero-filled. Total chi-square = ``sum(contrib)``
+    downstream.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    obs = (
+        df.groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count("*").cast("bigint").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    row = obs.groupBy("a").agg(F.sum("obs").alias("_ra"))
+    col = obs.groupBy("b").agg(F.sum("obs").alias("_cb"))
+    n = obs.agg(F.sum("obs")).first()[0]
+    if not n:
+        raise ValueError("no rows to profile")
+    cells = row.crossJoin(col)  # |a| x |b| margin cells (metadata-sized)
+    exp = F.round(
+        (F.col("_ra") * F.col("_cb")).cast("double") / F.lit(float(n)),
+        round_digits,
+    )
+    joined = cells.join(obs, ["a", "b"], "left").select(
+        F.col("a").alias(a_col),
+        F.col("b").alias(b_col),
+        F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        exp.alias("expected"),
+    )
+    contrib = F.round(
+        (F.col("obs") - F.col("expected"))
+        * (F.col("obs") - F.col("expected"))
+        / F.col("expected"),
+        round_digits,
+    )
+    return joined.withColumn("contrib", contrib)
+
+
+def grouped_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation computed RELATIONALLY from raw sums —
+    the formula spelled once and identically in any engine
+    (``(n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)(n·Σy² − Σy²))``), rather than
+    through an engine-specific ``corr`` whose internal accumulation
+    differs. One partial-combined aggregation per group — a single corpus
+    scan, shuffle volume |groups| × 6 partials per task — then a row-local
+    closed-form projection. Rounding the result absorbs float
+    summation-order ulps. Degenerate groups (zero variance in either
+    column) emit NULL rather than dividing by zero.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), round_digits)
+    )
+    return agg.select(
+        group_col,
+        F.col("_n").cast("bigint").alias("n"),
+        corr.alias("corr"),
+    )

@@ -2916,6 +2916,79 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi2_lang_source",
+    """
+    WITH obs AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS obs
+                 FROM documents GROUP BY 1, 2),
+    r AS (SELECT a, sum(obs) AS ra FROM obs GROUP BY 1),
+    c AS (SELECT b, sum(obs) AS cb FROM obs GROUP BY 1),
+    n AS (SELECT sum(obs) AS n FROM obs),
+    cells AS (SELECT r.a, c.b, round((r.ra * c.cb)::DOUBLE / n.n, 6) AS expected
+              FROM r CROSS JOIN c, n),
+    j AS (SELECT cells.a AS lang, cells.b AS source,
+                 CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, cells.expected
+          FROM cells LEFT JOIN obs ON obs.a = cells.a AND obs.b = cells.b)
+    SELECT lang, source, obs, expected,
+           round((obs - expected) * (obs - expected) / expected, 6) AS contrib
+    FROM j
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit
+    (``operators/profile.py::chi_square_cells``): is the language mix the
+    same across sources? Emits EVERY margin-cross cell — including
+    zero-observation cells, which an observed-only groupBy silently drops
+    even though they contribute ``expected`` to the statistic — with
+    observed, expected-under-independence (rounded once from exact integer
+    margin products), and the cell's chi-square contribution computed from
+    the rounded expected, so every number reproduces bit-for-bit. 100 TB
+    shape: one scan to observed counts, margins from the OBSERVED relation
+    (metadata-sized), and the |a|×|b| cell universe is the one honest
+    cross join in the catalog."""
+    from kamodo_dask_spark.operators.profile import chi_square_cells
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chi_square_cells(docs, "lang", "source")
+
+
+@register(
+    "grouped_correlation",
+    """
+    WITH a AS (SELECT l_returnflag,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      sum(l_quantity::DOUBLE) AS sx,
+                      sum(l_extendedprice::DOUBLE) AS sy,
+                      sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+                      sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE)
+                        AS syy,
+                      sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           6)
+           END AS corr
+    FROM a
+    """,
+)
+def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation
+    (``operators/profile.py::grouped_correlation``): quantity vs price per
+    return flag, computed RELATIONALLY from raw sums with the closed-form
+    formula spelled identically in both engines — engine-native ``corr``
+    implementations accumulate differently and have no cross-engine
+    contract. One partial-combined aggregation (single scan, |groups|×6
+    partials per task), then a row-local projection; rounding absorbs
+    summation-order ulps; zero-variance groups emit NULL rather than
+    dividing by zero."""
+    from kamodo_dask_spark.operators.profile import grouped_correlation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return grouped_correlation(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@register(
     "ann_ivf_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v

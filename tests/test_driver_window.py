@@ -78,6 +78,8 @@ PENDING_THIS_ROUND: list[str] = [
     "record_linkage",
     "funnel_conversions",
     "schema_evolution_scan",
+    "chi2_lang_source",
+    "grouped_correlation",
 ]
 
 

@@ -1324,6 +1324,47 @@ def test_tfidf_top_terms(spark):
         tfidf_top_terms(df, k=0)
 
 
+def test_chi_square_cells(spark):
+    """Hand contingency: expected = row*col/n per cell, zero-observation
+    cells present with contrib = expected, perfectly independent margins
+    give contrib 0; empty input raises."""
+    from kamodo_dask_spark.operators.profile import chi_square_cells
+
+    df = spark.createDataFrame(
+        [("en", "web")] * 8 + [("en", "book")] * 2 + [("fr", "web")] * 2,
+        "lang string, source string",
+    )
+    out = {
+        (r["lang"], r["source"]): (r["obs"], r["expected"], r["contrib"])
+        for r in chi_square_cells(df, "lang", "source").collect()
+    }
+    # margins: en=10, fr=2; web=10, book=2; n=12
+    assert out[("en", "web")] == (8, round(100 / 12, 6), round((8 - 100 / 12) ** 2 / round(100 / 12, 6), 6))
+    assert out[("fr", "book")][0] == 0                      # zero cell present
+    assert out[("fr", "book")][1] == round(4 / 12, 6)
+    assert out[("fr", "book")][2] == round(4 / 12, 6)       # (0-e)^2/e = e
+    assert len(out) == 4
+    with pytest.raises(ValueError, match="no rows"):
+        chi_square_cells(df.limit(0), "lang", "source")
+
+
+def test_grouped_correlation(spark):
+    """Perfect linear group -> corr 1.0; anti-linear -> -1.0; constant x
+    -> NULL (no division by zero)."""
+    from kamodo_dask_spark.operators.profile import grouped_correlation
+
+    rows = (
+        [("lin", float(i), 2.0 * i + 3) for i in range(10)]
+        + [("anti", float(i), -1.5 * i) for i in range(10)]
+        + [("flat", 4.0, float(i)) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: (r["n"], r["corr"]) for r in grouped_correlation(df, "g", "x", "y").collect()}
+    assert out["lin"] == (10, 1.0)
+    assert out["anti"] == (10, -1.0)
+    assert out["flat"] == (10, None)
+
+
 def test_funnel(spark):
     """Greedy-earliest chain semantics: strictly increasing timestamps,
     per-step earliest-after-previous, window bound on t_last - t1, broken
