@@ -97,16 +97,46 @@ def test_corner_strategy_small_slab_is_broadcast(spark):
     assert_broadcast_join(df, count=1)
 
 
+#: The explicit allowlist for INTENTIONAL metadata-sized cross joins —
+#: each entry must name why the cross product is the honest plan. Anything
+#: not listed here that plans a nested loop is a regression.
+CROSS_JOIN_ALLOWLIST = {
+    # chi-square cell universe = margins(a) × margins(b): both sides are
+    # aggregates of the observed relation (|a| and |b| category counts,
+    # metadata-sized by the categorical-column contract), and the zero-
+    # observation cells the product generates are REQUIRED by the
+    # statistic — an equi-join cannot produce them.
+    "chi2_lang_source",
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_nested_loop_joins_anywhere(spark, name):
     """Catalog-wide sweep: no query may plan a BroadcastNestedLoopJoin or
     CartesianProduct — the plans that silently turn O(N) into O(N·M) at
-    scale. (Intentional tiny cross joins would need an explicit allowlist.)"""
+    scale — except the documented metadata-sized products in
+    CROSS_JOIN_ALLOWLIST."""
     from kamodo_dask_spark.plans.checks import executed_plan
 
+    if name in CROSS_JOIN_ALLOWLIST:
+        pytest.skip("documented metadata-sized cross join")
     plan = executed_plan(QUERIES[name](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested loop:\n{plan}"
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
+
+
+def test_chi2_cross_join_is_margin_sized(spark):
+    """The allowlisted chi2 cross join must stay margin×margin: both join
+    inputs are aggregates (never a documents-relation side), pinned by the
+    row counts of the product being |a|·|b|."""
+    df = QUERIES["chi2_lang_source"](spark, SF)
+    n_cells = df.count()
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_a = docs.select("lang").distinct().count()
+    n_b = docs.select("source").distinct().count()
+    assert n_cells == n_a * n_b
 
 
 def test_partitioned_grid_roundtrip_and_pruning(spark, grid_dir, tmp_path):
