@@ -93,9 +93,11 @@ def link_records(
         .filter(F.col("_df") <= max_block)
         .select("bkey")
     )
+    # rblocks needs no separate df_counts probe: the bkey equi-join with
+    # the already-guard-filtered left side restricts it to kept keys
     cand = (
         lblocks.join(df_counts, "bkey")
-        .join(rblocks.join(df_counts, "bkey"), "bkey")
+        .join(rblocks, "bkey")
         .select("lid", "rid")
         .distinct()
     )

@@ -127,23 +127,41 @@ def chi_square_cells(
     if not n:
         raise ValueError("no rows to profile")
     cells = row.crossJoin(col)  # |a| x |b| margin cells (metadata-sized)
-    exp = F.round(
-        (F.col("_ra") * F.col("_cb")).cast("double") / F.lit(float(n)),
-        round_digits,
+    # raw (unrounded) expected feeds the contribution: rounding first would
+    # floor rare-margin cells to 0.0 once n is large enough and NULL their
+    # contribution via division by zero — exactly the rare categories a
+    # skew audit is looking for
+    raw_exp = (F.col("_ra") * F.col("_cb")).cast("double") / F.lit(float(n))
+    o = obs.select(
+        F.col("a").alias("_oa"), F.col("b").alias("_ob"), "obs"
     )
-    joined = cells.join(obs, ["a", "b"], "left").select(
+    # null-SAFE cell join: NULL is a legal category value (dirty data is
+    # what a profiling audit targets); an equality join would zero the
+    # NULL-keyed cells while the margins still count them
+    joined = cells.join(
+        o,
+        F.col("a").eqNullSafe(F.col("_oa"))
+        & F.col("b").eqNullSafe(F.col("_ob")),
+        "left",
+    ).select(
         F.col("a").alias(a_col),
         F.col("b").alias(b_col),
         F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
-        exp.alias("expected"),
+        raw_exp.alias("_raw_exp"),
     )
     contrib = F.round(
-        (F.col("obs") - F.col("expected"))
-        * (F.col("obs") - F.col("expected"))
-        / F.col("expected"),
+        (F.col("obs") - F.col("_raw_exp"))
+        * (F.col("obs") - F.col("_raw_exp"))
+        / F.col("_raw_exp"),
         round_digits,
     )
-    return joined.withColumn("contrib", contrib)
+    return joined.select(
+        a_col,
+        b_col,
+        "obs",
+        F.round(F.col("_raw_exp"), round_digits).alias("expected"),
+        contrib.alias("contrib"),
+    )
 
 
 def grouped_correlation(
@@ -165,6 +183,10 @@ def grouped_correlation(
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # Pearson is defined over COMPLETE (x, y) pairs: a row with either side
+    # NULL must not count toward n while the NULL-skipping sums exclude it
+    # (count(*) with skipping sums silently mixes inconsistent n)
+    df = df.filter(x.isNotNull() & y.isNotNull())
     agg = df.groupBy(F.col(group_col)).agg(
         F.count("*").cast("double").alias("_n"),
         F.sum(x).alias("_sx"),

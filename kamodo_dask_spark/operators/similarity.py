@@ -799,8 +799,10 @@ def pca_power_iteration(
     end: the returned component has unit norm and a positive first nonzero
     coordinate.
 
-    Rows with NULL vectors or a length other than the corpus-max ``d``
-    are dropped (no defined projection). Raises when the iterate
+    ``d`` is the MODAL vector length (ties to the smaller), and rows with
+    NULL vectors or a different length are dropped — corpus-max would let
+    a single corrupted longer vector silently discard every valid row and
+    fit the component to the outlier alone. Raises when the iterate
     collapses to zero (rank-0 input after centering).
 
     Returns ``(scores, component)``: ``(id_col, pc1)`` — each row's
@@ -811,8 +813,16 @@ def pca_power_iteration(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     v = F.col(vec_col)
-    d = df.agg(F.max(F.size(v))).first()[0]
-    if not d or d <= 0:
+    mode_row = (
+        df.filter(v.isNotNull())
+        .groupBy(F.size(v).alias("_d"))
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_d"))
+        .limit(1)
+        .collect()
+    )
+    d = int(mode_row[0]["_d"]) if mode_row else 0
+    if d <= 0:
         raise ValueError("no non-empty vectors to fit on")
     rows = df.filter(v.isNotNull() & (F.size(v) == d)).select(
         F.col(id_col), v.alias("_x")

@@ -2923,13 +2923,15 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT a, sum(obs) AS ra FROM obs GROUP BY 1),
     c AS (SELECT b, sum(obs) AS cb FROM obs GROUP BY 1),
     n AS (SELECT sum(obs) AS n FROM obs),
-    cells AS (SELECT r.a, c.b, round((r.ra * c.cb)::DOUBLE / n.n, 6) AS expected
+    cells AS (SELECT r.a, c.b, (r.ra * c.cb)::DOUBLE / n.n AS raw_exp
               FROM r CROSS JOIN c, n),
     j AS (SELECT cells.a AS lang, cells.b AS source,
-                 CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, cells.expected
-          FROM cells LEFT JOIN obs ON obs.a = cells.a AND obs.b = cells.b)
-    SELECT lang, source, obs, expected,
-           round((obs - expected) * (obs - expected) / expected, 6) AS contrib
+                 CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, cells.raw_exp
+          FROM cells LEFT JOIN obs
+            ON obs.a IS NOT DISTINCT FROM cells.a
+           AND obs.b IS NOT DISTINCT FROM cells.b)
+    SELECT lang, source, obs, round(raw_exp, 6) AS expected,
+           round((obs - raw_exp) * (obs - raw_exp) / raw_exp, 6) AS contrib
     FROM j
     """,
 )
@@ -2939,9 +2941,11 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     same across sources? Emits EVERY margin-cross cell — including
     zero-observation cells, which an observed-only groupBy silently drops
     even though they contribute ``expected`` to the statistic — with
-    observed, expected-under-independence (rounded once from exact integer
-    margin products), and the cell's chi-square contribution computed from
-    the rounded expected, so every number reproduces bit-for-bit. 100 TB
+    observed, expected-under-independence, and the cell's chi-square
+    contribution computed from the UNROUNDED expected (rounding first
+    would floor rare-margin cells to 0.0 at large n and NULL their
+    contribution) then rounded, NULL category values joined null-safely
+    (margins count them, so the cells must too). 100 TB
     shape: one scan to observed counts, margins from the OBSERVED relation
     (metadata-sized), and the |a|×|b| cell universe is the one honest
     cross join in the catalog."""
@@ -2962,7 +2966,9 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE)
                         AS syy,
                       sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
-               FROM lineitem GROUP BY 1)
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+               GROUP BY 1)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                 THEN round((n * sxy - sx * sy)
@@ -4470,9 +4476,15 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     at planning time — the scan itself stays one pass with pushdown
     intact; files never rewrite (the whole point of additive schema
     evolution)."""
+    import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    # FIXED per-sf path + mode("overwrite"): every catalog sweep runs this
+    # entry (bench, parity at 3 scales, plan sweeps), and a fresh mkdtemp
+    # per call would leak two orders copies into /tmp per invocation —
+    # the fixed path bounds the footprint to one copy per scale factor
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"kds_schema_evo_{sf_tag}")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
@@ -4790,7 +4802,12 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("word")
     ).groupBy("word").agg(F.count("*").alias("freq"))
-    merges = bpe_train_merges(vocab, 3)
+    # min_count=1: the oracle's unrolled rounds cannot express the
+    # trainer's below-min_count early stop, and with it disabled the two
+    # stopping rules coincide (both stop only when NO pair remains —
+    # an empty m{t} propagates empty a{t} rows, matching a shorter
+    # operator output row-for-row)
+    merges = bpe_train_merges(vocab, 3, min_count=1)
     return spark.createDataFrame(
         [(i, l, r, c, t) for i, (l, r, c, t) in enumerate(merges)],
         "rank long, lhs string, rhs string, pair_count long, "
@@ -4812,7 +4829,9 @@ def _pca_iter_sql(t: int) -> str:
 @register(
     "pca_power_iteration",
     f"""
-    WITH dd AS (SELECT max(len(embedding)) AS nd FROM embeddings),
+    WITH dd AS (SELECT len(embedding) AS nd FROM embeddings
+                WHERE embedding IS NOT NULL
+                GROUP BY 1 ORDER BY count(*) DESC, nd LIMIT 1),
     v AS (SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS x
           FROM embeddings, dd, UNNEST(range(1, len(embedding) + 1)) AS t(i)
           WHERE len(embedding) = nd),

@@ -1338,12 +1338,25 @@ def test_chi_square_cells(spark):
         (r["lang"], r["source"]): (r["obs"], r["expected"], r["contrib"])
         for r in chi_square_cells(df, "lang", "source").collect()
     }
-    # margins: en=10, fr=2; web=10, book=2; n=12
-    assert out[("en", "web")] == (8, round(100 / 12, 6), round((8 - 100 / 12) ** 2 / round(100 / 12, 6), 6))
+    # margins: en=10, fr=2; web=10, book=2; n=12; contrib from UNROUNDED exp
+    assert out[("en", "web")] == (
+        8, round(100 / 12, 6), round((8 - 100 / 12) ** 2 / (100 / 12), 6))
     assert out[("fr", "book")][0] == 0                      # zero cell present
     assert out[("fr", "book")][1] == round(4 / 12, 6)
     assert out[("fr", "book")][2] == round(4 / 12, 6)       # (0-e)^2/e = e
     assert len(out) == 4
+    # NULL category values: margins count them, cells must too (null-safe
+    # join) — sum(obs over cells) must equal n
+    dirty = spark.createDataFrame(
+        [("en", "web"), ("en", "web"), (None, "web"), (None, "book")],
+        "lang string, source string",
+    )
+    cells = {
+        (r["lang"], r["source"]): r["obs"]
+        for r in chi_square_cells(dirty, "lang", "source").collect()
+    }
+    assert cells[(None, "web")] == 1 and cells[(None, "book")] == 1
+    assert sum(cells.values()) == 4
     with pytest.raises(ValueError, match="no rows"):
         chi_square_cells(df.limit(0), "lang", "source")
 
@@ -1357,10 +1370,13 @@ def test_grouped_correlation(spark):
         [("lin", float(i), 2.0 * i + 3) for i in range(10)]
         + [("anti", float(i), -1.5 * i) for i in range(10)]
         + [("flat", 4.0, float(i)) for i in range(10)]
+        # NULL-bearing rows must not poison the group: Pearson is defined
+        # over complete pairs only (count(*)+skipping-sums would mix n)
+        + [("lin", None, 10.0), ("lin", 5.0, None)]
     )
     df = spark.createDataFrame(rows, "g string, x double, y double")
     out = {r["g"]: (r["n"], r["corr"]) for r in grouped_correlation(df, "g", "x", "y").collect()}
-    assert out["lin"] == (10, 1.0)
+    assert out["lin"] == (10, 1.0)   # NULL pairs excluded, corr intact
     assert out["anti"] == (10, -1.0)
     assert out["flat"] == (10, None)
 
