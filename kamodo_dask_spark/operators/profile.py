@@ -102,10 +102,13 @@ def chi_square_cells(
     under independence, and the cell's chi-square contribution
     ``(obs − exp)² / exp``.
 
-    Determinism: expected is rounded once (``round(row·col/n, r)``, exact
-    integer products into one IEEE division) and the contribution is
-    computed FROM the rounded expected, so both numbers reproduce
-    cross-engine bit-for-bit.
+    Determinism: the RAW expected (exact integer margin products into one
+    IEEE division) feeds the contribution — rounding first would floor
+    rare-margin cells to 0.0 at large n and NULL their contribution via
+    division by zero — and both outputs are rounded identically at the
+    end, so every number reproduces cross-engine bit-for-bit. NULL
+    category values are joined null-safely (margins count them, so their
+    cells must observe them too).
 
     100 TB shape: one corpus scan to the (a, b) observed counts; margins
     aggregate from the OBSERVED relation (cardinality |a|·|b|, metadata-
@@ -205,4 +208,58 @@ def grouped_correlation(
         group_col,
         F.col("_n").cast("bigint").alias("n"),
         corr.alias("corr"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group z-score outlier flagging — the numeric-column cleaning
+    pass of a data-quality pipeline (a sensor spike, a corrupted amount, a
+    mis-scaled unit shows up as |z| past the threshold within its group).
+
+    Group mean and SAMPLE standard deviation are computed from raw sums
+    (``var = (n·Σx² − (Σx)²) / (n·(n−1))``) — the same
+    spell-it-once-identically contract as :func:`grouped_correlation`,
+    because engine-native ``stddev`` implementations accumulate
+    differently. The z-score is rounded and the threshold compares the
+    ROUNDED value, so the flagged set is identical cross-engine. NULL
+    values are excluded (no defined score); groups with fewer than 2
+    values or zero variance flag nothing (z undefined).
+
+    100 TB shape: one partial-combined aggregation to per-group (n, Σx,
+    Σx²) — a metadata-sized relation for categorical groups — broadcast
+    back onto the corpus for a zero-extra-shuffle row-local score+filter.
+    Returns the flagged rows: ``(group_col, value_col, z)``.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    stats = rows.groupBy("_g").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_v").alias("_sx"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+    )
+    var = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (
+        F.col("_n") * (F.col("_n") - 1)
+    )
+    enriched = stats.filter(F.col("_n") >= 2).select(
+        "_g",
+        (F.col("_sx") / F.col("_n")).alias("_mean"),
+        F.sqrt(var).alias("_sd"),
+    ).filter(F.col("_sd") > 0)
+    z = F.round((F.col("_v") - F.col("_mean")) / F.col("_sd"), round_digits)
+    return (
+        rows.join(F.broadcast(enriched), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= float(z_thresh))
     )

@@ -2956,6 +2956,40 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_anomalies",
+    """
+    WITH r AS (SELECT event_type AS g, value::DOUBLE AS v
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                 sum(v) AS sx, sum(v * v) AS sxx
+          FROM r GROUP BY 1),
+    e AS (SELECT g, sx / n AS mean,
+                 sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+          FROM s WHERE n >= 2),
+    z AS (SELECT r.g AS event_type, r.v AS value,
+                 round((r.v - e.mean) / e.sd, 6) AS z
+          FROM r JOIN e USING (g) WHERE e.sd > 0)
+    SELECT event_type, value, z FROM z WHERE abs(z) >= 2.5
+    """,
+)
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging
+    (``operators/profile.py::zscore_outliers``): events whose ``value``
+    sits ≥2.5 sample standard deviations from their event-type mean — the
+    numeric-cleaning pass of a data-quality pipeline. Mean and sd come
+    from raw sums (the ``grouped_correlation`` spell-it-once contract;
+    engine-native stddev accumulates differently), the z-score is rounded
+    and the threshold compares the ROUNDED value, so the flagged set is
+    identical cross-engine. 100 TB shape: one partial-combined agg to
+    per-group (n, Σx, Σx²) — metadata-sized — broadcast back for a
+    zero-extra-shuffle row-local score+filter."""
+    from kamodo_dask_spark.operators.profile import zscore_outliers
+
+    events = read_table(spark, sf_dir, "events")
+    return zscore_outliers(events, "event_type", "value", z_thresh=2.5)
+
+
+@register(
     "grouped_correlation",
     """
     WITH a AS (SELECT l_returnflag,

@@ -80,6 +80,7 @@ PENDING_THIS_ROUND: list[str] = [
     "schema_evolution_scan",
     "chi2_lang_source",
     "grouped_correlation",
+    "value_anomalies",
 ]
 
 

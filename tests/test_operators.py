@@ -1361,6 +1361,25 @@ def test_chi_square_cells(spark):
         chi_square_cells(df.limit(0), "lang", "source")
 
 
+def test_zscore_outliers(spark):
+    """A planted spike is flagged with the hand-computed z; inliers,
+    NULLs, singleton groups, and zero-variance groups flag nothing."""
+    import math
+
+    from kamodo_dask_spark.operators.profile import zscore_outliers
+
+    base = [("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 100.0)]
+    rows = base + [("a", None), ("b", 7.0), ("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): r["z"] for r in
+           zscore_outliers(df, "g", "v", z_thresh=1.5).collect()}
+    vals = [v for _, v in base]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt((n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * (n - 1)))
+    assert out == {("a", 100.0): round((100.0 - mean) / sd, 6)}
+
+
 def test_grouped_correlation(spark):
     """Perfect linear group -> corr 1.0; anti-linear -> -1.0; constant x
     -> NULL (no division by zero)."""
