@@ -889,3 +889,17 @@ def test_record_linkage_no_cross_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_value_anomalies_broadcast_no_extra_shuffle(spark):
+    """value_anomalies: the per-group stats relation joins back via
+    BROADCAST (metadata-sized by the categorical-group contract), the
+    events relation scans at most twice (stats agg + score join; Spark
+    cannot share the scan), and nothing global-sorts."""
+    from kamodo_dask_spark.plans.checks import assert_broadcast_join, executed_plan
+
+    df = QUERIES["value_anomalies"](spark, SF)
+    plan = executed_plan(df)
+    assert_broadcast_join(df, count=1)
+    assert plan.count("FileScan parquet") <= 2, plan
+    assert "rangepartitioning" not in plan, plan
