@@ -205,14 +205,22 @@ def upsert_history(
             f"{sorted(expected)} (history attrs + key + effective ts)"
         )
     if validate:
-        row = updates.agg(
-            F.count("*").alias("n"), F.count_distinct(F.col(key)).alias("k")
-        ).first()
-        if row["n"] != row["k"]:
+        # NULL-safe duplicate check: group by the key (groupBy puts NULLs
+        # in their own group, matching the eqNullSafe join semantics used
+        # throughout) and look for any group with >1 row. count_distinct
+        # would IGNORE NULL keys and spuriously reject a delta containing
+        # a single NULL-keyed update (n=1 vs k=0).
+        row = (
+            updates.groupBy(key)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n").alias("mx"), F.sum("_n").alias("n"))
+            .first()
+        )
+        if row["mx"] is not None and row["mx"] > 1:
             raise ValueError(
-                f"updates carry duplicate {key!r} values ({row['n']} rows, "
-                f"{row['k']} distinct keys) — MERGE semantics forbid "
-                "multiple source matches; deduplicate the delta first"
+                f"updates carry duplicate {key!r} values ({row['n']} rows "
+                "over fewer keys) — MERGE semantics forbid multiple source "
+                "matches; deduplicate the delta first"
             )
 
     closed = history.filter(F.col(valid_to).isNotNull())
@@ -237,7 +245,12 @@ def upsert_history(
             F.col(valid_from).alias("_m_from"),
             *[F.col(a).alias(f"_m_{a}") for a in attrs],
         )
-        .persist()
+        # eager localCheckpoint (like the sibling operators) instead of
+        # persist(): materializes the delta-sized relation once and lets
+        # the context cleaner reclaim the blocks when the DataFrame goes
+        # out of scope — persist() leaked cached blocks across repeated
+        # upsert_history calls in long-lived sessions.
+        .localCheckpoint(eager=True)
     )
     if validate:
         # a no-op update (attrs equal) at eff == valid_from is legal (the

@@ -228,8 +228,13 @@ def zscore_outliers(
     because engine-native ``stddev`` implementations accumulate
     differently. The z-score is rounded and the threshold compares the
     ROUNDED value, so the flagged set is identical cross-engine. NULL
-    values are excluded (no defined score); groups with fewer than 2
-    values or zero variance flag nothing (z undefined).
+    values are excluded (no defined score), and so are NULL *groups*:
+    a row whose ``group_col`` is NULL belongs to no population, so it is
+    filtered before the stats pass and can never be flagged — explicit
+    here rather than a silent artifact of the equality join (which would
+    drop NULL groups anyway, after wasting an aggregation bucket on
+    them). Groups with fewer than 2 values or zero variance flag nothing
+    (z undefined).
 
     100 TB shape: one partial-combined aggregation to per-group (n, Σx,
     Σx²) — a metadata-sized relation for categorical groups — broadcast
@@ -237,7 +242,7 @@ def zscore_outliers(
     Returns the flagged rows: ``(group_col, value_col, z)``.
     """
     v = F.col(value_col).cast("double")
-    rows = df.filter(v.isNotNull()).select(
+    rows = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("_g"), v.alias("_v")
     )
     stats = rows.groupBy("_g").agg(

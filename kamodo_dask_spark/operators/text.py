@@ -910,8 +910,6 @@ def logreg_fit(
     their own feature engineering (keep each feature an expression the
     oracle can re-derive if cross-engine checking matters).
     """
-    import builtins
-
     if not feature_cols:
         raise ValueError("need at least one feature column")
     if n_iter < 1:
@@ -931,16 +929,22 @@ def logreg_fit(
 
     for _ in range(n_iter):
         p = sigmoid(margin(w))
-        grad = df.agg(
+        # the weight UPDATE (not just the gradient) is computed and
+        # rounded IN-ENGINE with F.round — half-away-from-zero, matching
+        # the DuckDB oracle's round() and the kmeans_fit/pca discipline;
+        # Python round() is banker's rounding and would desync the
+        # trajectory on an exact 6-dp tie
+        step = df.agg(
             *[
-                F.avg(F.col(c).cast("double") * (p - y)).alias(f"_g{j}")
-                for j, c in enumerate(feature_cols)
+                F.round(
+                    F.lit(wj)
+                    - F.lit(lr) * F.avg(F.col(c).cast("double") * (p - y)),
+                    round_digits,
+                ).alias(f"_w{j}")
+                for j, (wj, c) in enumerate(zip(w, feature_cols))
             ]
         ).first()
-        w = [
-            builtins.round(wj - lr * grad[f"_g{j}"], round_digits)
-            for j, wj in enumerate(w)
-        ]
+        w = [step[f"_w{j}"] for j in range(d)]
     scored = df.withColumn(
         "score", F.round(sigmoid(margin(w)), round_digits)
     )

@@ -4513,12 +4513,18 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    # FIXED per-sf path + mode("overwrite"): every catalog sweep runs this
+    # Per-SESSION path + mode("overwrite"): every catalog sweep runs this
     # entry (bench, parity at 3 scales, plan sweeps), and a fresh mkdtemp
-    # per call would leak two orders copies into /tmp per invocation —
-    # the fixed path bounds the footprint to one copy per scale factor
+    # per call would leak two orders copies into /tmp per invocation — a
+    # stable path bounds the footprint to one copy per scale factor. The
+    # path is keyed on the Spark application id (unique per session), so
+    # two concurrent processes at the same SF cannot race each other's
+    # overwrite-vs-read, and a squatter cannot pre-claim the directory.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"kds_schema_evo_{sf_tag}")
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"kds_schema_evo_{app_id}_{sf_tag}"
+    )
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
@@ -5119,13 +5125,13 @@ DRIVER_WINDOW = 50
 #: cell joins moved to integer axis-index keys), sessionization +
 #: streaming_interp (streaming checkpoint/conf optimization pass).
 PINNED_THIS_ROUND = [
-    # Round-7 pins: the streaming state-store/conf optimization pass
-    # (RocksDB provider experiment + scoped shuffle partitions) touches the
-    # stateful streaming entries' machinery — they need fresh driver rows
-    # under the new configuration even though they were r6-green.
-    "sessionization",
-    "stream_stream_join",
-    "streaming_interp",
+    # Round-8 pins: entries whose operator or oracle machinery changes
+    # this round (ADVICE r7 fixes that alter engine/oracle spellings get
+    # added here as the fixes land). The r7 streaming pins are cleared —
+    # all three went driver-green in CORRECTNESS_r07 under the new
+    # configuration.
+    "scd2_history",  # validate-path NULL-key duplicate check rewritten (ADVICE r7 #1)
+    "logreg_quality_fit",  # weight rounding moved in-engine to F.round (ADVICE r7 #4)
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds

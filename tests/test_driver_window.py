@@ -61,26 +61,8 @@ def _never_driver_green() -> list[str]:
 #: cannot notice an entry being deleted outright — this hardcoded subset
 #: can. Prune names once they have a recorded green round.
 PENDING_THIS_ROUND: list[str] = [
-    "mixture_by_tokens",
-    "upsampled_mixture",
-    "scd2_history",
-    "quality_curriculum",
-    "zorder_layout",
-    "text_normalize",
-    "kmeans_clusters",
-    "substring_removal",
-    "logreg_quality_fit",
-    "snapshot_diff",
-    "tfidf_top_terms",
-    "pca_power_iteration",
-    "bpe_train",
-    "pagerank",
-    "record_linkage",
-    "funnel_conversions",
-    "schema_evolution_scan",
-    "chi2_lang_source",
-    "grouped_correlation",
-    "value_anomalies",
+    # all 20 round-7 additions went driver-green in CORRECTNESS_r07 and
+    # were pruned; round-8 additions get listed here as they land
 ]
 
 

@@ -1284,6 +1284,24 @@ def test_upsert_history_scd2(spark):
     bad_cols = spark.createDataFrame([(1, d(2025, 1, 1))], "id long, eff date")
     with _pytest.raises(ValueError, match="columns"):
         upsert_history(hist, bad_cols, "id", "eff")
+    # a SINGLE NULL-keyed update is legal (NULL keys are first-class via
+    # eqNullSafe joins) — the old count_distinct check ignored NULLs and
+    # spuriously rejected it as a "duplicate" (ADVICE r7 #1)
+    null_one = spark.createDataFrame(
+        [(None, 7.0, d(2025, 1, 1))], "id long, v double, eff date"
+    )
+    null_out = upsert_history(hist, null_one, "id", "eff")
+    assert (None, 7.0, d(2025, 1, 1), None) in {
+        (r["id"], r["v"], r["valid_from"], r["valid_to"])
+        for r in null_out.collect()
+    }
+    # TWO NULL-keyed updates ARE duplicates under eqNullSafe semantics
+    null_dup = spark.createDataFrame(
+        [(None, 1.0, d(2025, 1, 1)), (None, 2.0, d(2025, 1, 1))],
+        "id long, v double, eff date",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        upsert_history(hist, null_dup, "id", "eff")
 
 
 def test_tfidf_top_terms(spark):
