@@ -62,7 +62,9 @@ def _never_driver_green() -> list[str]:
 #: can. Prune names once they have a recorded green round.
 PENDING_THIS_ROUND: list[str] = [
     # all 20 round-7 additions went driver-green in CORRECTNESS_r07 and
-    # were pruned; round-8 additions get listed here as they land
+    # were pruned; round-8 additions:
+    "triangle_count",
+    "k_hop_reach",
 ]
 
 

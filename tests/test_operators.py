@@ -2574,3 +2574,68 @@ def test_bigram_logprob_hand_computed(spark):
     assert abs(rows[1]["avg_logprob"] - want1) < 1e-9
     assert rows[2]["n_bigrams"] == 1
     assert abs(rows[2]["avg_logprob"] - round(math.log(p_ba), 6)) < 1e-9
+
+
+def test_triangle_counts(spark):
+    """Hand-checked graphs: K4 (every node in C(3,2)=3 triangles), a
+    triangle with a pendant (pendant in 0), duplicate/reversed/self-loop
+    edges canonicalized away."""
+    from kamodo_dask_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    out = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    messy = [
+        (1, 2), (2, 1), (2, 3), (3, 1), (1, 3),  # triangle, dup+reversed
+        (3, 4),                                   # pendant
+        (5, 5),                                   # self-loop -> dropped
+    ]
+    out = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(messy, "src long, dst long")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_k_hop_reachability(spark):
+    """Min-hop BFS: diamond + tail graph, seed at 1; directed vs
+    undirected; k=0 returns only seeds; unreachable nodes absent."""
+    from kamodo_dask_spark.operators.graph import k_hop_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["hop"]
+        for r in k_hop_reachability(edges, seeds, k=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 is 3 hops, 6/7 unreachable
+
+    out3 = {
+        r["node"]: r["hop"]
+        for r in k_hop_reachability(edges, seeds, k=3).collect()
+    }
+    assert out3 == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    # directed: 5 -> nothing upstream
+    back = spark.createDataFrame([(5,)], "node long")
+    out_d = {
+        r["node"]: r["hop"]
+        for r in k_hop_reachability(edges, back, k=3, directed=True).collect()
+    }
+    assert out_d == {5: 0}
+    out0 = {
+        r["node"]: r["hop"]
+        for r in k_hop_reachability(edges, seeds, k=0).collect()
+    }
+    assert out0 == {1: 0}
