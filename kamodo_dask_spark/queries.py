@@ -5218,6 +5218,127 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars", "bucket")
 
 
+@register(
+    "dq_audit",
+    """
+    WITH m AS (
+      SELECT 'complete_custkey' AS check, 'completeness' AS kind,
+             count(o_custkey) / count(*) AS metric, 1.0 AS threshold
+      FROM orders
+      UNION ALL
+      SELECT 'status_domain', 'in_set',
+             sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+               / count(o_orderstatus), 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'priority_domain', 'in_set',
+             sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED')
+                 THEN 1 ELSE 0 END) / count(o_orderpriority), 0.9
+      FROM orders
+      UNION ALL
+      SELECT 'price_range', 'in_range',
+             sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 300000.0
+                 THEN 1 ELSE 0 END) / count(o_totalprice), 0.5
+      FROM orders
+      UNION ALL
+      SELECT 'open_or_large', 'predicate',
+             sum(CASE WHEN o_orderstatus = 'O' OR o_totalprice > 100000.0
+                 THEN 1 ELSE 0 END) / count(*), 0.5
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique', 'unique',
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / sum(n), 1.0
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'custkey_unique', 'unique',
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / sum(n), 0.5
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'fk_customer', 'referential',
+             (count(o_custkey) - (SELECT count(*) FROM orders o
+                                  WHERE o.o_custkey IS NOT NULL
+                                    AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)))
+               / count(o_custkey), 1.0
+      FROM orders)
+    SELECT "check", kind, round(metric, 6) AS metric,
+           CAST(threshold AS DOUBLE) AS threshold,
+           round(metric, 6) >= threshold AS passed
+    FROM m ORDER BY "check"
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite
+    (``operators/quality.py::constraint_audit``) over the orders table:
+    completeness, two value domains, a numeric range, an arbitrary
+    predicate, two uniqueness contracts (one holding, one deliberately
+    violated — o_custkey repeats), and referential integrity against
+    customer. EVERY row-local rule fuses into ONE conditional-aggregate
+    scan (adding a rule adds a column, not a scan); each uniqueness rule
+    is one two-stage keyed agg; the FK rule is one LEFT ANTI join against
+    the broadcast-able customer key set. The oracle recomputes all eight
+    metrics independently and the (metric, threshold, passed) triples
+    hash-check."""
+    from kamodo_dask_spark.operators.quality import constraint_audit
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    checks = [
+        {"name": "complete_custkey", "kind": "completeness",
+         "col": "o_custkey"},
+        {"name": "status_domain", "kind": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"name": "priority_domain", "kind": "in_set",
+         "col": "o_orderpriority",
+         "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"],
+         "threshold": 0.9},
+        {"name": "price_range", "kind": "in_range", "col": "o_totalprice",
+         "lo": 0.0, "hi": 300000.0, "threshold": 0.5},
+        {"name": "open_or_large", "kind": "predicate",
+         "expr": "o_orderstatus = 'O' OR o_totalprice > 100000.0",
+         "threshold": 0.5},
+        {"name": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+        {"name": "custkey_unique", "kind": "unique", "cols": ["o_custkey"],
+         "threshold": 0.5},
+        {"name": "fk_customer", "kind": "referential", "col": "o_custkey",
+         "ref": customer, "ref_col": "c_custkey"},
+    ]
+    return constraint_audit(orders, checks)
+
+
+@register(
+    "k_anonymity",
+    """
+    WITH s AS (SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment,
+                      count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                        AS n
+               FROM customer)
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN n >= 8 THEN c_nationkey END AS c_nationkey,
+           CASE WHEN n >= 8 THEN c_mktsegment END AS c_mktsegment,
+           CAST(n AS BIGINT) AS qi_group_size
+    FROM s
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (``operators/quality.py::k_anonymize``,
+    k=8) over customer with quasi-identifiers (nation, market segment):
+    rows whose QI equivalence class has fewer than 8 members get the
+    tuple NULLed before release — at sf0.01 eleven classes fall below
+    the floor, so the suppression branch is exercised, not decorative.
+    One window pass (hash shuffle on the QI tuple, no per-row ordering)
+    + a row-local conditional projection; the original class size is
+    emitted for the audit trail. The oracle is the same window count in
+    SQL and every row hash-checks, suppressed or not."""
+    from kamodo_dask_spark.operators.quality import k_anonymize
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

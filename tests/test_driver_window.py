@@ -65,6 +65,8 @@ PENDING_THIS_ROUND: list[str] = [
     # were pruned; round-8 additions:
     "triangle_count",
     "k_hop_reach",
+    "dq_audit",
+    "k_anonymity",
 ]
 
 

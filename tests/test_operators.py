@@ -2639,3 +2639,87 @@ def test_k_hop_reachability(spark):
         for r in k_hop_reachability(edges, seeds, k=0).collect()
     }
     assert out0 == {1: 0}
+
+
+def test_constraint_audit(spark):
+    """Every kind on a hand frame with known fractions; empty-input and
+    empty-FK vacuous truths; bad specs raise."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.quality import constraint_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, 100),
+            (2, "F", 20.0, 200),
+            (2, "X", -5.0, None),
+            (4, None, 30.0, 300),
+        ],
+        "id long, status string, amount double, fk long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "key long")
+    checks = [
+        {"name": "status_complete", "kind": "completeness", "col": "status"},
+        {"name": "status_domain", "kind": "in_set", "col": "status",
+         "values": ["O", "F", "P"], "threshold": 0.9},
+        {"name": "amount_range", "kind": "in_range", "col": "amount",
+         "lo": 0.0, "hi": 100.0, "threshold": 0.75},
+        {"name": "amount_positive", "kind": "predicate",
+         "expr": "amount > 0", "threshold": 0.7},
+        {"name": "id_unique", "kind": "unique", "cols": ["id"]},
+        {"name": "fk_valid", "kind": "referential", "col": "fk",
+         "ref": ref, "ref_col": "key", "threshold": 0.6},
+    ]
+    out = {r["check"]: r.asDict() for r in constraint_audit(df, checks).collect()}
+    assert out["status_complete"]["metric"] == 0.75 and not out["status_complete"]["passed"]
+    # domain: 3 non-null statuses, 2 in set
+    assert abs(out["status_domain"]["metric"] - round(2 / 3, 6)) < 1e-9
+    assert not out["status_domain"]["passed"]
+    assert out["amount_range"]["metric"] == 0.75 and out["amount_range"]["passed"]
+    assert out["amount_positive"]["metric"] == 0.75 and out["amount_positive"]["passed"]
+    # ids: 1,2,2,4 -> 2 of 4 rows unique
+    assert out["id_unique"]["metric"] == 0.5 and not out["id_unique"]["passed"]
+    # fks: 100,200,300 non-null; 2 valid
+    assert abs(out["fk_valid"]["metric"] - round(2 / 3, 6)) < 1e-9
+    assert out["fk_valid"]["passed"]
+
+    empty = df.limit(0)
+    vac = {r["check"]: r["metric"] for r in constraint_audit(empty, checks).collect()}
+    assert all(m == 1.0 for m in vac.values())
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        constraint_audit(df, [checks[0], checks[0]])
+    with _pytest.raises(ValueError, match="unknown"):
+        constraint_audit(df, [{"name": "x", "kind": "nope"}])
+    with _pytest.raises(ValueError, match="at least one"):
+        constraint_audit(df, [])
+
+
+def test_k_anonymize(spark):
+    """Classes below k get their QI tuple NULLed; sizes are auditable;
+    NULL QI tuples form their own class; validation raises."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.quality import k_anonymize
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 10),
+         (4, "b", 20),
+         (5, None, 30), (6, None, 30)],
+        "id long, seg string, zip int",
+    )
+    out = {r["id"]: r.asDict() for r in
+           k_anonymize(df, ["seg", "zip"], k=2).collect()}
+    assert out[1]["seg"] == "a" and out[1]["zip"] == 10
+    assert out[1]["qi_group_size"] == 3
+    assert out[4]["seg"] is None and out[4]["zip"] is None  # singleton
+    assert out[4]["qi_group_size"] == 1
+    # NULL-seg class has 2 members -> kept (as a class)
+    assert out[5]["zip"] == 30 and out[5]["qi_group_size"] == 2
+    assert sorted(k_anonymize(df, ["seg"], k=1).columns) == sorted(
+        ["id", "zip", "seg", "qi_group_size"]
+    )
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymize(df, ["seg"], k=0)
+    with _pytest.raises(ValueError, match="not in frame"):
+        k_anonymize(df, ["nope"], k=2)
