@@ -325,3 +325,93 @@ def upsert_history(
         .unionByName(versions.select(*out_cols))
         .unionByName(inserts.select(*out_cols))
     )
+
+
+def merge_agg_view(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    counts: list[str] | None = None,
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental maintenance of an aggregate materialized view under an
+    APPEND-ONLY delta: fold ``agg(delta)`` into the existing view without
+    touching the base table — the IVM identity every warehouse's
+    refresh-on-commit relies on (count/sum/min/max are commutative
+    monoids, so ``agg(base ∪ delta) = merge(agg(base), agg(delta))``
+    exactly; avg and friends derive from count+sum downstream).
+
+    ``view`` holds one row per key tuple with the named aggregate
+    columns, exactly as a previous ``merge_agg_view``/full ``groupBy``
+    produced them: each ``counts`` column holds a per-key ROW count;
+    ``sums``/``mins``/``maxs`` map *view column → delta source column*
+    (so sum and min of the same raw column can coexist under different
+    view names). ``delta`` carries raw rows. Returns the refreshed
+    view, one row per key tuple present in either side.
+
+    100 TB design — the whole point is what this plan does NOT do:
+    - the base table is never scanned (its aggregate state IS the view);
+    - the delta is aggregated FIRST (partial-combined, so the shuffle
+      carries one row per key tuple present in the delta, not per delta
+      row), then merged with a single full-outer equi-join on the key —
+      view-sized, key-partitioned, no skew beyond the view's own;
+    - deletions/updates are deliberately out of scope (min/max are not
+      invertible; a retracting delta needs the SCD operators above or a
+      full recompute of the touched partitions — the same boundary
+      Materialize/Flink draw for non-invertible aggregates).
+
+    NULL aggregate inputs follow SQL semantics (sum/min/max skip NULLs;
+    a count column counts ROWS, not non-nulls). NULL KEY tuples merge
+    null-safely — the view keeps exactly one row for the NULL group.
+    """
+    counts, sums = counts or [], dict(sums or {})
+    mins, maxs = dict(mins or {}), dict(maxs or {})
+    measures = [*counts, *sums, *mins, *maxs]
+    if not keys:
+        raise ValueError("need at least one key column")
+    if not measures:
+        raise ValueError("need at least one aggregate column")
+    dup = {c for c in measures if measures.count(c) > 1}
+    if dup:
+        raise ValueError(f"column(s) in more than one aggregate role: {dup}")
+    missing = [c for c in (*keys, *measures) if c not in view.columns]
+    if missing:
+        raise ValueError(f"view lacks column(s): {missing}")
+
+    d = delta.groupBy(*keys).agg(
+        *[F.count("*").cast("bigint").alias(c) for c in counts],
+        *[F.sum(src).alias(c) for c, src in sums.items()],
+        *[F.min(src).alias(c) for c, src in mins.items()],
+        *[F.max(src).alias(c) for c, src in maxs.items()],
+    )
+    v = view.select(
+        *keys, *[F.col(c).alias(f"_v_{c}") for c in measures]
+    )
+    dd = d.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in measures],
+    )
+    cond = None
+    for k in keys:
+        c = v[k].eqNullSafe(dd[f"_dk_{k}"])
+        cond = c if cond is None else (cond & c)
+    merged = v.join(dd, cond, "full_outer")
+
+    def pick(c: str, combine) -> Column:
+        a, b = F.col(f"_v_{c}"), F.col(f"_d_{c}")
+        return (
+            F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combine(a, b))
+        ).alias(c)
+
+    out_keys = [
+        F.coalesce(v[k], dd[f"_dk_{k}"]).alias(k) for k in keys
+    ]
+    return merged.select(
+        *out_keys,
+        *[pick(c, lambda a, b: (a + b).cast("bigint")) for c in counts],
+        *[pick(c, lambda a, b: a + b) for c in sums],
+        *[pick(c, F.least) for c in mins],
+        *[pick(c, F.greatest) for c in maxs],
+    )

@@ -5339,6 +5339,109 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
 
 
+@register(
+    "incremental_agg_view",
+    """
+    WITH c AS (SELECT o_orderstatus AS status,
+                      CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT status, yr, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY status, yr
+    """,
+)
+def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (``operators/maintenance.py::merge_agg_view``): the engine builds the
+    revenue-per-(status, year) view from 90% of orders, then folds in the
+    remaining 10% as an append delta — base table NEVER rescanned, the
+    delta aggregated partial-combined and merged with one view-sized
+    full-outer join. The oracle recomputes the view from ALL orders in
+    one shot, so the hash match IS the IVM identity
+    ``agg(base ∪ delta) = merge(agg(base), agg(delta))`` checked
+    cross-engine. Measures are integer cents (count/sum/min/max over
+    bigint) — float summation order cannot perturb the identity."""
+    from kamodo_dask_spark.operators.maintenance import merge_agg_view
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderkey"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0)
+    view = base.groupBy("status", "yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    out = merge_agg_view(
+        view,
+        delta,
+        ["status", "yr"],
+        counts=["n"],
+        sums={"cents": "cents"},
+        mins={"min_cents": "cents"},
+        maxs={"max_cents": "cents"},
+    )
+    return out.select(
+        "status",
+        "yr",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("min_cents").cast("bigint").alias("min_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )
+
+
+@register(
+    "bloom_semi_join",
+    """
+    SELECT l.l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey < 5)
+    GROUP BY l.l_suppkey
+    """,
+)
+def bloom_semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning
+    (``operators/runtime_filter.py::bloom_semi_join``): lineitem is
+    probed row-locally against a literal bloom bitmap built from the
+    nation<5 supplier keys BEFORE any join machinery runs — the explicit
+    form of the runtime filter Spark injects inside shuffle joins, made
+    available where the optimizer can't reach (ahead of Python-worker
+    stages, writes, cross-DataFrame gates). ``exact=True`` mops up bloom
+    false positives with a broadcast semi join, so the oracle is the
+    PLAIN semi join: the filter decides only how much data reaches the
+    join, never the answer. Aggregates in integer cents."""
+    from kamodo_dask_spark.operators.runtime_filter import bloom_semi_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 5
+    )
+    kept = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return kept.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

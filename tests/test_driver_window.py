@@ -67,6 +67,8 @@ PENDING_THIS_ROUND: list[str] = [
     "k_hop_reach",
     "dq_audit",
     "k_anonymity",
+    "incremental_agg_view",
+    "bloom_semi_join",
 ]
 
 

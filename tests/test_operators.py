@@ -2723,3 +2723,97 @@ def test_k_anonymize(spark):
         k_anonymize(df, ["seg"], k=0)
     with _pytest.raises(ValueError, match="not in frame"):
         k_anonymize(df, ["nope"], k=2)
+
+
+def test_merge_agg_view(spark):
+    """IVM identity: merge(agg(base), agg(delta)) == agg(base ∪ delta) for
+    count/sum/min/max, incl. delta-only keys, view-only keys, NULL keys,
+    and NULL measure values; spec validation raises."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import merge_agg_view
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), (None, 7.0)],
+        "g string, x double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 2.0), ("c", 9.0), (None, None), (None, 1.0)],
+        "g string, x double",
+    )
+    agg = lambda df: df.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    view = agg(base)
+    out = merge_agg_view(
+        view, delta, ["g"], counts=["n"],
+        sums={"sx": "x"}, mins={"mn": "x"}, maxs={"mx": "x"},
+    )
+    want = {
+        tuple(r) for r in agg(base.unionByName(delta)).collect()
+    }
+    got = {tuple(r) for r in out.collect()}
+    assert got == want
+
+    # idempotent on an empty delta
+    empty = delta.limit(0)
+    again = {tuple(r) for r in merge_agg_view(
+        view, empty, ["g"], counts=["n"],
+        sums={"sx": "x"}, mins={"mn": "x"}, maxs={"mx": "x"},
+    ).collect()}
+    assert again == {tuple(r) for r in view.collect()}
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        merge_agg_view(view, delta, [], counts=["n"])
+    with _pytest.raises(ValueError, match="at least one aggregate"):
+        merge_agg_view(view, delta, ["g"])
+    with _pytest.raises(ValueError, match="more than one"):
+        merge_agg_view(view, delta, ["g"], counts=["n"], sums={"n": "x"})
+    with _pytest.raises(ValueError, match="lacks"):
+        merge_agg_view(view, delta, ["g"], sums={"nope": "x"})
+
+
+def test_bloom_semi_join(spark):
+    """Exact mode equals the plain semi join; inexact mode is a superset
+    containing every true match; NULL keys never match; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.runtime_filter import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)] + [(9999, None)],
+        "row_id long, fk int",
+    )
+    small = spark.createDataFrame(
+        [(7,), (42,), (99,), (None,)], "k int"
+    )
+    want = {7, 42, 99}
+    got = {
+        r["fk"]
+        for r in bloom_semi_join(big, small, "fk", "k").select("fk")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    exact_n = bloom_semi_join(big, small, "fk", "k").count()
+    assert exact_n == 60  # 20 rows per surviving fk value
+
+    loose = bloom_semi_join(big, small, "fk", "k", exact=False)
+    loose_fks = {r["fk"] for r in loose.select("fk").distinct().collect()}
+    assert want <= loose_fks  # no false negatives, ever
+    assert None not in loose_fks
+
+    # m_bits=64 saturates a single word incl. bit 63 — the signed-long
+    # literal reinterpretation path (a raw 2^63 overflows py4j's long)
+    tiny = bloom_semi_join(big, small, "fk", "k", m_bits=64, n_hashes=8)
+    assert {
+        r["fk"] for r in tiny.select("fk").distinct().collect()
+    } == want
+
+    with _pytest.raises(ValueError, match="power of two"):
+        bloom_semi_join(big, small, "fk", "k", m_bits=1000)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_semi_join(big, small, "fk", "k", n_hashes=0)
