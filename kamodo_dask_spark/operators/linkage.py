@@ -132,3 +132,107 @@ def link_records(
             "jaccard",
         )
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    left_id: str,
+    right_id: str | None,
+    text_col: str = "name",
+    max_dist: int = 1,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (1 or 2), by
+    DELETION-NEIGHBORHOOD blocking (the FastSS/SymSpell family): two
+    strings are within distance t iff their ≤t-deletion variant sets
+    intersect, so candidate generation is one equi-join on variant keys
+    — never a cross join, and never a quadratic scan of a length bucket.
+
+    Soundness (t=1): a substitution at i makes ``delete(a,i) ==
+    delete(b,i)``; an insertion makes the original of one side a
+    1-deletion of the other; equality is the trivial intersection — so
+    the variant join has NO false negatives, and the exact
+    ``levenshtein`` verify removes its false positives. t=2 composes
+    deletions twice.
+
+    ``right=None`` switches to SELF-join mode over ``left`` (emitting
+    each unordered pair once, ``id_a < id_b``); otherwise the join is
+    between the two relations. Returns ``(id_a, id_b, dist)`` (self) or
+    ``(left_id, right_id, dist)`` (two-relation).
+
+    100 TB shape: variant generation is row-local (``1 + L`` keys per
+    string at t=1, ``O(L²)`` at t=2 — the SymSpell precompute trade,
+    which is why t is capped at 2); ``hash_keys`` exchanges 64-bit
+    xxhash64 of each variant instead of the string (same trick as the
+    substring-dedup anchors — hash collisions only ADD candidates, and
+    the verify step removes them, so correctness is unaffected). The
+    candidate relation is deduplicated BEFORE the verify so each pair
+    pays one levenshtein however many variants it shares. Skew caveat:
+    a cluster of k near-identical strings necessarily yields ~k²
+    verified pairs — that is the answer's size, not an artifact;
+    upstream exact-dedup first if identical strings dominate.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    self_mode = right is None
+    if self_mode:
+        right = left
+        right_id = right_id or left_id
+    elif right_id is None:
+        raise ValueError("right_id required when right is given")
+    if not self_mode and left_id == right_id:
+        raise ValueError("left_id and right_id must differ in two-relation mode")
+
+    # ≤1-deletion variants of a term, as a SQL expr (substring with
+    # column positions has no literal-only binding problem in SQL form)
+    def d1(term: str) -> str:
+        return (
+            f"array_union(array({term}), "
+            f"transform(sequence(1, length({term})), i -> "
+            f"concat(substring({term}, 1, i - 1), "
+            f"substring({term}, i + 1, length({term}) - i))))"
+        )
+
+    def variants(col: str) -> str:
+        if max_dist == 1:
+            return d1(col)
+        # ≤2 deletions: one more deletion applied to every ≤1-variant
+        # (the lambda variable _x is deliberately distinct from any
+        # column name in scope)
+        return f"array_distinct(flatten(transform({d1(col)}, _x -> {d1('_x')})))"
+
+    def keyed(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{tag}id"),
+            F.col(text_col).alias(f"{tag}s"),
+        ).filter(F.col(f"{tag}s").isNotNull())
+        v = F.expr(variants(f"{tag}s"))
+        out = base.select(
+            f"{tag}id", f"{tag}s", F.explode(v).alias("_var")
+        )
+        key = F.xxhash64("_var") if hash_keys else F.col("_var")
+        return out.select(f"{tag}id", f"{tag}s", key.alias("_bk")).distinct()
+
+    lk = keyed(left, left_id, "l")
+    rk = keyed(right, right_id, "r")
+    pair_filter = (
+        (F.col("lid") < F.col("rid")) if self_mode else F.lit(True)
+    )
+    cand = (
+        lk.join(rk, "_bk")
+        .filter(pair_filter)
+        .select("lid", "ls", "rid", "rs")
+        .distinct()
+    )
+    out_a = left_id if not self_mode else "id_a"
+    out_b = right_id if not self_mode else "id_b"
+    return (
+        cand.withColumn("dist", F.levenshtein("ls", "rs").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("lid").alias(out_a),
+            F.col("rid").alias(out_b),
+            "dist",
+        )
+    )

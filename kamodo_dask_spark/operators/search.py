@@ -104,3 +104,54 @@ def bm25_topk(
         .agg(F.round(F.sum("_s"), round_to).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists: ``score(d) = Σ_lists 1 / (k0 + rank_list(d))`` —
+    the standard hybrid-retrieval combiner (BM25 ⊕ dense ANN) because it
+    needs NO score calibration between retrievers, only ranks.
+
+    Each input carries ``(id_col, rank_col)`` with rank 1-based within
+    that list. Returns the fused top-``k``: ``(id_col, rrf_score,
+    n_lists)`` ordered by (rounded score desc, id), ``n_lists`` = how
+    many retrievers surfaced the document (the agreement signal reranker
+    stacks threshold on).
+
+    100 TB shape: the inputs are already top-k lists — metadata-sized
+    relations produced by the heavy retrieval stages
+    (:func:`bm25_topk`'s inverted-index agg, ``cosine_topk``'s blocked
+    matmul) — so fusion is a union + one tiny keyed agg + a
+    ``TakeOrderedAndProject``. The fusion stage is never the scale
+    problem; keeping it a separate operator means every retriever pair
+    composes without bespoke glue.
+    """
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+             ).alias("_rr"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("_rr"), round_digits).alias("rrf_score"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    ).limit(k)

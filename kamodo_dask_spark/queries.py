@@ -5340,6 +5340,105 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rrf_hybrid_search",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents
+               WHERE text IS NOT NULL),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+    tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM tok WHERE term IN ('spark', 'window', 'merge')
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bs AS (SELECT t.doc_id,
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+           FROM tf t JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (SELECT doc_id, round(sum(s), 4) AS score
+           FROM bs GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+    bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank FROM bm),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id <> 0),
+    cs AS (SELECT c.doc_id,
+                  round(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+           FROM q, c),
+    cnr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank
+            FROM (SELECT * FROM cs ORDER BY score DESC, doc_id LIMIT 20)),
+    u AS (SELECT doc_id, 1.0 / (60 + rank) AS rr FROM bmr
+          UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM cnr)
+    SELECT doc_id, round(sum(rr), 6) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (``operators/search.py::rrf_fuse``): BM25
+    keyword top-20 (inverted-index aggregation) fused with dense cosine
+    top-20 for one query embedding (blocked BLAS matmul) by
+    reciprocal-rank fusion — the rank-only combiner RAG stacks use
+    because sparse and dense scores are incommensurable. Both retriever
+    lists are metadata-sized by construction, so the fusion is a union +
+    one tiny keyed agg + TakeOrderedAndProject; ``n_lists`` carries the
+    sparse/dense agreement signal. The oracle recomputes both retrievers
+    AND the fusion relationally; ranks pin to (rounded score desc, id)
+    in both engines."""
+    from kamodo_dask_spark.operators.search import bm25_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "window", "merge"], k=20)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    cs = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    cs_ranked = cs.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank")
+    )
+    return rrf_fuse([bm_ranked, cs_ranked], k0=60, k=10)
+
+
+@register(
+    "fuzzy_name_matches",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join
+    (``operators/linkage.py::edit_distance_join``): every customer-name
+    pair within Levenshtein distance 1, found by deletion-neighborhood
+    blocking (FastSS/SymSpell) — 1+L row-local variant keys per string,
+    hashed to 64 bits for the exchange, one equi-join, exact
+    ``levenshtein`` verify on the deduplicated candidates. The oracle
+    BRUTE-FORCES all C(n,2) pairs, so the hash match is a completeness
+    proof of the blocking scheme (no pair the cross join finds may be
+    missing), not just a spot check. At sf0.01: 19,500 true pairs out of
+    1.1M possible; the engine never materializes the cross join at any
+    scale."""
+    from kamodo_dask_spark.operators.linkage import edit_distance_join
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return edit_distance_join(
+        cust, None, "c_custkey", None, text_col="c_name", max_dist=1
+    )
+
+
+@register(
     "incremental_agg_view",
     """
     WITH c AS (SELECT o_orderstatus AS status,

@@ -69,6 +69,8 @@ PENDING_THIS_ROUND: list[str] = [
     "k_anonymity",
     "incremental_agg_view",
     "bloom_semi_join",
+    "fuzzy_name_matches",
+    "rrf_hybrid_search",
 ]
 
 

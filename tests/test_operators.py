@@ -2817,3 +2817,93 @@ def test_bloom_semi_join(spark):
         bloom_semi_join(big, small, "fk", "k", m_bits=1000)
     with _pytest.raises(ValueError, match="n_hashes"):
         bloom_semi_join(big, small, "fk", "k", n_hashes=0)
+
+
+def test_edit_distance_join(spark):
+    """Deletion-neighborhood blocking is complete vs a brute-force
+    reference at t=1 and t=2 (substitution, insertion, deletion,
+    transposition-as-2, equality excluded by self-mode's a<b), with and
+    without key hashing; two-relation mode; validation."""
+    import itertools
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.linkage import edit_distance_join
+
+    names = ["kitten", "sitten", "sittin", "kitte", "kittens",
+             "mitten", "xyzzy", "kitten"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, name string"
+    )
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    for t in (1, 2):
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if lev(a, b) <= t
+        }
+        for hk in (True, False):
+            got = {
+                tuple(r)
+                for r in edit_distance_join(
+                    df, None, "id", None, max_dist=t, hash_keys=hk
+                ).collect()
+            }
+            assert got == want, (t, hk)
+
+    # two-relation mode: catalog vs corrupted feed
+    feed = spark.createDataFrame(
+        [(100, "sitten"), (101, "zzz")], "fid long, name string"
+    )
+    got2 = {
+        tuple(r)
+        for r in edit_distance_join(df, feed, "id", "fid").collect()
+    }
+    assert got2 == {(i, 100, lev(names[i], "sitten"))
+                    for i in range(len(names)) if lev(names[i], "sitten") <= 1}
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join(df, None, "id", None, max_dist=3)
+    with _pytest.raises(ValueError, match="right_id"):
+        edit_distance_join(df, feed, "id", None)
+
+
+def test_rrf_fuse(spark):
+    """Hand-checked fusion: scores are sums of 1/(k0+rank), agreement
+    count correct, ordering by (score desc, id), top-k cut applied."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.search import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    l2 = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank long"
+    )
+    out = rrf_fuse([l1, l2], k0=60, k=3).collect()
+    rows = {r["doc_id"]: r.asDict() for r in out}
+    # doc 10: 1/61 + 1/62; doc 20: 1/62 + 1/61 -> exact tie, id breaks
+    s = round(1 / 61 + 1 / 62, 6)
+    assert rows[10]["rrf_score"] == s and rows[20]["rrf_score"] == s
+    assert [r["doc_id"] for r in out][:2] == [10, 20]
+    assert rows[10]["n_lists"] == 2
+    assert len(out) == 3  # top-3 cut: doc 30 or 40 (tie -> 30)
+    assert out[2]["doc_id"] == 30 and out[2]["n_lists"] == 1
+    assert out[2]["rrf_score"] == round(1 / 63, 6)
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k0"):
+        rrf_fuse([l1], k0=0)
