@@ -98,6 +98,19 @@ SF01_BUDGETS = {
     "bpe_train": 4.0,
     "kmeans_clusters": 4.5,
     "substring_removal": 5.0,
+    # r8 additions, ~2x headroom over isolated warm sf0.1 measurements:
+    # triangle guards against the wedge relation re-exploding (a lost
+    # orientation = sum-of-squared-degrees wedges), k_hop against path
+    # expansion replacing frontier BFS, fuzzy against a blocking
+    # regression re-admitting the cross join (262k true pairs at sf0.1
+    # is the answer size; the budget bounds the CANDIDATE side), bloom
+    # against the probe filter dropping out of the scan stage.
+    "triangle_count": 6.0,
+    "k_hop_reach": 6.0,
+    "fuzzy_name_matches": 5.0,
+    "bloom_semi_join": 4.0,
+    "rrf_hybrid_search": 4.0,
+    "dq_audit": 3.0,
 }
 
 

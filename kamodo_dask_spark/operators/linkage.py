@@ -215,7 +215,18 @@ def edit_distance_join(
         return out.select(f"{tag}id", f"{tag}s", key.alias("_bk")).distinct()
 
     lk = keyed(left, left_id, "l")
-    rk = keyed(right, right_id, "r")
+    if self_mode:
+        # one variant build serves both join sides (eagerly materialized:
+        # generation is the expensive row-local stage, and without the
+        # checkpoint the self-join would tokenize the corpus twice)
+        lk = lk.localCheckpoint(eager=True)
+        rk = lk.select(
+            F.col("lid").alias("rid"),
+            F.col("ls").alias("rs"),
+            "_bk",
+        )
+    else:
+        rk = keyed(right, right_id, "r")
     pair_filter = (
         (F.col("lid") < F.col("rid")) if self_mode else F.lit(True)
     )

@@ -136,26 +136,35 @@ def constraint_audit(
                 )
             )
         elif c["kind"] == "referential":
+            # ONE scan of the FK side: left join against the (broadcast)
+            # referenced key set with a presence flag, then a single avg.
+            # A count + anti-join-count pair would need a scalar crossJoin
+            # to combine — which plans as BroadcastNestedLoopJoin, banned
+            # repo-wide by the plan sweep.
             fk = df.select(F.col(c["col"]).alias("_fk")).filter(
                 F.col("_fk").isNotNull()
             )
-            missing = fk.join(
-                c["ref"].select(F.col(c["ref_col"]).alias("_fk")).distinct(),
-                "_fk",
-                "left_anti",
+            refk = (
+                c["ref"]
+                .select(F.col(c["ref_col"]).alias("_fk"))
+                .filter(F.col("_fk").isNotNull())
+                .distinct()
+                .withColumn("_hit", F.lit(1))
             )
-            m = fk.agg(F.count("*").alias("_n")).crossJoin(
-                missing.agg(F.count("*").alias("_miss"))
+            m = (
+                fk.join(F.broadcast(refk), "_fk", "left")
+                .agg(
+                    F.coalesce(
+                        F.avg(F.coalesce(F.col("_hit"), F.lit(0))),
+                        F.lit(1.0),
+                    ).alias("_metric")
+                )
             )
             parts.append(
                 m.select(
                     F.lit(c["name"]).alias("check"),
                     F.lit("referential").alias("kind"),
-                    F.coalesce(
-                        (F.col("_n") - F.col("_miss"))
-                        / F.nullif(F.col("_n"), F.lit(0)),
-                        F.lit(1.0),
-                    ).alias("_metric"),
+                    "_metric",
                 )
             )
         elif c["kind"] not in _ROW_LOCAL:

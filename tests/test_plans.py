@@ -903,3 +903,101 @@ def test_value_anomalies_broadcast_no_extra_shuffle(spark):
     assert_broadcast_join(df, count=1)
     assert plan.count("FileScan parquet") <= 2, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_dq_audit_fused_scan_no_bnlj(spark):
+    """dq_audit: the five row-local rules share ONE orders scan (so
+    orders appears at most 4x total: fused row-local + 2 uniqueness aggs
+    + 1 referential probe), the FK probe is a broadcast join, and no
+    scalar crossJoin sneaks in as BroadcastNestedLoopJoin."""
+    from kamodo_dask_spark.plans.checks import assert_broadcast_join, executed_plan
+
+    df = QUERIES["dq_audit"](spark, SF)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") <= 5, plan  # 4x orders + customer
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_broadcast_join(df, count=1)
+
+
+def test_k_anonymity_single_scan_single_exchange(spark):
+    """k_anonymize: one scan, one hash exchange (the QI window), no
+    range partitioning (the window has no ordering to globally sort)."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["k_anonymity"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_incremental_agg_view_two_scans(spark):
+    """merge_agg_view: base-view agg + delta agg = two orders scans, one
+    merge join, nothing else touches the base table."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["incremental_agg_view"](spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bloom_semi_join_probe_before_join(spark):
+    """bloom_semi_join: the literal-bitmap probe (shiftright arithmetic)
+    filters the big side IN THE SCAN STAGE, and the mop-up is a
+    broadcast LEFT SEMI hash join — never a shuffle of unpruned rows."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["bloom_semi_join"](spark, SF))
+    assert "shiftright" in plan, plan
+    assert "BuildRight" in plan and "LeftSemi" in plan, plan
+    # big side: scan -> probe filter -> semi join -> partial agg -> one
+    # exchange; the only other hash exchange is the SMALL side's key
+    # distinct feeding the broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_fuzzy_name_matches_no_cross_join_one_variant_build(spark):
+    """edit_distance_join self-mode: candidates come from the variant
+    equi-join (no CartesianProduct/BNLJ anywhere), and the variant
+    relation is built ONCE (checkpointed) then reused for both sides —
+    the plan reads the checkpoint, not two tokenization pipelines."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["fuzzy_name_matches"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan  # checkpoint only
+    assert plan.count("ExistingRDD") >= 1, plan
+
+
+def test_triangle_count_oriented_equijoins(spark, monkeypatch):
+    """triangle_counts: every stage joins on node-id equality — no cross
+    join, no range partitioning, and the wedge close is a LEFT SEMI
+    join. Checkpointing is disabled for the assertion so the FULL
+    lineage (normally truncated stage by stage) is visible in one
+    plan."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    try:  # Spark 4: instances are the classic concrete class
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - Spark 3 layout
+        from pyspark.sql import DataFrame
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    plan = executed_plan(QUERIES["triangle_count"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_rrf_hybrid_search_topk_no_global_sort(spark):
+    """rrf_fuse: the fused top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the fused relation."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["rrf_hybrid_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
