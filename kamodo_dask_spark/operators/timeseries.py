@@ -1,0 +1,105 @@
+"""Regular-grid time-series repair: densify missing slots and fill.
+
+Sensor feeds, metric rollups, and event-hour aggregates arrive SPARSE —
+slots with no observation simply don't exist as rows — while every
+consumer downstream (rolling features, as-of joins against a regular
+grid, charting, model input windows) assumes a DENSE series. This is
+TimescaleDB's ``time_bucket_gapfill`` + ``locf`` as DataFrame algebra:
+per key, materialize every slot between the key's first and last
+observation, then fill the holes.
+
+Scale design: the span relation is one partial-combined min/max agg
+(key-sized); densification is a row-local ``sequence`` explode of the
+span relation — its output is the ANSWER size (Σ per-key span), never a
+shuffle amplification; the observations join back on (key, slot) —
+hash-uniform; LOCF is one window pass per key ordered by slot, which
+co-partitions with the join, so the whole repair is one exchange + one
+in-partition sort beyond the agg. A key whose span is pathologically
+long (one reading in 1970, one today) emits its full span — bound spans
+upstream if that is not the intent; the operator will not silently
+truncate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_STRATEGIES = ("locf", "zero", "none")
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    slot_col: str,
+    value_cols: list[str],
+    strategy: str = "locf",
+) -> DataFrame:
+    """Densify an integer-slot series per key and fill missing values.
+
+    ``df`` holds PRE-BUCKETED observations: at most one row per
+    ``(key, slot)``, ``slot_col`` an integer bucket index (epoch-hour,
+    epoch-day — derive with integer division upstream so the grid
+    arithmetic is exact; never raw timestamps). Emits one row for EVERY
+    slot in each key's ``[min(slot), max(slot)]`` with:
+
+    - ``strategy='locf'``: each FABRICATED slot carries the most recent
+      non-NULL observed value forward (leading gaps stay NULL — nothing
+      to carry);
+    - ``'zero'``: fabricated slots get 0 (count-like series);
+    - ``'none'``: fabricated slots stay NULL (the densify-only form);
+
+    plus a ``filled`` boolean — true on rows the operator fabricated —
+    so downstream quality gates can weight observed vs imputed points.
+    An OBSERVED row is never rewritten, including an observed NULL value
+    (it stays NULL in place with ``filled`` false — but, being NULL, it
+    is not what locf carries into later gaps; the carry always takes the
+    most recent non-NULL).
+    """
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    if not value_cols:
+        raise ValueError("need at least one value column")
+    missing = [c for c in (*key_cols, slot_col, *value_cols) if c not in df.columns]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
+
+    spans = df.groupBy(*key_cols).agg(
+        F.min(slot_col).alias("_mn"), F.max(slot_col).alias("_mx")
+    )
+    slots = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(slot_col),
+    )
+    obs = df.select(
+        *key_cols, slot_col, *value_cols, F.lit(True).alias("_obs")
+    )
+    joined = slots.join(obs, [*key_cols, slot_col], "left")
+    filled = F.col("_obs").isNull()
+    if strategy == "locf":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(slot_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # only fabricated rows take the carried value: an OBSERVED NULL
+        # stays NULL (it is a value, per the contract above)
+        vals = [
+            F.when(filled, F.last(c, ignorenulls=True).over(w))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ]
+    elif strategy == "zero":
+        vals = [
+            F.when(filled, F.lit(0).cast(dict(df.dtypes)[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ]
+    else:
+        vals = [F.col(c).alias(c) for c in value_cols]
+    return joined.select(
+        *key_cols, slot_col, *vals, filled.alias("filled")
+    )

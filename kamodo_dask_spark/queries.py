@@ -5340,6 +5340,54 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gap_fill_hourly",
+    """
+    WITH b AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+                      round(sum(value), 2) AS value
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+          FROM b GROUP BY 1),
+    g AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hour FROM s),
+    j AS (SELECT g.event_type, g.hour, b.value,
+                 b.event_type IS NULL AS filled
+          FROM g LEFT JOIN b
+            ON b.event_type = g.event_type AND b.hour = g.hour)
+    SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           CASE WHEN filled THEN last_value(value IGNORE NULLS) OVER
+                  (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ELSE value END AS value,
+           filled
+    FROM j
+    """,
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + LOCF
+    (``operators/timeseries.py::gap_fill``): hourly per-event-type value
+    sums over a 30-day span have 34-53 genuinely EMPTY hours per type at
+    sf0.01 — the entry materializes every hour in each type's span and
+    carries the last observed sum into the holes, flagging fabricated
+    rows (TimescaleDB ``time_bucket_gapfill`` + ``locf``). Slots are
+    exact integer epoch-hours (never timestamp arithmetic). Plan: one
+    min/max agg (key-sized) → row-local sequence explode (output-sized)
+    → one (key, slot) equi-join → one window that co-partitions with it.
+    The oracle replays the same fill with ``last_value IGNORE NULLS``."""
+    from kamodo_dask_spark.operators.timeseries import gap_fill
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    ).agg(F.round(F.sum("value"), 2).alias("value"))
+    out = gap_fill(obs, ["event_type"], "hour", ["value"])
+    return out.select(
+        "event_type", F.col("hour").cast("bigint").alias("hour"),
+        "value", "filled",
+    )
+
+
+@register(
     "rrf_hybrid_search",
     f"""
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents

@@ -71,6 +71,7 @@ PENDING_THIS_ROUND: list[str] = [
     "bloom_semi_join",
     "fuzzy_name_matches",
     "rrf_hybrid_search",
+    "gap_fill_hourly",
 ]
 
 

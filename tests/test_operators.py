@@ -2907,3 +2907,44 @@ def test_rrf_fuse(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="k0"):
         rrf_fuse([l1], k0=0)
+
+
+def test_gap_fill(spark):
+    """Densify + fill: locf carries the most recent non-NULL value into
+    fabricated slots only, leading gaps stay NULL, observed rows (incl.
+    observed NULLs) are never rewritten; zero/none strategies; spans are
+    per-key; validation raises."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 13, None), ("a", 15, 4.0),
+         ("b", 100, 9.0)],
+        "k string, slot long, v double",
+    )
+    out = {(r["k"], r["slot"]): (r["v"], r["filled"])
+           for r in gap_fill(df, ["k"], "slot", ["v"]).collect()}
+    assert out[("a", 10)] == (1.0, False)
+    assert out[("a", 11)] == (1.0, True)   # locf carry
+    assert out[("a", 12)] == (1.0, True)
+    assert out[("a", 13)] == (None, False)  # observed NULL preserved
+    assert out[("a", 14)] == (1.0, True)   # carry skips the observed NULL
+    assert out[("a", 15)] == (4.0, False)
+    assert out[("b", 100)] == (9.0, False)  # singleton span
+    assert len(out) == 7  # per-key spans, no cross-key densification
+
+    zero = {(r["k"], r["slot"]): r["v"]
+            for r in gap_fill(df, ["k"], "slot", ["v"], "zero").collect()}
+    assert zero[("a", 11)] == 0.0 and zero[("a", 13)] is None
+
+    none = {(r["k"], r["slot"]): r["v"]
+            for r in gap_fill(df, ["k"], "slot", ["v"], "none").collect()}
+    assert none[("a", 11)] is None and none[("a", 10)] == 1.0
+
+    with _pytest.raises(ValueError, match="strategy"):
+        gap_fill(df, ["k"], "slot", ["v"], "interp")
+    with _pytest.raises(ValueError, match="key"):
+        gap_fill(df, [], "slot", ["v"])
+    with _pytest.raises(ValueError, match="lacks"):
+        gap_fill(df, ["k"], "slot", ["nope"])
