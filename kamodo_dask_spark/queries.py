@@ -5376,10 +5376,17 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamodo_dask_spark.operators.timeseries import gap_fill
 
     ev = read_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
-    ).agg(F.round(F.sum("value"), 2).alias("value"))
+    obs = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"))
+        # gap_fill reads its input twice (span agg + observation join);
+        # the bucketed relation is answer-sized, so materializing it once
+        # saves the second events scan + timestamp normalization
+        .localCheckpoint(eager=True)
+    )
     out = gap_fill(obs, ["event_type"], "hour", ["value"])
     return out.select(
         "event_type", F.col("hour").cast("bigint").alias("hour"),
