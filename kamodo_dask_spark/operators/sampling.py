@@ -430,3 +430,51 @@ def stratified_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, one pass —
+    Efraimidis–Spirakis A-ES (2006): rank every row by
+    ``ln(u) / w`` (u uniform in (0,1), w the row's weight) and keep the
+    top ``k``; the selection distribution is exactly sequential
+    weighted draws without replacement. This is the distributed-sampling
+    primitive (Spark's own ``sampleBy`` is per-stratum Bernoulli WITH
+    replacement semantics and RNG-seeded — neither reproducible across
+    engines nor without-replacement).
+
+    Determinism: u is md5-derived from the key (this module's ONE
+    seeding spelling — salt to decorrelate from other stages), so the
+    sample is a pure function of (keys, weights, salt) — re-runs,
+    engines, and cluster sizes agree. The rank key is ROUNDED and
+    ties break by key, pinning the cutoff cross-engine.
+
+    Rows with NULL, zero, or negative weights are excluded (zero weight
+    = never sampled; ES is undefined for w <= 0). 100 TB shape:
+    one row-local projection + a global top-k as
+    ``TakeOrderedAndProject`` (per-partition heaps of k, no sort, no
+    shuffle beyond k·partitions rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    # u in (0,1): 32-bit md5 prefix + 0.5, over 2^32 — never exactly 0/1
+    u = (
+        md5_prefix_bucket(seeded_md5(F.col(key_col), salt), 1 << 32)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    es_key = F.round(F.log(u) / w, round_digits)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es", es_key)
+        .orderBy(F.col("_es").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_es")
+    )

@@ -103,3 +103,51 @@ def gap_fill(
     return joined.select(
         *key_cols, slot_col, *vals, filled.alias("filled")
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_us: int,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization of a BATCH event table — the
+    gaps-and-islands form of what ``streaming/sessions.py`` does
+    statefully: a new session starts wherever the time since the
+    previous event of the same key exceeds ``gap_us`` (exact integer
+    microseconds; never float seconds).
+
+    Appends ``out_col``: a 0-based per-key session index, assigned in
+    event-time order. Ties on the timestamp are broken by
+    ``order_cols`` (default: none — pass the event id when duplicate
+    timestamps are possible, or the index assignment is
+    nondeterministic under SQL semantics on BOTH engines).
+
+    100 TB shape: ONE hash shuffle on the key + one in-partition sort
+    serves both window passes (lag and the running sum share the frame
+    ordering, so Catalyst plans a single Window node — no second
+    exchange, no second sort). Session boundaries never cross keys, so
+    skew is bounded by the heaviest single key's event count — salt
+    upstream if one entity dominates (``skew.py``).
+    """
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be positive, got {gap_us}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col))
+    prev = F.lag(t).over(w)
+    new_session = F.when(
+        prev.isNull() | ((t - prev) > F.lit(int(gap_us))), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, (F.sum(new_session).over(run) - 1).cast("bigint")
+    )

@@ -5340,6 +5340,126 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gazetteer_mentions",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents
+               WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, unnest(ws) AS gram FROM w
+      UNION ALL
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                             for i in range(1, greatest(len(ws)-1, 0)+1)])
+      FROM w
+      UNION ALL
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, greatest(len(ws)-2, 0)+1)])
+      FROM w)
+    SELECT doc_id, gram AS phrase, CAST(count(*) AS BIGINT) AS n_mentions
+    FROM g
+    WHERE gram IN ('spark', 'table hash', 'customer join',
+                   'fast merge batch', 'quantum flux')
+    GROUP BY doc_id, gram
+    """,
+)
+def gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-gazetteer tagging
+    (``operators/extract.py::gazetteer_match``): per-document mention
+    counts of a controlled vocabulary with MULTI-WORD entities (1/2/3
+    tokens; 'quantum flux' never occurs — zero-match phrases emit no
+    rows). The corpus side builds n-gram arrays only for the lengths the
+    gazetteer contains and (literal-list path) filters them ROW-LOCALLY
+    against the phrase set before the explode, so only true mentions
+    ever leave the scan stage — one corpus pass, zero joins, one
+    (doc, phrase) partial-combined count; the dictionary never drives
+    scan count or a regex alternation. Oracle unnests the same 1/2/3
+    grams and filters IN the same set."""
+    from kamodo_dask_spark.operators.extract import gazetteer_match
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gazetteer_match(
+        docs,
+        ["spark", "table hash", "customer join", "fast merge batch",
+         "quantum flux"],
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0)
+                   / n_chars, 6) AS es
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, n_chars FROM s ORDER BY es DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement
+    (``operators/sampling.py::weighted_sample``, Efraimidis-Spirakis
+    A-ES): 50 documents drawn proportionally to length — the
+    quality/length-weighted subsample step of corpus curation, with
+    exact without-replacement semantics Spark's RNG-seeded ``sampleBy``
+    cannot give. The rank key ``ln(u)/w`` uses the module's md5-derived
+    u, so the SAMPLE ITSELF is a pure function of keys+weights and the
+    oracle re-derives it row for row. One row-local projection + a
+    TakeOrderedAndProject top-k — no shuffle beyond k·partitions rows at
+    any corpus size."""
+    from kamodo_dask_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return weighted_sample(docs, "n_chars", "doc_id", k=50)
+
+
+@register(
+    "batch_sessions",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t, value
+               FROM events),
+    l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      AS p FROM e),
+    m AS (SELECT *, CASE WHEN p IS NULL OR t - p > 1800000000
+                         THEN 1 ELSE 0 END AS ns FROM l),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                      AS sid FROM m)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) AS duration_us,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based BATCH sessionization
+    (``operators/timeseries.py::sessionize_batch``, 30-min gap) — the
+    gaps-and-islands complement of the stateful streaming
+    ``sessionization`` entry, for backfill/replay over historical data:
+    lag + running-sum windows sharing ONE key shuffle and ONE
+    in-partition sort (single Window node, plan property), exact
+    integer-µs gap arithmetic, event-id tie-break so duplicate
+    timestamps sessionize deterministically on both engines. Per-session
+    aggregates ride the same partitioning."""
+    from kamodo_dask_spark.operators.timeseries import sessionize_batch
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    s = sessionize_batch(
+        ev, ["user_id"], "ts", gap_us=1_800_000_000, order_cols=["event_id"]
+    )
+    t = F.unix_micros(F.col("ts"))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max(t) - F.min(t)).cast("bigint").alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "gap_fill_hourly",
     """
     WITH b AS (SELECT event_type,

@@ -72,6 +72,9 @@ PENDING_THIS_ROUND: list[str] = [
     "fuzzy_name_matches",
     "rrf_hybrid_search",
     "gap_fill_hourly",
+    "batch_sessions",
+    "weighted_sample_topk",
+    "gazetteer_mentions",
 ]
 
 

@@ -2948,3 +2948,119 @@ def test_gap_fill(spark):
         gap_fill(df, [], "slot", ["v"])
     with _pytest.raises(ValueError, match="lacks"):
         gap_fill(df, ["k"], "slot", ["nope"])
+
+
+def test_sessionize_batch(spark):
+    """Gaps-and-islands sessionization: boundaries at gaps > gap_us,
+    per-key indexing from 0, tie-break via order_cols; validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 1, t0), (1, 2, t0 + 10 * s), (1, 3, t0 + 11 * s),
+        (1, 4, t0 + 100 * s),
+        (2, 5, t0),
+    ]
+    df = spark.createDataFrame(rows, "user long, eid long, ts timestamp")
+    out = {
+        r["eid"]: r["session_idx"]
+        for r in sessionize_batch(
+            df, ["user"], "ts", gap_us=5_000_000, order_cols=["eid"]
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 0}
+
+    with _pytest.raises(ValueError, match="gap_us"):
+        sessionize_batch(df, ["user"], "ts", 0)
+    with _pytest.raises(ValueError, match="key"):
+        sessionize_batch(df, [], "ts", 1)
+
+
+def test_weighted_sample(spark):
+    """A-ES without replacement: matches a NumPy re-derivation of the
+    same keys exactly; heavier weights win in expectation (statistical
+    sanity on a bimodal corpus); zero/NULL/negative weights excluded;
+    deterministic across calls; salt decorrelates."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(100 if i % 10 == 0 else 1)) for i in range(200)]
+    rows += [(900, 0.0), (901, None), (902, -1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def es_key(i, wt):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % (1 << 32)
+        u = (h + 0.5) / (1 << 32)
+        return round(math.log(u) / wt, 6)
+
+    want = sorted(
+        ((es_key(i, wt), -i) for i, wt in rows if wt and wt > 0),
+        reverse=True,
+    )[:20]
+    want_ids = sorted(-x[1] for x in want)
+    got = sorted(
+        r["id"] for r in weighted_sample(df, "w", "id", 20).collect()
+    )
+    assert got == want_ids
+    assert {900, 901, 902}.isdisjoint(got)
+    # heavy rows (w=100, 10% of corpus) should dominate a k=20 sample
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy >= 10
+    # determinism + salt decorrelation
+    again = sorted(r["id"] for r in weighted_sample(df, "w", "id", 20).collect())
+    assert again == got
+    salted = sorted(
+        r["id"] for r in weighted_sample(df, "w", "id", 20, salt="s").collect()
+    )
+    assert salted != got
+
+    with _pytest.raises(ValueError, match="k must"):
+        weighted_sample(df, "w", "id", 0)
+
+
+def test_gazetteer_match(spark):
+    """Literal-list and DataFrame gazetteers agree; multi-word phrases,
+    overlap counting, case folding, zero-match phrases absent, NULL
+    text skipped; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.extract import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [(1, "Big Apple pie in the big apple"),
+         (2, "apple apple apple"),
+         (3, None),
+         (4, "nothing here")],
+        "doc_id long, text string",
+    )
+    phrases = ["apple", "big apple", "apple pie in"]
+    want = {
+        (1, "apple"): 2, (1, "big apple"): 2, (1, "apple pie in"): 1,
+        (2, "apple"): 3,
+    }
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_mentions"]
+        for r in gazetteer_match(docs, phrases).collect()
+    }
+    assert got == want
+
+    gaz_df = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    got_df = {
+        (r["doc_id"], r["phrase"]): r["n_mentions"]
+        for r in gazetteer_match(docs, gaz_df).collect()
+    }
+    assert got_df == want
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        gazetteer_match(docs, [""])
+    with _pytest.raises(ValueError, match="empty gazetteer"):
+        gazetteer_match(docs, gaz_df.limit(0))
