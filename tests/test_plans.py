@@ -1001,3 +1001,40 @@ def test_rrf_hybrid_search_topk_no_global_sort(spark):
     plan = executed_plan(QUERIES["rrf_hybrid_search"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_batch_sessions_one_shuffle_one_sort(spark):
+    """sessionize_batch + per-session agg: ONE hash exchange serves the
+    lag window, the running-sum window, AND the (user, session) groupBy
+    (the window partitioning clusters the agg keys); one in-partition
+    sort; no range partitioning, no join."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["batch_sessions"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_weighted_sample_zero_shuffle_topk(spark):
+    """A-ES sampling: one scan, zero exchanges, top-k as
+    TakeOrderedAndProject — the rank key never globally sorts."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["weighted_sample_topk"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gazetteer_literal_path_no_join(spark):
+    """gazetteer_match with a literal list: the phrase filter folds into
+    the scan-stage projection (no join anywhere); the only exchange is
+    the (doc, phrase) count's."""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["gazetteer_mentions"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
