@@ -151,3 +151,75 @@ def sessionize_batch(
     return df.withColumn(
         out_col, (F.sum(new_session).over(run) - 1).cast("bigint")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    slack,
+    threshold,
+    target=None,
+) -> DataFrame:
+    """Upward change-point detection per key — Page's one-sided CUSUM
+    (1954), the drift monitor production metric pipelines run over
+    ingest volumes, error rates, and sensor baselines.
+
+    The textbook recursion ``S_i = max(0, S_{i-1} + x_i − target −
+    slack)`` is not window-expressible, but its CLOSED FORM is:
+    ``S_i = P_i − min(0, min_{j≤i} P_j)`` where ``P`` is the running sum
+    of the centered series — so the whole detector is ONE cumulative-sum
+    window plus ONE running-min window over the same (key, order)
+    frame: one hash shuffle, one in-partition sort, both windows sharing
+    them (the ``sessionize_batch`` plan shape).
+
+    ``target`` is the in-control level: a number, or None to use each
+    key's own series mean (retrospective monitoring) — computed as an
+    exact per-key aggregate joined back broadcast-free on the window's
+    own partitioning. Work in INTEGER units (cents, counts, µs) and the
+    whole statistic is exact int64 arithmetic end to end — no float
+    accumulation to diverge between engines.
+
+    Returns the input keys + ``order_col`` + ``value_col`` + ``cusum`` +
+    ``alarm`` (cusum > threshold), one row per input row; filter to
+    ``alarm`` downstream for the alert feed.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    w_ord = Window.partitionBy(*key_cols).orderBy(order_col)
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col)
+    if target is None:
+        # per-key mean over the full series: integer-exact when the
+        # caller works in integer units ONLY if spelled as a DIV — use
+        # floor division so int stays int (documented retrospective mode)
+        per_key = Window.partitionBy(*key_cols)
+        tgt = F.floor(
+            F.sum(x).over(per_key) / F.count(x).over(per_key)
+        )
+    else:
+        tgt = F.lit(target)
+    centered = x - tgt - F.lit(slack)
+    # two projections: Spark cannot nest min-over-window around
+    # sum-over-window in one expression; both windows still share the
+    # single exchange + sort
+    staged = df.select(
+        *key_cols,
+        order_col,
+        value_col,
+        F.sum(centered).over(run).alias("_p"),
+    )
+    run2 = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col("_p") - F.least(F.lit(0), F.min("_p").over(run2))
+    return staged.select(
+        *key_cols,
+        order_col,
+        value_col,
+        s.alias("cusum"),
+        (s > F.lit(threshold)).alias("alarm"),
+    )

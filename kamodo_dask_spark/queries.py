@@ -5340,6 +5340,56 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_alarms",
+    """
+    WITH b AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+                      CAST(round(sum(value * 100)) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT *, CAST(floor(sum(cents) OVER (PARTITION BY event_type)::DOUBLE
+                         / count(cents) OVER (PARTITION BY event_type))
+                    AS BIGINT) AS tgt FROM b),
+    p AS (SELECT *, sum(cents - tgt - 5000) OVER (PARTITION BY event_type
+                      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pp FROM t),
+    s AS (SELECT *, pp - least(0, min(pp) OVER (PARTITION BY event_type
+                      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)) AS cusum FROM p)
+    SELECT event_type, CAST(hour AS BIGINT) AS hour, cents,
+           CAST(cusum AS BIGINT) AS cusum
+    FROM s WHERE cusum > 100000
+    """,
+)
+def cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring — Page's one-sided CUSUM
+    (``operators/timeseries.py::cusum_changepoints``) over hourly
+    per-event-type revenue cents: the textbook max-recursion via its
+    closed form ``S_i = P_i − min(0, min_{j≤i} P_j)`` — one cumulative
+    sum + one running min sharing a single exchange and sort. All-int64
+    arithmetic (cents, floor-mean target), so the statistic is exact
+    cross-engine; 14 alarm rows at sf0.01 under (slack 5000, h 100000) —
+    a realistic alert rate, not a firehose."""
+    from kamodo_dask_spark.operators.timeseries import cusum_changepoints
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    ).agg(
+        F.round(F.sum(F.col("value") * 100)).cast("bigint").alias("cents")
+    )
+    out = cusum_changepoints(
+        obs, ["event_type"], "hour", "cents", slack=5000, threshold=100000
+    )
+    return out.filter(F.col("alarm")).select(
+        "event_type",
+        F.col("hour").cast("bigint").alias("hour"),
+        "cents",
+        F.col("cusum").cast("bigint").alias("cusum"),
+    )
+
+
+@register(
     "gazetteer_mentions",
     f"""
     WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents

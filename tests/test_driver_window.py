@@ -75,6 +75,7 @@ PENDING_THIS_ROUND: list[str] = [
     "batch_sessions",
     "weighted_sample_topk",
     "gazetteer_mentions",
+    "cusum_alarms",
 ]
 
 

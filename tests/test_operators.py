@@ -3064,3 +3064,48 @@ def test_gazetteer_match(spark):
         gazetteer_match(docs, [""])
     with _pytest.raises(ValueError, match="empty gazetteer"):
         gazetteer_match(docs, gaz_df.limit(0))
+
+
+def test_cusum_changepoints(spark):
+    """Closed form matches the textbook recursion on a hand series with a
+    planted level shift; per-key mean target mode; integer exactness;
+    validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import cusum_changepoints
+
+    series = [10, 9, 11, 10, 30, 32, 31, 29]  # shift at i=4
+    rows = [("a", i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+
+    def reference(vals, target, slack):
+        s, out = 0, []
+        for v in vals:
+            s = max(0, s + v - target - slack)
+            out.append(s)
+        return out
+
+    want = reference(series, target=10, slack=2)
+    got = {
+        r["i"]: (r["cusum"], r["alarm"])
+        for r in cusum_changepoints(
+            df, ["k"], "i", "v", slack=2, threshold=20, target=10
+        ).collect()
+    }
+    assert [got[i][0] for i in range(8)] == want
+    assert [got[i][1] for i in range(8)] == [s > 20 for s in want]
+    assert got[4][1] is False and got[5][1] is True  # alarm fires post-shift
+
+    # retrospective mode: per-key floor-mean target, still int-exact
+    mean = sum(series) // len(series)
+    want2 = reference(series, target=mean, slack=0)
+    got2 = [
+        r["cusum"]
+        for r in cusum_changepoints(
+            df, ["k"], "i", "v", slack=0, threshold=1 << 60
+        ).orderBy("i").collect()
+    ]
+    assert got2 == want2
+
+    with _pytest.raises(ValueError, match="key"):
+        cusum_changepoints(df, [], "i", "v", 0, 1)
