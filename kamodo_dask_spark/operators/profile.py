@@ -268,3 +268,63 @@ def zscore_outliers(
         )
         .filter(F.abs(F.col("z")) >= float(z_thresh))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+    round_digits: int = 6,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group MEDIAN/MAD outlier flagging — the robust complement of
+    :func:`zscore_outliers`: mean/stddev break down exactly when the data
+    has the outliers you are hunting (one corrupt amount drags the mean
+    toward itself and inflates the deviation that is supposed to expose
+    it), while median and median-absolute-deviation have a 50% breakdown
+    point. Flags rows whose modified z-score ``0.6745·(x − med) / MAD``
+    (Iglewicz–Hoaglin) exceeds ``z_thresh`` in absolute value, on the
+    ROUNDED score (cross-engine-identical flag set).
+
+    Two grouped percentile passes by construction (MAD depends on the
+    group median): each is one aggregation producing a metadata-sized
+    per-group relation broadcast back onto the rows. ``exact=True`` uses
+    the exact interpolated percentile — sort-based per group, the
+    oracle-able spelling; ``exact=False`` swaps in
+    ``percentile_approx`` (streaming t-digest-style sketch, one pass, no
+    per-group sort) — the 100 TB default, pytest-bounded against the
+    exact path rather than oracle-checked. NULL values and NULL groups
+    are excluded; zero-MAD groups (>50% identical values) flag nothing
+    — by the statistic's own definition, not a guard.
+
+    Returns flagged rows: ``(group_col, value_col, mz)``.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+
+    def pct(col: Column) -> Column:
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+
+    med = rows.groupBy("_g").agg(pct(F.col("_v")).alias("_med"))
+    dev = rows.join(F.broadcast(med), "_g").select(
+        "_g", "_v", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_d")
+    )
+    mad = dev.groupBy("_g").agg(pct(F.col("_d")).alias("_mad"))
+    mz = F.round(
+        F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad"),
+        round_digits,
+    )
+    return (
+        dev.join(F.broadcast(mad.filter(F.col("_mad") > 0)), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            mz.alias("mz"),
+        )
+        .filter(F.abs(F.col("mz")) >= float(z_thresh))
+    )

@@ -5340,6 +5340,146 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outliers",
+    """
+    WITH pr AS (SELECT l.l_partkey, p.p_brand, round(sum(l.l_extendedprice), 2)
+                  AS revenue
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                GROUP BY 1, 2),
+    m AS (SELECT p_brand, quantile_cont(revenue, 0.5) AS med
+          FROM pr GROUP BY 1),
+    d AS (SELECT pr.p_brand, pr.revenue, m.med,
+                 abs(pr.revenue - m.med) AS dd
+          FROM pr JOIN m USING (p_brand)),
+    md AS (SELECT p_brand, quantile_cont(dd, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.p_brand, d.revenue,
+           round(0.6745 * (d.revenue - d.med) / md.mad, 6) AS mz
+    FROM d JOIN md USING (p_brand)
+    WHERE md.mad > 0
+      AND abs(round(0.6745 * (d.revenue - d.med) / md.mad, 6)) >= 2.5
+    """,
+)
+def mad_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection
+    (``operators/profile.py::mad_outliers``) on per-part revenue within
+    brand cohorts — the estimator that survives the very outliers it
+    hunts (a 50% breakdown point vs the mean/stddev's zero; the
+    ``value_anomalies`` z-score would drag its own baseline toward a
+    corrupt amount). Per-part sums are rounded BEFORE the percentile so
+    both engines interpolate identical doubles; 39 flags at sf0.01 under
+    the modified-z 2.5 threshold. Exact grouped percentiles here (the
+    oracle-able spelling); ``exact=False`` swaps in the one-pass
+    percentile_approx sketch for corpus scale, pytest-bounded against
+    this path."""
+    from kamodo_dask_spark.operators.profile import mad_outliers
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pr = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    return mad_outliers(pr, "p_brand", "revenue", z_thresh=2.5)
+
+
+@register(
+    "streaming_view_maintenance",
+    """
+    WITH e AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM e GROUP BY event_type, day
+    """,
+)
+def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — ``foreachBatch`` +
+    ``merge_agg_view`` (§2.9 composed with the IVM operator): the events
+    relation is split into FOUR files streamed one per micro-batch
+    (``maxFilesPerTrigger=1``), and each batch's delta is folded into a
+    driver-carried aggregate view (count/sum/max per (type, day)) by the
+    same merge the batch entry checks — base never rescanned, view
+    re-checkpointed per batch (the ``streaming_interp`` refresh
+    discipline). The oracle aggregates ALL events in one shot, so the
+    hash match proves the IVM identity holds across Structured
+    Streaming's incremental delivery, batch boundaries and all. This is
+    the refresh-on-commit pattern a warehouse sink runs at 100 TB: per
+    commit, work proportional to the delta + one view-sized merge."""
+    import os
+    import tempfile
+
+    from kamodo_dask_spark.operators.maintenance import merge_agg_view
+    from kamodo_dask_spark.session import scoped_conf
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    app_id = spark.sparkContext.applicationId
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), f"kds_stream_ivm_{app_id}_{sf_tag}"
+    )
+    # four stable chunk files (one per micro-batch); overwrite keeps the
+    # footprint at one fixture per session+SF, like schema_evolution_scan
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).select(
+            "event_type", "day", "cents"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/chunk={i}")
+
+    view_schema = ev.select(
+        "event_type",
+        "day",
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("cents"),
+        F.lit(0).cast("bigint").alias("max_cents"),
+    ).limit(0)
+    state = {"view": view_schema.localCheckpoint(eager=True)}
+
+    def fold(batch_df, _batch_id):
+        state["view"] = merge_agg_view(
+            state["view"],
+            batch_df,
+            ["event_type", "day"],
+            counts=["n"],
+            sums={"cents": "cents"},
+            maxs={"max_cents": "cents"},
+        ).localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema("event_type string, day long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/chunk=*")
+    )
+    with scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    ):
+        for q in spark.streams.active:
+            if q.name == "streaming_view_maintenance_q":
+                q.stop()
+        with _ephemeral_checkpoint() as ckpt:
+            query = (
+                stream.writeStream.foreachBatch(fold)
+                .queryName("streaming_view_maintenance_q")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    return state["view"].select(
+        "event_type", "day", "n", "cents", "max_cents"
+    )
+
+
+@register(
     "cusum_alarms",
     """
     WITH b AS (SELECT event_type,

@@ -76,6 +76,8 @@ PENDING_THIS_ROUND: list[str] = [
     "weighted_sample_topk",
     "gazetteer_mentions",
     "cusum_alarms",
+    "streaming_view_maintenance",
+    "mad_outliers",
 ]
 
 

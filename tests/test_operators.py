@@ -3109,3 +3109,25 @@ def test_cusum_changepoints(spark):
 
     with _pytest.raises(ValueError, match="key"):
         cusum_changepoints(df, [], "i", "v", 0, 1)
+
+
+def test_mad_outliers(spark):
+    """Modified z on a hand group with one planted outlier; zero-MAD
+    groups and NULL values/groups flag nothing; approx path agrees with
+    exact on small data."""
+    from kamodo_dask_spark.operators.profile import mad_outliers
+
+    rows = (
+        [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]]
+        + [("b", 5.0), ("b", 5.0), ("b", 5.0)]   # zero MAD
+        + [(None, 999.0), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "g", "v", z_thresh=3.5).collect()
+    # group a: med 12.5, MAD = median(|v-12.5|) = 1.5? devs [2.5,1.5,0.5,0.5,1.5,87.5]
+    # sorted [0.5,0.5,1.5,1.5,2.5,87.5] -> MAD 1.5; mz(100)=0.6745*87.5/1.5=39.35
+    assert [(r["g"], r["v"]) for r in out] == [("a", 100.0)]
+    assert abs(out[0]["mz"] - round(0.6745 * 87.5 / 1.5, 6)) < 1e-9
+
+    approx = mad_outliers(df, "g", "v", z_thresh=3.5, exact=False).collect()
+    assert [(r["g"], r["v"]) for r in approx] == [("a", 100.0)]
