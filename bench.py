@@ -42,6 +42,7 @@ STREAMING_QUERIES = {
     "stream_static_enrich",
     "stream_stream_join",
     "streaming_interp",
+    "streaming_view_maintenance",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged
@@ -111,6 +112,12 @@ SF01_BUDGETS = {
     "bloom_semi_join": 4.0,
     "rrf_hybrid_search": 4.0,
     "dq_audit": 3.0,
+    # four real micro-batches + per-batch merge/checkpoint (~3.5 s warm);
+    # the budget catches a per-batch full-rescan regression
+    "streaming_view_maintenance": 7.0,
+    # two exact grouped percentiles (~1.6 s warm); catches a lost
+    # broadcast re-shuffling the corpus for the flagging pass
+    "mad_outliers": 4.0,
 }
 
 
