@@ -5937,6 +5937,8 @@ PINNED_THIS_ROUND = [
     # configuration.
     "scd2_history",  # validate-path NULL-key duplicate check rewritten (ADVICE r7 #1)
     "logreg_quality_fit",  # weight rounding moved in-engine to F.round (ADVICE r7 #4)
+    "value_anomalies",  # NULL groups now filtered before the stats pass (ADVICE r7 #5)
+    "schema_evolution_scan",  # fixture path keyed on application id (ADVICE r7 #3)
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds
