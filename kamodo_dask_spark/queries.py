@@ -5340,6 +5340,174 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-co-located join (``sources/bucketing.py::write_bucketed``):
+    both sides persisted bucketed+sorted by the join key (8 buckets),
+    then joined with broadcast disabled — the sort-merge join reads
+    co-located buckets with NO exchange and NO sort on either side
+    (plan-pinned), the layout that makes a recurring 100 TB fact⋈dim
+    join pay its shuffle ONCE at write time instead of on every query.
+    Tables are external under a session-keyed scratch path (one copy per
+    session+SF, same discipline as schema_evolution_scan). The oracle is
+    the plain join — bucketing must be invisible in the result."""
+    import os
+    import re as _re
+    import tempfile
+
+    from kamodo_dask_spark.session import scoped_conf
+    from kamodo_dask_spark.sources.bucketing import write_bucketed
+
+    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    base = os.path.join(tempfile.gettempdir(), f"kds_bkt_{app}_{sf_tag}")
+    t_orders = f"kds_orders_bkt_{app}_{sf_tag}"
+    t_cust = f"kds_cust_bkt_{app}_{sf_tag}"
+    if not spark.catalog.tableExists(t_orders):
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        # one file per bucket (repartition on the bucket key before the
+        # write): multi-file buckets would force a merge Sort under the
+        # join; single sorted files elide it
+        write_bucketed(
+            orders.repartition(8, "o_custkey"),
+            t_orders, "o_custkey", 8, path=f"{base}/orders",
+        )
+    if not spark.catalog.tableExists(t_cust):
+        cust = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        write_bucketed(
+            cust.repartition(8, "c_custkey"),
+            t_cust, "c_custkey", 8, path=f"{base}/cust",
+        )
+    o = spark.table(t_orders)
+    # the MERGE hint rides the plan (a scoped conf would be restored
+    # before the driver executes it): at fixture scale the dimension is
+    # broadcast-sized and AQE would broadcast, hiding exactly the
+    # bucketed sort-merge path this entry exists to keep driver-checked
+    c = spark.table(t_cust).hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+@register(
+    "association_rules",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    pairs AS (SELECT a.i AS x, c.i AS y, count(*) AS n_both
+              FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+    item_n AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+    directed AS (SELECT x AS ant, y AS con, n_both FROM pairs
+                 UNION ALL SELECT y, x, n_both FROM pairs)
+    SELECT d.ant AS antecedent, d.con AS consequent,
+           CAST(d.n_both AS BIGINT) AS n_both,
+           CAST(na.ni AS BIGINT) AS n_antecedent,
+           CAST(nc.ni AS BIGINT) AS n_consequent,
+           CAST(nb.n AS BIGINT) AS n_baskets,
+           CAST(1000000 * d.n_both // na.ni AS BIGINT) AS confidence_ppm,
+           CAST(1000000 * d.n_both * nb.n // (na.ni * nc.ni) AS BIGINT)
+             AS lift_ppm
+    FROM directed d
+    JOIN item_n na ON na.i = d.ant
+    JOIN item_n nc ON nc.i = d.con
+    CROSS JOIN nb
+    """,
+)
+def association_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining
+    (``operators/basket.py::association_rules``): directed
+    frequently-bought-together rules over order baskets, support >= 3 —
+    the support/confidence/lift half of Apriori. Pair generation is
+    bounded by BASKET WIDTH (Σ C(k,2), k ≈ 4 here), the support filter
+    runs before any statistics join, and confidence/lift ship as exact
+    integer parts-per-million (quotients of small integers are exactly
+    the values that can land on a rounding half and fork engines — so
+    no float division exists anywhere in the rule). The oracle replays
+    the counting and the ppm floor divisions bit-exactly."""
+    from kamodo_dask_spark.operators.basket import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@register(
+    "psi_drift",
+    """
+    WITH bb AS (SELECT o_totalprice AS v FROM orders
+                WHERE year(o_orderdate) = 1996),
+    cc AS (SELECT o_totalprice AS v FROM orders
+           WHERE year(o_orderdate) = 1999),
+    bins AS (SELECT unnest(range(10)) AS bin),
+    pb AS (SELECT CAST(least(greatest(floor(v / 50000.0), 0), 9) AS BIGINT)
+                    AS bin, count(*) AS n
+           FROM bb GROUP BY 1),
+    qb AS (SELECT CAST(least(greatest(floor(v / 50000.0), 0), 9) AS BIGINT)
+                    AS bin, count(*) AS n
+           FROM cc GROUP BY 1),
+    ps AS (SELECT bins.bin,
+                  greatest(coalesce(pb.n, 0)
+                           / (SELECT count(*) FROM bb), 1e-6) AS p
+           FROM bins LEFT JOIN pb USING (bin)),
+    qs AS (SELECT bins.bin,
+                  greatest(coalesce(qb.n, 0)
+                           / (SELECT count(*) FROM cc), 1e-6) AS q
+           FROM bins LEFT JOIN qb USING (bin))
+    SELECT CAST(ps.bin AS BIGINT) AS bin, round(p, 6) AS p, round(q, 6) AS q,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM ps JOIN qs ON ps.bin = qs.bin
+    ORDER BY 1
+    """,
+)
+def psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring — Population Stability Index
+    (``operators/profile.py::psi_drift``) of the order-value
+    distribution between two dataset vintages (1996 vs 1999 orders),
+    over 10 fixed equal-width price bands: per-bin ``(p − q)·ln(p/q)``
+    with deterministic 1e-6 empty-bin smoothing — the per-bin terms are
+    the monitor's diagnosis (WHICH part of the distribution moved), the
+    sum is the headline PSI. Each side is one scan → row-local bin id →
+    a 10-row count agg; the bin join is metadata work. The oracle
+    rebuilds both share vectors and every (bin, p, q, term) row
+    hash-checks."""
+    from kamodo_dask_spark.operators.profile import psi_drift
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.year("o_orderdate").alias("_yr")
+    )
+    return psi_drift(
+        orders.filter(F.col("_yr") == 1996),
+        orders.filter(F.col("_yr") == 1999),
+        "o_totalprice",
+        lo=0.0,
+        hi=500000.0,
+        n_bins=10,
+    )
+
+
+@register(
     "mad_outliers",
     """
     WITH pr AS (SELECT l.l_partkey, p.p_brand, round(sum(l.l_extendedprice), 2)

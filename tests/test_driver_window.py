@@ -78,6 +78,9 @@ PENDING_THIS_ROUND: list[str] = [
     "cusum_alarms",
     "streaming_view_maintenance",
     "mad_outliers",
+    "psi_drift",
+    "association_rules",
+    "bucketed_join",
 ]
 
 

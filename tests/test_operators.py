@@ -3131,3 +3131,78 @@ def test_mad_outliers(spark):
 
     approx = mad_outliers(df, "g", "v", z_thresh=3.5, exact=False).collect()
     assert [(r["g"], r["v"]) for r in approx] == [("a", 100.0)]
+
+
+def test_psi_drift(spark):
+    """Hand-checked shares incl. clamping, NULL exclusion, empty-bin
+    smoothing, and the identical-distribution zero; validation."""
+    import math
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import psi_drift
+
+    base = spark.createDataFrame(
+        [(v,) for v in [0.5, 1.5, 1.5, 2.5, -5.0, 99.0, None]], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(v,) for v in [0.5, 0.5, 0.5, 2.5, 2.5, 2.5]], "v double"
+    )
+    out = {r["bin"]: r.asDict() for r in
+           psi_drift(base, cur, "v", lo=0.0, hi=3.0, n_bins=3).collect()}
+    # base shares (6 non-null): bin0: 0.5 + clamped -5 -> 2/6; bin1: 2/6;
+    # bin2: 2.5 + clamped 99 -> 2/6. cur: bin0 3/6, bin1 0 -> 1e-6, bin2 3/6
+    assert abs(out[0]["p"] - round(2 / 6, 6)) < 1e-9
+    assert abs(out[0]["q"] - 0.5) < 1e-9
+    assert out[1]["q"] == round(1e-6, 6)
+    t0 = (2 / 6 - 0.5) * math.log((2 / 6) / 0.5)
+    assert abs(out[0]["psi_term"] - round(t0, 6)) < 1e-9
+    t1 = (2 / 6 - 1e-6) * math.log((2 / 6) / 1e-6)
+    assert abs(out[1]["psi_term"] - round(t1, 6)) < 1e-9
+
+    same = {r["bin"]: r["psi_term"] for r in
+            psi_drift(base, base, "v", 0.0, 3.0, 3).collect()}
+    assert all(t == 0.0 for t in same.values())
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        psi_drift(base, cur, "v", 0.0, 3.0, 1)
+    with _pytest.raises(ValueError, match="lo < hi"):
+        psi_drift(base, cur, "v", 3.0, 0.0)
+
+
+def test_association_rules(spark):
+    """Hand-checked support/confidence/lift in exact ppm; duplicate
+    (basket,item) rows collapse; width guard excludes oversized baskets
+    from ALL statistics; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.basket import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "y"),   # dup collapses
+        (3, "x"),
+        (4, "y"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["antecedent"], r["consequent"]): r.asDict()
+           for r in association_rules(df, "b", "i", min_support=2).collect()}
+    # x,y co-occur in baskets 1,2 -> n_both 2; n_x 3, n_y 3, N 4
+    assert set(out) == {("x", "y"), ("y", "x")}
+    r = out[("x", "y")]
+    assert (r["n_both"], r["n_antecedent"], r["n_consequent"], r["n_baskets"]) == (2, 3, 3, 4)
+    assert r["confidence_ppm"] == 1000000 * 2 // 3
+    assert r["lift_ppm"] == 1000000 * 2 * 4 // (3 * 3)
+
+    # width guard: a 3-item basket excluded entirely when max_basket=2
+    wide = df.union(spark.createDataFrame(
+        [(5, "x"), (5, "y"), (5, "z")], "b long, i string"))
+    guarded = {(r["antecedent"], r["consequent"]): r.asDict()
+               for r in association_rules(wide, "b", "i", 2, max_basket=2).collect()}
+    assert guarded[("x", "y")]["n_baskets"] == 4  # basket 5 not counted
+    assert guarded[("x", "y")]["n_both"] == 2
+
+    with _pytest.raises(ValueError, match="min_support"):
+        association_rules(df, "b", "i", 0)
+    with _pytest.raises(ValueError, match="max_basket"):
+        association_rules(df, "b", "i", 2, max_basket=1)

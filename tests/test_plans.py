@@ -1038,3 +1038,17 @@ def test_gazetteer_literal_path_no_join(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bucketed_join_entry_no_join_exchange(spark):
+    """bucketed_join: both sides persisted bucketed by the join key, so
+    the forced sort-merge join has NO exchange under it — the only
+    exchange in the plan is the final aggregation's. (In-partition Sorts
+    remain: bucketed-scan output ORDERING propagation is legacy-gated
+    since SPARK-28632; the exchange elision is the 100 TB win.)"""
+    from kamodo_dask_spark.plans.checks import executed_plan
+
+    plan = executed_plan(QUERIES["bucketed_join"](spark, SF))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
