@@ -115,6 +115,9 @@ SF01_BUDGETS = {
     # four real micro-batches + per-batch merge/checkpoint (~3.5 s warm);
     # the budget catches a per-batch full-rescan regression
     "streaming_view_maintenance": 7.0,
+    # basket-width-bounded pair join (~3.5 s warm at sf0.1); the budget
+    # catches a lost width guard or support filter (pair explosion)
+    "association_rules": 7.0,
     # two exact grouped percentiles (~1.6 s warm); catches a lost
     # broadcast re-shuffling the corpus for the flagging pass
     "mad_outliers": 4.0,
