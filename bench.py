@@ -68,7 +68,10 @@ SF01_BUDGETS = {
     # ask #10): interp_1d 0.713 s via the fused both-directions grid scan;
     # line_dedup 0.55-0.65 s warm (its r4 "2.29x regression" was measured
     # as codegen/contention warmup tail, not a plan change — see SCALE.md)
-    "interp_1d": 1.0,
+    "interp_1d": 2.0,  # warm floor 0.7-0.9 s; raised from 1.0 in r8 — the
+    # host's effective clock swings ~2x with load state (SCALE.md), and a
+    # 1.0 budget on a 0.7 s entry flagged pure host noise twice; 2.0 still
+    # catches the 3-10x fused-scan-loss class the budget exists for
     "line_dedup": 1.0,
     # tuned r4: scoped 8-partition state stores (~0.8-1.2 s typical);
     # budgets catch a return of the 32-partition commit-overhead shape
@@ -111,7 +114,9 @@ SF01_BUDGETS = {
     "fuzzy_name_matches": 5.0,
     "bloom_semi_join": 4.0,
     "rrf_hybrid_search": 4.0,
-    "dq_audit": 3.0,
+    "dq_audit": 6.0,  # warm floor 0.7-1.4 s depending on host state; the
+    # budget catches the scan-per-rule regression class (8 rules -> 8+
+    # scans would be >10 s), not host swings
     # four real micro-batches + per-batch merge/checkpoint (~3.5 s warm);
     # the budget catches a per-batch full-rescan regression
     "streaming_view_maintenance": 7.0,
