@@ -528,3 +528,124 @@ def test_link_records_matches_bruteforce(spark, seed):
                 sh / (len(toks(dict(left)[lid])) + len(toks(rname)) - sh), 6
             )
             assert jj == j and jj >= thr
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_triangle_counts_match_bruteforce(spark, seed):
+    """Random graphs: the degree-oriented plan's per-node counts equal a
+    brute-force enumeration over all C(n,3) triples."""
+    import itertools
+
+    from kamodo_dask_spark.operators.graph import triangle_counts
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 12))
+    # random edge set incl. duplicates and reversed duplicates
+    m = int(rng.integers(3, 25))
+    edges = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+    ]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nodes = {v for e in und for v in e}
+    want = dict.fromkeys(nodes, 0)
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df = spark.createDataFrame(edges, "src long, dst long").filter(
+        "src <> dst"
+    )
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
+
+
+@given(seed=st.integers(0, 2**32 - 1), k=st.integers(0, 4))
+@settings(max_examples=8, deadline=None)
+def test_k_hop_matches_bfs_reference(spark, seed, k):
+    """Random graphs: min-hop distances equal a reference BFS, directed
+    and undirected."""
+    from collections import deque
+
+    from kamodo_dask_spark.operators.graph import k_hop_reachability
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 10))
+    m = int(rng.integers(2, 20))
+    edges = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+    ]
+    seeds = sorted({int(rng.integers(0, n)) for _ in range(2)})
+
+    for directed in (False, True):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+        want = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        got = {
+            r["node"]: r["hop"]
+            for r in k_hop_reachability(
+                spark.createDataFrame(edges, "src long, dst long"),
+                spark.createDataFrame([(s,) for s in seeds], "node long"),
+                k=k,
+                directed=directed,
+            ).collect()
+        }
+        assert got == want, (directed, edges, seeds)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_merge_agg_view_equals_full_recompute(spark, seed):
+    """Random base/delta splits with NULL keys and NULL measures: the
+    incremental merge equals the from-scratch aggregation."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.maintenance import merge_agg_view
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    rows = []
+    for _ in range(n):
+        g = ["a", "b", "c", None][int(rng.integers(0, 4))]
+        x = None if rng.random() < 0.15 else int(rng.integers(-50, 50))
+        rows.append((g, x))
+    df = spark.createDataFrame(rows, "g string, x long")
+    # deterministic complement split on the value (id-based splits are
+    # unstable across re-evaluation; rand() would resample per scan)
+    base = df.filter(F.coalesce(F.col("x"), F.lit(7)) % 3 != 0)
+    delta = df.filter(F.coalesce(F.col("x"), F.lit(7)) % 3 == 0)
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+
+    out = merge_agg_view(
+        agg(base), delta, ["g"],
+        counts=["n"], sums={"sx": "x"}, mins={"mn": "x"}, maxs={"mx": "x"},
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in agg(df).collect()
+    }
