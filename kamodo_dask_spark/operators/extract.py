@@ -68,14 +68,19 @@ def gazetteer_match(
         pdf = phrases.select(
             F.col(phrase_col).cast("string").alias("_phrase")
         ).filter(F.col("_phrase").isNotNull())
+        # normalize EXACTLY like the list path: lowercase, whitespace
+        # tokenize, DROP empty tokens (a phrase with leading/trailing
+        # whitespace would otherwise re-join with embedded empties and
+        # silently never match a corpus n-gram), re-join single-spaced
+        toks = F.filter(
+            F.split(F.lower("_phrase"), r"\s+"), lambda x: x != ""
+        )
+        pdf = pdf.select(
+            F.array_join(toks, " ").alias("_phrase")
+        ).distinct()
         # distinct n values in the dictionary: metadata-sized collect —
         # it decides how many n-gram projections to BUILD, which is a
         # plan-time question on any engine
-        pdf = pdf.select(
-            F.array_join(F.split(F.lower("_phrase"), r"\s+"), " ").alias(
-                "_phrase"
-            )
-        ).distinct()
         ns = sorted(
             r[0]
             for r in pdf.select(
@@ -86,6 +91,8 @@ def gazetteer_match(
         )
         if not ns:
             raise ValueError("empty gazetteer")
+        if pdf.filter(F.col("_phrase") == "").limit(1).count():
+            raise ValueError("phrases must be non-empty strings")
 
     ws = words(F.col(text_col))
     base = docs.filter(F.col(text_col).isNotNull()).select(

@@ -104,8 +104,14 @@ def constraint_audit(
         wide = df.agg(
             *[a.alias(f"_m{i}") for i, a in enumerate(aggs)]
         )
+        def q(s: str) -> str:
+            # SQL string literal escaping — a check name containing a
+            # quote must fail validation upstream or pass through intact,
+            # never die as a Catalyst ParseException mid-plan
+            return s.replace("'", "''")
+
         stack = ", ".join(
-            f"'{c['name']}', '{c['kind']}', _m{i}"
+            f"'{q(c['name'])}', '{q(c['kind'])}', _m{i}"
             for i, c in enumerate(row_local)
         )
         parts.append(
@@ -222,17 +228,25 @@ def k_anonymize(
     missing = [c for c in qi_cols if c not in df.columns]
     if missing:
         raise ValueError(f"QI columns not in frame: {missing}")
+    if out_group_col in df.columns:
+        raise ValueError(
+            f"out_group_col {out_group_col!r} collides with a data column"
+        )
     w = Window.partitionBy(*qi_cols)
     sized = df.withColumn(out_group_col, F.count("*").over(w))
     small = F.col(out_group_col) < k
-    keep = [c for c in df.columns if c not in qi_cols]
+    qi = set(qi_cols)
+    # INPUT column order is preserved (a positional writer downstream
+    # must not get QI values in the wrong slots); only the group-size
+    # column is appended
     return sized.select(
-        *keep,
         *[
             F.when(small, F.lit(None).cast(dict(df.dtypes)[c]))
             .otherwise(F.col(c))
             .alias(c)
-            for c in qi_cols
+            if c in qi
+            else F.col(c)
+            for c in df.columns
         ],
         F.col(out_group_col).cast("bigint").alias(out_group_col),
     )

@@ -70,13 +70,34 @@ def bloom_semi_join(
     if not 1 <= n_hashes <= 8:
         raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
     small_key = small_key or big_key
+    # xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently)
+    # while the mop-up equi-join coerces — mismatched key types would
+    # make the probe drop every true match. Canonicalize both hash
+    # inputs to a common type, or refuse loudly.
+    bt, st = dict(big.dtypes)[big_key], dict(small.dtypes)[small_key]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if bt == st:
+        cast_to = None
+    elif bt in integral and st in integral:
+        cast_to = "bigint"
+    elif {bt, st} <= {"float", "double"}:
+        cast_to = "double"
+    else:
+        raise ValueError(
+            f"key types differ ({big_key}: {bt} vs {small_key}: {st}) and "
+            "have no safe common hash type — cast one side explicitly"
+        )
+
+    def hash_input(col: Column) -> Column:
+        return col.cast(cast_to) if cast_to else col
+
     keys = small.select(F.col(small_key).alias("_k")).filter(
         F.col("_k").isNotNull()
     ).distinct()
     pos_rows = keys.select(
-        F.explode(F.array(*_positions(F.col("_k"), m_bits, n_hashes))).alias(
-            "_p"
-        )
+        F.explode(
+            F.array(*_positions(hash_input(F.col("_k")), m_bits, n_hashes))
+        ).alias("_p")
     ).distinct()
     # metadata-sized by assumption (see module docstring): at most
     # |keys| × n_hashes distinct positions come back
@@ -96,7 +117,7 @@ def bloom_semi_join(
     # shiftright() binding does not take (int only) — stage the bit
     # positions and the literal bitmap as temp columns and do the word
     # indexing + shift in SQL expr (still whole-stage codegen, no UDF)
-    pos_cols = _positions(F.col(big_key), m_bits, n_hashes)
+    pos_cols = _positions(hash_input(F.col(big_key)), m_bits, n_hashes)
     staged = big.withColumns(
         {"_bf_map": lit_map}
         | {f"_bf_p{i}": p for i, p in enumerate(pos_cols)}

@@ -175,11 +175,13 @@ def cusum_changepoints(
     them (the ``sessionize_batch`` plan shape).
 
     ``target`` is the in-control level: a number, or None to use each
-    key's own series mean (retrospective monitoring) — computed as an
-    exact per-key aggregate joined back broadcast-free on the window's
-    own partitioning. Work in INTEGER units (cents, counts, µs) and the
-    whole statistic is exact int64 arithmetic end to end — no float
-    accumulation to diverge between engines.
+    key's own series FLOOR-MEAN (retrospective monitoring) — computed as
+    a per-key window aggregate on the same partitioning. Work in INTEGER
+    units (cents, counts, µs) and the statistic is exact int64
+    arithmetic throughout, with one caveat in the ``target=None`` path:
+    the floor-mean divides as a double first (integer-exact while the
+    per-key sum stays below 2^53; pass an explicit integer ``target``
+    beyond that).
 
     Returns the input keys + ``order_col`` + ``value_col`` + ``cusum`` +
     ``alarm`` (cusum > threshold), one row per input row; filter to
@@ -191,9 +193,14 @@ def cusum_changepoints(
     run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col(value_col)
     if target is None:
-        # per-key mean over the full series: integer-exact when the
-        # caller works in integer units ONLY if spelled as a DIV — use
-        # floor division so int stays int (documented retrospective mode)
+        # per-key floor-mean over the full series. NOTE the `/` here is
+        # DOUBLE division before the floor (Spark has no integer-div
+        # Column operator); the result is integer-exact while the
+        # per-key sum stays below 2^53 — far above any fixture, but a
+        # 100 TB µs/cents series can exceed it, in which case pass an
+        # explicit integer `target` instead. The DuckDB oracle must
+        # mirror this exact ::DOUBLE spelling (and does — do not "fix"
+        # either side to true integer DIV alone).
         per_key = Window.partitionBy(*key_cols)
         tgt = F.floor(
             F.sum(x).over(per_key) / F.count(x).over(per_key)
@@ -210,12 +217,9 @@ def cusum_changepoints(
         value_col,
         F.sum(centered).over(run).alias("_p"),
     )
-    run2 = (
-        Window.partitionBy(*key_cols)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = F.col("_p") - F.least(F.lit(0), F.min("_p").over(run2))
+    # the same window SPEC serves both projections (specs are not bound
+    # to a DataFrame)
+    s = F.col("_p") - F.least(F.lit(0), F.min("_p").over(run))
     return staged.select(
         *key_cols,
         order_col,

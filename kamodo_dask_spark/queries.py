@@ -68,6 +68,54 @@ def register(name: str, oracle: str | None):
     return wrap
 
 
+def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """Session-stable scratch location for entries that write fixture
+    data (schema_evolution_scan, streaming_view_maintenance,
+    bucketed_join): ``/tmp/{prefix}_{app}_{sfhash}``.
+
+    - keyed on the Spark application id, so concurrent processes never
+      race each other's overwrite-vs-read and a /tmp squatter cannot
+      pre-claim the path (r7 ADVICE);
+    - keyed on a hash of the FULL sf_dir path, not its basename — two
+      different fixture directories that happen to share a basename must
+      not serve each other's data (a basename key plus an exists-guard
+      would silently return stale rows);
+    - stable within the session, so repeated catalog sweeps keep ONE
+      copy per (session, fixture) instead of leaking one per call;
+    - on each claim, sibling directories with the same prefix from DEAD
+      sessions are swept (best-effort, only when stale by mtime — a
+      concurrently-running session's scratch is younger than the
+      threshold and survives), so the cross-session footprint stays
+      bounded too.
+    """
+    import hashlib
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+    import time as _time
+
+    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = tempfile.gettempdir()
+    base = os.path.join(root, f"{prefix}_{app}_{tag}")
+    cutoff = _time.time() - 6 * 3600
+    try:
+        for name in os.listdir(root):
+            if name.startswith(f"{prefix}_") and not name.startswith(
+                f"{prefix}_{app}_"
+            ):
+                p = os.path.join(root, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return base
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.1-2.6 on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -4510,21 +4558,10 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     at planning time — the scan itself stays one pass with pushdown
     intact; files never rewrite (the whole point of additive schema
     evolution)."""
-    import os
-    import tempfile
-
-    # Per-SESSION path + mode("overwrite"): every catalog sweep runs this
-    # entry (bench, parity at 3 scales, plan sweeps), and a fresh mkdtemp
-    # per call would leak two orders copies into /tmp per invocation — a
-    # stable path bounds the footprint to one copy per scale factor. The
-    # path is keyed on the Spark application id (unique per session), so
-    # two concurrent processes at the same SF cannot race each other's
-    # overwrite-vs-read, and a squatter cannot pre-claim the directory.
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    app_id = spark.sparkContext.applicationId
-    base = os.path.join(
-        tempfile.gettempdir(), f"kds_schema_evo_{app_id}_{sf_tag}"
-    )
+    # Session-stable, full-path-keyed, stale-sibling-swept scratch (see
+    # _session_scratch): one copy per (session, fixture), overwrite per
+    # call, no cross-process race, no unbounded /tmp growth.
+    base = _session_scratch(spark, "kds_schema_evo", sf_dir)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
@@ -5358,20 +5395,19 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-pinned), the layout that makes a recurring 100 TB fact⋈dim
     join pay its shuffle ONCE at write time instead of on every query.
     Tables are external under a session-keyed scratch path (one copy per
-    session+SF, same discipline as schema_evolution_scan). The oracle is
-    the plain join — bucketing must be invisible in the result."""
+    session+fixture, same discipline as schema_evolution_scan); the
+    exists-guard keys include a hash of the FULL fixture path, so two
+    fixture directories sharing a basename can never serve each other's
+    stale tables. The oracle is the plain join — bucketing must be
+    invisible in the result."""
     import os
-    import re as _re
-    import tempfile
 
-    from kamodo_dask_spark.session import scoped_conf
     from kamodo_dask_spark.sources.bucketing import write_bucketed
 
-    sf_tag = _re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
-    app = _re.sub(r"\W", "_", spark.sparkContext.applicationId)
-    base = os.path.join(tempfile.gettempdir(), f"kds_bkt_{app}_{sf_tag}")
-    t_orders = f"kds_orders_bkt_{app}_{sf_tag}"
-    t_cust = f"kds_cust_bkt_{app}_{sf_tag}"
+    base = _session_scratch(spark, "kds_bkt", sf_dir)
+    tag = os.path.basename(base)[len("kds_bkt_"):]
+    t_orders = f"kds_orders_bkt_{tag}"
+    t_cust = f"kds_cust_bkt_{tag}"
     if not spark.catalog.tableExists(t_orders):
         orders = read_table(spark, sf_dir, "orders").select(
             "o_custkey",
@@ -5579,9 +5615,6 @@ def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming's incremental delivery, batch boundaries and all. This is
     the refresh-on-commit pattern a warehouse sink runs at 100 TB: per
     commit, work proportional to the delta + one view-sized merge."""
-    import os
-    import tempfile
-
     from kamodo_dask_spark.operators.maintenance import merge_agg_view
     from kamodo_dask_spark.session import scoped_conf
 
@@ -5591,15 +5624,15 @@ def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    app_id = spark.sparkContext.applicationId
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(
-        tempfile.gettempdir(), f"kds_stream_ivm_{app_id}_{sf_tag}"
-    )
+    base = _session_scratch(spark, "kds_stream_ivm", sf_dir)
     # four stable chunk files (one per micro-batch); overwrite keeps the
-    # footprint at one fixture per session+SF, like schema_evolution_scan
+    # footprint at one fixture per session+fixture. The chunk split must
+    # be TOTAL: event_id is nullable in the schema, and NULL % 4 == i is
+    # NULL for every i — a NULL-keyed row would silently land in no
+    # chunk while the oracle aggregates all events (latent hash desync).
+    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
     for i in range(4):
-        ev.filter(F.col("event_id") % 4 == i).select(
+        ev.filter(chunk == i).select(
             "event_type", "day", "cents"
         ).coalesce(1).write.mode("overwrite").parquet(f"{base}/chunk={i}")
 

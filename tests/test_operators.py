@@ -3206,3 +3206,76 @@ def test_association_rules(spark):
         association_rules(df, "b", "i", 0)
     with _pytest.raises(ValueError, match="max_basket"):
         association_rules(df, "b", "i", 2, max_basket=1)
+
+
+def test_bloom_semi_join_mixed_key_types(spark):
+    """Review catch (r8): xxhash64 is type-sensitive — int vs bigint keys
+    hashed raw would zero out every true match before the exact join
+    could recover them. Integral widths now canonicalize; disjoint type
+    families refuse loudly."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.runtime_filter import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 100) for i in range(500)], "row_id long, fk int"
+    )
+    small = spark.createDataFrame([(7,), (42,)], "k long")  # bigint vs int
+    got = {
+        r["fk"]
+        for r in bloom_semi_join(big, small, "fk", "k")
+        .select("fk").distinct().collect()
+    }
+    assert got == {7, 42}
+    bad = spark.createDataFrame([("7",)], "k string")
+    with _pytest.raises(ValueError, match="key types differ"):
+        bloom_semi_join(big, bad, "fk", "k")
+
+
+def test_gazetteer_dataframe_phrase_whitespace(spark):
+    """Review catch (r8): DataFrame-gazetteer phrases with stray
+    whitespace must normalize like the list path (not silently never
+    match); all-whitespace phrases raise."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.extract import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [(1, "the big apple shines")], "doc_id long, text string"
+    )
+    gaz = spark.createDataFrame([("  Big  Apple ",)], "phrase string")
+    out = {(r["doc_id"], r["phrase"]): r["n_mentions"]
+           for r in gazetteer_match(docs, gaz).collect()}
+    assert out == {(1, "big apple"): 1}
+    with _pytest.raises(ValueError, match="non-empty"):
+        gazetteer_match(docs, spark.createDataFrame([("   ",)], "phrase string"))
+
+
+def test_k_anonymize_column_order_and_collision(spark):
+    """Review catch (r8): output preserves INPUT column order (positional
+    writers downstream), and an out_group_col collision raises instead
+    of emitting an ambiguous duplicate column."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.quality import k_anonymize
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10)], "id long, seg string, zip int"
+    )
+    out = k_anonymize(df, ["seg"], k=1)
+    assert out.columns == ["id", "seg", "zip", "qi_group_size"]
+    clash = df.withColumnRenamed("zip", "qi_group_size")
+    with _pytest.raises(ValueError, match="collides"):
+        k_anonymize(clash, ["seg"], k=1)
+
+
+def test_constraint_audit_quoted_names(spark):
+    """Review catch (r8): check names containing quotes survive the
+    row-local stack projection instead of dying as a ParseException."""
+    from kamodo_dask_spark.operators.quality import constraint_audit
+
+    df = spark.createDataFrame([(1,)], "x long")
+    out = constraint_audit(
+        df, [{"name": "can't_be_null", "kind": "completeness", "col": "x"}]
+    ).collect()
+    assert out[0]["check"] == "can't_be_null" and out[0]["metric"] == 1.0
