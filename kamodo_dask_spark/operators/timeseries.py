@@ -227,3 +227,116 @@ def cusum_changepoints(
         s.alias("cusum"),
         (s > F.lit(threshold)).alias("alarm"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    slot_col: str,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by their FIRST active slot (week, day — caller pre-buckets,
+    integer slots), and each cohort's surviving headcount is counted at
+    every age since.
+
+    Returns ``(cohort, age, n_users, retention_ppm)`` with ``age`` in
+    slots since the cohort slot and ``retention_ppm = 10^6 · n_users DIV
+    cohort_size`` (exact integer parts-per-million — age-0 rows read
+    exactly 1,000,000 by construction, and quotients of small integers
+    never hit a rounding half).
+
+    100 TB shape: one distinct over (user, slot) — the relation
+    everything else derives from — one per-user min (cohort assignment,
+    partial-combined), one hash-uniform join back on the user, then a
+    (cohort, age) count and a broadcast of the |cohorts|-sized age-0
+    relation for the denominator. No windows, no per-cohort sort; skew
+    is bounded by the largest cohort's (cohort, age) cell count, which
+    is exactly the answer's own size.
+    """
+    us = (
+        df.select(
+            F.col(user_col).alias("_u"), F.col(slot_col).alias("_s")
+        )
+        .filter(F.col("_u").isNotNull() & F.col("_s").isNotNull())
+        .distinct()
+    )
+    first = us.groupBy("_u").agg(F.min("_s").alias("_cohort"))
+    act = (
+        us.join(first, "_u")
+        .select("_cohort", (F.col("_s") - F.col("_cohort")).alias("_age"), "_u")
+        .distinct()
+        .groupBy("_cohort", "_age")
+        .agg(F.count("*").alias("_n"))
+    )
+    size = act.filter(F.col("_age") == 0).select(
+        F.col("_cohort"), F.col("_n").alias("_n0")
+    )
+    return (
+        act.join(F.broadcast(size), "_cohort")
+        .select(
+            F.col("_cohort").cast("bigint").alias("cohort"),
+            F.col("_age").cast("bigint").alias("age"),
+            F.col("_n").cast("bigint").alias("n_users"),
+            F.expr("CAST(1000000 * _n DIV _n0 AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+    )
+
+
+def trailing_distinct_users(
+    df: DataFrame,
+    user_col: str,
+    slot_col: str,
+    window: int,
+) -> DataFrame:
+    """Exact DISTINCT-user count per slot over a trailing window of
+    ``window`` slots (DAU at window=1, WAU at 7, MAU at 30) — the
+    engagement denominator sliding windows cannot give you with a plain
+    windowed count (distinct does not decompose over overlapping
+    windows).
+
+    Shape: distinct (user, slot) once, then each activity row is
+    EXPLODED to the ``window`` slots whose trailing window it falls in
+    (row-local sequence — ×window amplification of the already-distinct
+    relation, the honest cost of exact sliding distinct), deduplicated
+    per (slot, user), counted per slot. Slots with no activity in range
+    emit nothing (densify with :func:`gap_fill` if needed); leading
+    slots cover however much history exists (partial windows, the
+    standard DAU/WAU convention).
+
+    At true corpus scale swap the exact distinct for an HLL sketch per
+    slot and merge sketches across the window (mergeability is the
+    sketch's whole point) — this operator is the exact/oracle-able
+    spelling. Returns ``(slot, n_users)`` restricted to slots that had
+    at least one active user in their window and fall inside the
+    OBSERVED slot range (the explode also lands on slots past the data's
+    end, which would report phantom trailing windows).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    us = (
+        df.select(
+            F.col(user_col).alias("_u"), F.col(slot_col).alias("_s")
+        )
+        .filter(F.col("_u").isNotNull() & F.col("_s").isNotNull())
+        .distinct()
+    )
+    bounds = us.agg(
+        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
+    ).first()
+    if bounds["_mn"] is None:
+        return us.select(
+            F.col("_s").alias("slot"), F.lit(0).cast("bigint").alias("n_users")
+        ).limit(0)
+    covered = us.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + F.lit(window - 1))
+        ).alias("slot"),
+    ).filter(F.col("slot") <= F.lit(bounds["_mx"]))
+    return (
+        covered.distinct()
+        .groupBy("slot")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

@@ -5377,6 +5377,103 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH e AS (SELECT DISTINCT user_id,
+                      epoch_us(ts::TIMESTAMP) // 604800000000 AS wk
+               FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+    act AS (SELECT DISTINCT e.user_id, f.cohort, e.wk - f.cohort AS age
+            FROM e JOIN f USING (user_id)),
+    n AS (SELECT cohort, age, count(*) AS n_users FROM act GROUP BY 1, 2),
+    s AS (SELECT cohort, n_users AS n0 FROM n WHERE age = 0)
+    SELECT CAST(n.cohort AS BIGINT) AS cohort, CAST(n.age AS BIGINT) AS age,
+           CAST(n.n_users AS BIGINT) AS n_users,
+           CAST(1000000 * n.n_users // s.n0 AS BIGINT) AS retention_ppm
+    FROM n JOIN s USING (cohort)
+    """,
+)
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix
+    (``operators/timeseries.py::cohort_retention``): purchasers cohorted
+    by first-purchase week, surviving headcount per week of age — the
+    product-analytics staple, and on the purchase subset the matrix is
+    non-trivial (three cohorts, decaying retention) rather than the
+    everyone-active-always degenerate case the full event stream gives.
+    One distinct + one per-user min + one hash-uniform join + a
+    (cohort, age) count; denominators ride a |cohorts|-sized broadcast;
+    retention is exact integer ppm (age-0 rows read exactly 10^6 by
+    construction)."""
+    from kamodo_dask_spark.operators.timeseries import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    weekly = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    )
+    return cohort_retention(weekly, "user_id", "wk")
+
+
+@register(
+    "dau_wau",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+               FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT max(day) AS mx FROM d),
+    dau AS (SELECT day AS slot, count(*) AS dau FROM d GROUP BY 1),
+    cov AS (SELECT DISTINCT d.user_id, d.day + i AS slot
+            FROM d, unnest(range(0, 7)) t(i), mx
+            WHERE d.day + i <= mx.mx),
+    wau AS (SELECT slot, count(*) AS wau FROM cov GROUP BY 1)
+    SELECT CAST(dau.slot AS BIGINT) AS slot,
+           CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           CAST(1000000 * dau.dau // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau USING (slot)
+    """,
+)
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness — exact DAU/WAU
+    (``operators/timeseries.py::trailing_distinct_users``): per-day
+    distinct purchasers and the trailing-7-day distinct count, joined
+    into the DAU/WAU stickiness ratio (exact integer ppm). Sliding
+    DISTINCT does not decompose over overlapping windows, so the exact
+    spelling explodes each (user, day) activity row to the 7 trailing
+    windows it serves — ×7 on the already-distinct relation, the honest
+    cost, with the HLL-sketch merge documented as the corpus-scale
+    path. Slots past the observed range are excluded (no phantom
+    windows). Only days with same-day activity emit a row (DAU side of
+    the join)."""
+    from kamodo_dask_spark.operators.timeseries import (
+        trailing_distinct_users,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    dau = trailing_distinct_users(daily, "user_id", "day", 1).select(
+        "slot", F.col("n_users").alias("dau")
+    )
+    wau = trailing_distinct_users(daily, "user_id", "day", 7).select(
+        "slot", F.col("n_users").alias("wau")
+    )
+    return dau.join(wau, "slot").select(
+        F.col("slot").cast("bigint").alias("slot"),
+        "dau",
+        "wau",
+        F.expr("CAST(1000000 * dau DIV wau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
+@register(
     "bucketed_join",
     """
     SELECT c.c_mktsegment,

@@ -81,6 +81,8 @@ PENDING_THIS_ROUND: list[str] = [
     "psi_drift",
     "association_rules",
     "bucketed_join",
+    "cohort_retention",
+    "dau_wau",
 ]
 
 

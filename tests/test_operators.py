@@ -3279,3 +3279,48 @@ def test_constraint_audit_quoted_names(spark):
         df, [{"name": "can't_be_null", "kind": "completeness", "col": "x"}]
     ).collect()
     assert out[0]["check"] == "can't_be_null" and out[0]["metric"] == 1.0
+
+
+def test_cohort_retention(spark):
+    """Hand matrix: cohorts by first slot, exact ppm retention, age-0
+    rows read exactly 1e6, duplicate activity collapses."""
+    from kamodo_dask_spark.operators.timeseries import cohort_retention
+
+    rows = [
+        # cohort 10: users 1,2,3; week 11: 1,2; week 12: 1
+        (1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (1, 12), (1, 12),
+        # cohort 11: user 4 only
+        (4, 11),
+    ]
+    df = spark.createDataFrame(rows, "u long, wk long")
+    out = {(r["cohort"], r["age"]): (r["n_users"], r["retention_ppm"])
+           for r in cohort_retention(df, "u", "wk").collect()}
+    assert out == {
+        (10, 0): (3, 1000000),
+        (10, 1): (2, 1000000 * 2 // 3),
+        (10, 2): (1, 1000000 * 1 // 3),
+        (11, 0): (1, 1000000),
+    }
+
+
+def test_trailing_distinct_users(spark):
+    """DAU/WAU semantics: exact sliding distinct, partial leading
+    windows, no phantom slots past the observed range; window=1 equals
+    plain per-slot distinct; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import trailing_distinct_users
+
+    rows = [(1, 0), (2, 0), (1, 1), (1, 3), (3, 3)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    dau = {r["slot"]: r["n_users"]
+           for r in trailing_distinct_users(df, "u", "d", 1).collect()}
+    assert dau == {0: 2, 1: 1, 3: 2}
+    w3 = {r["slot"]: r["n_users"]
+          for r in trailing_distinct_users(df, "u", "d", 3).collect()}
+    # slot0: {1,2}; slot1: {1,2}; slot2: {1,2}; slot3: {1,3} (u1 at d1&3, u2 aged out)
+    assert w3 == {0: 2, 1: 2, 2: 2, 3: 2}
+    assert max(w3) == 3  # nothing past the observed range
+
+    with _pytest.raises(ValueError, match="window"):
+        trailing_distinct_users(df, "u", "d", 0)
