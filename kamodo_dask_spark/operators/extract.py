@@ -76,23 +76,21 @@ def gazetteer_match(
             F.split(F.lower("_phrase"), r"\s+"), lambda x: x != ""
         )
         pdf = pdf.select(
-            F.array_join(toks, " ").alias("_phrase")
+            F.array_join(toks, " ").alias("_phrase"),
+            F.size(toks).alias("_nt"),
         ).distinct()
-        # distinct n values in the dictionary: metadata-sized collect —
-        # it decides how many n-gram projections to BUILD, which is a
-        # plan-time question on any engine
+        # distinct token counts in the dictionary: ONE metadata-sized
+        # collect serves both validation (0 tokens = an all-whitespace
+        # phrase) and the plan-time question of how many n-gram
+        # projections to build
         ns = sorted(
-            r[0]
-            for r in pdf.select(
-                F.size(F.split("_phrase", " ")).alias("n")
-            )
-            .distinct()
-            .collect()
+            r[0] for r in pdf.select("_nt").distinct().collect()
         )
         if not ns:
             raise ValueError("empty gazetteer")
-        if pdf.filter(F.col("_phrase") == "").limit(1).count():
+        if ns[0] == 0:
             raise ValueError("phrases must be non-empty strings")
+        pdf = pdf.select("_phrase")
 
     ws = words(F.col(text_col))
     base = docs.filter(F.col(text_col).isNotNull()).select(

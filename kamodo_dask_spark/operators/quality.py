@@ -106,9 +106,11 @@ def constraint_audit(
         )
         def q(s: str) -> str:
             # SQL string literal escaping — a check name containing a
-            # quote must fail validation upstream or pass through intact,
-            # never die as a Catalyst ParseException mid-plan
-            return s.replace("'", "''")
+            # quote OR backslash must pass through intact, never be
+            # silently altered ('back\\slash' -> 'backslash' would break
+            # the threshold lookup) or die as a ParseException (trailing
+            # backslash escaping the closing quote). Backslashes first.
+            return s.replace("\\", "\\\\").replace("'", "''")
 
         stack = ", ".join(
             f"'{q(c['name'])}', '{q(c['kind'])}', _m{i}"

@@ -70,6 +70,15 @@ def bloom_semi_join(
     if not 1 <= n_hashes <= 8:
         raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
     small_key = small_key or big_key
+    if big_key not in big.columns:
+        raise ValueError(
+            f"big_key {big_key!r} not in big frame columns {big.columns}"
+        )
+    if small_key not in small.columns:
+        raise ValueError(
+            f"small_key {small_key!r} not in small frame columns "
+            f"{small.columns}"
+        )
     # xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently)
     # while the mop-up equi-join coerces — mismatched key types would
     # make the probe drop every true match. Canonicalize both hash

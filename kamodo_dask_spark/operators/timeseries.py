@@ -261,10 +261,13 @@ def cohort_retention(
         .distinct()
     )
     first = us.groupBy("_u").agg(F.min("_s").alias("_cohort"))
+    # no distinct needed before the count: `us` is distinct on (_u, _s),
+    # `first` is unique per user, and _age is a bijection of _s per user,
+    # so (cohort, age, user) rows cannot repeat — a distinct here would
+    # plan a second answer-scale hash aggregate for nothing
     act = (
         us.join(first, "_u")
         .select("_cohort", (F.col("_s") - F.col("_cohort")).alias("_age"), "_u")
-        .distinct()
         .groupBy("_cohort", "_age")
         .agg(F.count("*").alias("_n"))
     )
@@ -322,10 +325,18 @@ def trailing_distinct_users(
         .filter(F.col("_u").isNotNull() & F.col("_s").isNotNull())
         .distinct()
     )
-    bounds = us.agg(
-        F.min("_s").alias("_mn"), F.max("_s").alias("_mx")
-    ).first()
-    if bounds["_mn"] is None:
+    if window == 1:
+        # DAU short-circuit: no explode, no phantom-slot bound (slot ==
+        # _s always), no bounds job — one distinct + one count
+        return us.groupBy(F.col("_s").alias("slot")).agg(
+            F.count("*").cast("bigint").alias("n_users")
+        )
+    # the max-slot bound needs a driver value; materialize the distinct
+    # relation ONCE (eager checkpoint) so the bounds job and the returned
+    # plan share one input scan instead of recomputing `us` twice
+    us = us.localCheckpoint(eager=True)
+    mx = us.agg(F.max("_s")).first()[0]
+    if mx is None:
         return us.select(
             F.col("_s").alias("slot"), F.lit(0).cast("bigint").alias("n_users")
         ).limit(0)
@@ -334,7 +345,7 @@ def trailing_distinct_users(
         F.explode(
             F.sequence(F.col("_s"), F.col("_s") + F.lit(window - 1))
         ).alias("slot"),
-    ).filter(F.col("slot") <= F.lit(bounds["_mx"]))
+    ).filter(F.col("slot") <= F.lit(mx))
     return (
         covered.distinct()
         .groupBy("slot")

@@ -82,11 +82,13 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
       would silently return stale rows);
     - stable within the session, so repeated catalog sweeps keep ONE
       copy per (session, fixture) instead of leaking one per call;
-    - on each claim, sibling directories with the same prefix from DEAD
-      sessions are swept (best-effort, only when stale by mtime — a
-      concurrently-running session's scratch is younger than the
-      threshold and survives), so the cross-session footprint stays
-      bounded too.
+    - each claim TOUCHES the directory (files land in subdirectories, so
+      the top-level mtime would otherwise freeze at creation time), and
+      sibling directories with the same prefix whose mtime is stale by
+      >6 h are swept best-effort — a live session re-freshens its mtime
+      every entry call, so only scratch from dead (or 6-hours-idle)
+      sessions is ever reclaimed, and the cross-session footprint stays
+      bounded.
     """
     import hashlib
     import os
@@ -99,6 +101,8 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = tempfile.gettempdir()
     base = os.path.join(root, f"{prefix}_{app}_{tag}")
+    os.makedirs(base, exist_ok=True)
+    os.utime(base)  # re-freshen: live sessions never look stale
     cutoff = _time.time() - 6 * 3600
     try:
         for name in os.listdir(root):
@@ -5505,7 +5509,9 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(base)[len("kds_bkt_"):]
     t_orders = f"kds_orders_bkt_{tag}"
     t_cust = f"kds_cust_bkt_{tag}"
-    if not spark.catalog.tableExists(t_orders):
+    if not spark.catalog.tableExists(t_orders) or not os.path.isdir(
+        f"{base}/orders"
+    ):
         orders = read_table(spark, sf_dir, "orders").select(
             "o_custkey",
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -5517,7 +5523,9 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.repartition(8, "o_custkey"),
             t_orders, "o_custkey", 8, path=f"{base}/orders",
         )
-    if not spark.catalog.tableExists(t_cust):
+    if not spark.catalog.tableExists(t_cust) or not os.path.isdir(
+        f"{base}/cust"
+    ):
         cust = read_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         )

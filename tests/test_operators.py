@@ -3324,3 +3324,18 @@ def test_trailing_distinct_users(spark):
 
     with _pytest.raises(ValueError, match="window"):
         trailing_distinct_users(df, "u", "d", 0)
+
+
+def test_constraint_audit_backslash_names(spark):
+    """Review catch (r8, second pass): names containing backslashes pass
+    through INTACT (not silently collapsed), including a trailing
+    backslash (previously a ParseException)."""
+    from kamodo_dask_spark.operators.quality import constraint_audit
+
+    df = spark.createDataFrame([(1,)], "x long")
+    for name in [r"back\slash", "trailing\\", r"mix\'ed"]:
+        out = constraint_audit(
+            df, [{"name": name, "kind": "completeness", "col": "x"}]
+        ).collect()
+        assert out[0]["check"] == name, name
+        assert out[0]["passed"] is True
