@@ -6236,29 +6236,31 @@ DRIVER_WINDOW = 50
 #: cell joins moved to integer axis-index keys), sessionization +
 #: streaming_interp (streaming checkpoint/conf optimization pass).
 PINNED_THIS_ROUND = [
-    # Round-8 pins: entries whose operator or oracle machinery changes
-    # this round (ADVICE r7 fixes that alter engine/oracle spellings get
-    # added here as the fixes land). The r7 streaming pins are cleared —
-    # all three went driver-green in CORRECTNESS_r07 under the new
-    # configuration.
-    "scd2_history",  # validate-path NULL-key duplicate check rewritten (ADVICE r7 #1)
-    "logreg_quality_fit",  # weight rounding moved in-engine to F.round (ADVICE r7 #4)
-    "value_anomalies",  # NULL groups now filtered before the stats pass (ADVICE r7 #5)
-    "schema_evolution_scan",  # fixture path keyed on application id (ADVICE r7 #3)
+    # Round-9 pins: entries whose operator machinery changes this round
+    # (ADVICE r8 fixes). The r8 pins are cleared — all four went
+    # driver-green in CORRECTNESS_r08 under the new spellings. The
+    # _session_scratch pidfile-gated sweep (ADVICE r8 #1) changes only
+    # best-effort CLEANUP of dead sessions' scratch, never the fixture
+    # paths or results of the entries that use it, so those stay unpinned.
+    "batch_sessions",  # sessionize_batch grew out_col/ts_col/key guards (ADVICE r8 #3)
+    "weighted_sample_topk",  # weighted_sample grew extra_cols/validate_unique (ADVICE r8 #2)
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds
 #: behind the latest recorded round. Raised 2 -> 3 in round 7 (judge r6
-#: ask #3): at 96 entries the staleness-2 bound put the catalog exactly at
-#: the 50-slot window's theoretical ceiling (50 x 2 = 100), leaving zero
-#: headroom for new entries. Staleness-3 raises the ceiling to 150 while
-#: the mechanical most-stale-first rotation still brings every entry back
-#: well before the bound in practice (with ~100 entries and ~46 free slots
-#: per round, the realized staleness stays <= 2 for all but overflow
-#: cases). The local parity suite still strict-checks ALL entries vs
-#: DuckDB every round regardless of parking, so a parked entry is never
-#: unverified — only its *driver* row ages.
-MAX_PARKED_STALENESS = 3
+#: ask #3) when 96 entries hit the 50 x 2 = 100 ceiling; raised 3 -> 4 in
+#: round 9 (judge r8 ask #1, option b) with the same arithmetic: at 141
+#: entries and ~43 free rotation slots per round (window 50 minus ~5 new
+#: entries and ~2 pins), a full rotation cycle takes ceil(136/43) ~ 3.2
+#: rounds, so realized staleness legitimately reaches 3 — exactly the old
+#: bound, which would turn routine rotation into an import-time
+#: RuntimeError mid-round. Staleness-4 puts the ceiling at 50 x 4 = 200,
+#: leaving ~59 entries of genuine headroom while the mechanical
+#: most-stale-first rotation keeps realized staleness at 3 or less. The
+#: local parity suite still strict-checks ALL entries vs DuckDB every
+#: round regardless of parking, so a parked entry is never unverified —
+#: only its *driver* row ages.
+MAX_PARKED_STALENESS = 4
 
 
 def _latest_green_rounds(

@@ -61,28 +61,8 @@ def _never_driver_green() -> list[str]:
 #: cannot notice an entry being deleted outright — this hardcoded subset
 #: can. Prune names once they have a recorded green round.
 PENDING_THIS_ROUND: list[str] = [
-    # all 20 round-7 additions went driver-green in CORRECTNESS_r07 and
-    # were pruned; round-8 additions:
-    "triangle_count",
-    "k_hop_reach",
-    "dq_audit",
-    "k_anonymity",
-    "incremental_agg_view",
-    "bloom_semi_join",
-    "fuzzy_name_matches",
-    "rrf_hybrid_search",
-    "gap_fill_hourly",
-    "batch_sessions",
-    "weighted_sample_topk",
-    "gazetteer_mentions",
-    "cusum_alarms",
-    "streaming_view_maintenance",
-    "mad_outliers",
-    "psi_drift",
-    "association_rules",
-    "bucketed_join",
-    "cohort_retention",
-    "dau_wau",
+    # all 20 round-8 additions went driver-green in CORRECTNESS_r08 and
+    # were pruned; round-9 additions land here as they register:
 ]
 
 
@@ -237,17 +217,19 @@ def test_rotation_survives_next_round_artifact(tmp_path):
 
 
 def test_rotation_has_headroom_for_new_entries(tmp_path):
-    """Judge r6 ask #3 done-criterion: >= 10 free slots — adding 10 dummy
-    (never-green) entries must not trip the capacity RuntimeError under the
-    committed artifacts, with this round's actual pins in place."""
+    """Judge r8 ask #1 done-criterion (supersedes the r6 >= 10 bar):
+    >= 15 free slots — adding 15 dummy (never-green) entries must not trip
+    the capacity RuntimeError under the committed artifacts, with this
+    round's actual pins in place, and nothing the dummies displace may be
+    parked at the staleness ceiling (the second loud-failure mode)."""
     from kamodo_dask_spark import queries as q
 
     latest, green = q._latest_green_rounds()
     if latest is None:
         return
-    order = list(QUERIES) + [f"__dummy_{i}" for i in range(10)]
+    order = list(QUERIES) + [f"__dummy_{i}" for i in range(15)]
     parked = q._compute_parked(order, latest, green, PINNED_THIS_ROUND)
     window = [n for n in order if n not in parked]
-    for i in range(10):
+    for i in range(15):
         assert f"__dummy_{i}" in window
     assert len(window) <= q.DRIVER_WINDOW
