@@ -432,6 +432,46 @@ def stratified_sample(
     )
 
 
+def _es_identity(
+    key_col: str, extra_cols: "list[str] | None"
+) -> Column:
+    """The row-identity expression the A-ES samplers hash: the key column
+    alone, or ``concat_ws('|', key, *extra_cols)`` when the key does not
+    uniquely identify rows (DuckDB spelling:
+    ``md5(key || '|' || extra || ...)`` — concat_ws skips NULLs
+    identically in both engines, so keep the identity columns
+    non-null)."""
+    if not extra_cols:
+        return F.col(key_col)
+    return F.concat_ws(
+        "|", F.col(key_col).cast("string"),
+        *[F.col(c).cast("string") for c in extra_cols],
+    )
+
+
+def _check_identity_unique(
+    df: DataFrame, key_col: str, extra_cols: "list[str] | None"
+) -> None:
+    """One aggregation job proving (key [+ extras]) is row-unique —
+    the guard behind ``validate_unique`` (the scd2 delta-dup shape:
+    NULL-safe via groupBy, max group size vs 1)."""
+    cols = [key_col, *(extra_cols or [])]
+    row = (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("n"))
+        .first()
+    )
+    if row["mx"] is not None and row["mx"] > 1:
+        raise ValueError(
+            f"sampling identity {cols} does not uniquely identify rows "
+            f"({row['n']} rows over fewer identities) — duplicate "
+            "identities draw perfectly correlated u values and make the "
+            "cutoff nondeterministic; pass extra_cols that complete the "
+            "row identity"
+        )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -439,6 +479,8 @@ def weighted_sample(
     k: int,
     salt: str = "",
     round_digits: int = 6,
+    extra_cols: "list[str] | None" = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k items, one pass —
     Efraimidis–Spirakis A-ES (2006): rank every row by
@@ -455,6 +497,16 @@ def weighted_sample(
     engines, and cluster sizes agree. The rank key is ROUNDED and
     ties break by key, pinning the cutoff cross-engine.
 
+    REQUIREMENT: ``key_col`` (together with ``extra_cols`` when given)
+    must uniquely identify rows. Duplicate identities draw the SAME u —
+    their inclusion is perfectly correlated, not independent — and tie
+    on the (es, key) sort tuple, so which duplicate survives the
+    ``limit(k)`` cutoff is nondeterministic (r8 ADVICE #2). When the
+    natural key repeats, pass ``extra_cols`` to complete the identity
+    (mixed into both the hash and the tie-break); set
+    ``validate_unique=True`` to prove uniqueness with one extra
+    aggregation job before sampling.
+
     Rows with NULL, zero, or negative weights are excluded (zero weight
     = never sampled; ES is undefined for w <= 0). 100 TB shape:
     one row-local projection + a global top-k as
@@ -463,18 +515,22 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if validate_unique:
+        _check_identity_unique(df, key_col, extra_cols)
     w = F.col(weight_col).cast("double")
+    ident = _es_identity(key_col, extra_cols)
     # u in (0,1): 32-bit md5 prefix + 0.5, over 2^32 — never exactly 0/1
     u = (
-        md5_prefix_bucket(seeded_md5(F.col(key_col), salt), 1 << 32)
+        md5_prefix_bucket(seeded_md5(ident, salt), 1 << 32)
         .cast("double")
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))
     es_key = F.round(F.log(u) / w, round_digits)
+    tie = [F.col(key_col), *[F.col(c) for c in (extra_cols or [])]]
     return (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn("_es", es_key)
-        .orderBy(F.col("_es").desc(), F.col(key_col))
+        .orderBy(F.col("_es").desc(), *tie)
         .limit(k)
         .drop("_es")
     )

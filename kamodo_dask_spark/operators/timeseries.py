@@ -136,6 +136,21 @@ def sessionize_batch(
         raise ValueError(f"gap_us must be positive, got {gap_us}")
     if not key_cols:
         raise ValueError("need at least one key column")
+    # the module's collision/presence discipline (matches k_anonymize):
+    # a silent withColumn REPLACE of an existing out_col would corrupt
+    # the caller's data, and a missing ts/key column would otherwise
+    # surface as an opaque analysis error deep in the window plan
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists in the input — "
+            "pass a different out_col"
+        )
+    missing = [
+        c for c in (ts_col, *key_cols, *(order_cols or []))
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
     order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     t = F.unix_micros(F.col(ts_col))

@@ -83,12 +83,17 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     - stable within the session, so repeated catalog sweeps keep ONE
       copy per (session, fixture) instead of leaking one per call;
     - each claim TOUCHES the directory (files land in subdirectories, so
-      the top-level mtime would otherwise freeze at creation time), and
-      sibling directories with the same prefix whose mtime is stale by
-      >6 h are swept best-effort — a live session re-freshens its mtime
-      every entry call, so only scratch from dead (or 6-hours-idle)
-      sessions is ever reclaimed, and the cross-session footprint stays
-      bounded.
+      the top-level mtime would otherwise freeze at creation time) and
+      writes a ``.owner_pid`` file; sibling directories with the same
+      prefix are swept best-effort only when BOTH (a) their mtime is
+      stale by >6 h and (b) their recorded owner process is provably
+      dead (r8 ADVICE #1: mtime alone raced a concurrent session idle
+      >6 h, which could lose its fixture files between its exists-guard
+      and the read). A sibling with no readable pidfile falls back to
+      the mtime rule (pre-pidfile dirs still get reclaimed); an
+      unreadable/foreign pid (``kill 0`` → EPERM) counts as alive. Only
+      scratch from dead sessions is ever reclaimed, and the
+      cross-session footprint stays bounded.
     """
     import hashlib
     import os
@@ -103,6 +108,28 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     base = os.path.join(root, f"{prefix}_{app}_{tag}")
     os.makedirs(base, exist_ok=True)
     os.utime(base)  # re-freshen: live sessions never look stale
+    pidfile = os.path.join(base, ".owner_pid")
+    if not os.path.exists(pidfile):
+        try:
+            with open(pidfile, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+
+    def _owner_alive(p: str) -> bool:
+        try:
+            with open(os.path.join(p, ".owner_pid")) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            return False  # no/garbled pidfile: mtime rule alone decides
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists under another uid — definitely alive
+
     cutoff = _time.time() - 6 * 3600
     try:
         for name in os.listdir(root):
@@ -111,7 +138,7 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
             ):
                 p = os.path.join(root, name)
                 try:
-                    if os.path.getmtime(p) < cutoff:
+                    if os.path.getmtime(p) < cutoff and not _owner_alive(p):
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass

@@ -2979,6 +2979,17 @@ def test_sessionize_batch(spark):
         sessionize_batch(df, ["user"], "ts", 0)
     with _pytest.raises(ValueError, match="key"):
         sessionize_batch(df, [], "ts", 1)
+    # r8 ADVICE #3: collision/presence guards (the k_anonymize discipline)
+    with _pytest.raises(ValueError, match="already exists"):
+        sessionize_batch(
+            df.withColumn("session_idx", F.lit(0)), ["user"], "ts", 1
+        )
+    with _pytest.raises(ValueError, match="lacks"):
+        sessionize_batch(df, ["user"], "nope_ts", 1)
+    with _pytest.raises(ValueError, match="lacks"):
+        sessionize_batch(df, ["nope_key"], "ts", 1)
+    with _pytest.raises(ValueError, match="lacks"):
+        sessionize_batch(df, ["user"], "ts", 1, order_cols=["nope_ord"])
 
 
 def test_weighted_sample(spark):
@@ -3025,6 +3036,107 @@ def test_weighted_sample(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         weighted_sample(df, "w", "id", 0)
+
+
+def test_weighted_sample_identity(spark):
+    """r8 ADVICE #2: duplicate keys draw correlated u and tie on the sort
+    tuple — validate_unique catches them with one agg job, and extra_cols
+    completes the row identity (mixed into both hash and tie-break) so
+    duplicate natural keys decorrelate and the cutoff is deterministic."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.sampling import weighted_sample
+
+    rows = [(i % 50, i, 1.0 + (i % 3)) for i in range(150)]
+    df = spark.createDataFrame(rows, "name long, rid long, w double")
+
+    with _pytest.raises(ValueError, match="uniquely identify"):
+        weighted_sample(df, "w", "name", 10, validate_unique=True)
+
+    # extra_cols completes the identity: validation passes, and the
+    # sample matches a NumPy re-derivation of the concat_ws spelling
+    def es_key(name, rid, wt):
+        ident = f"{name}|{rid}"
+        h = int(hashlib.md5(ident.encode()).hexdigest()[:8], 16) % (1 << 32)
+        u = (h + 0.5) / (1 << 32)
+        return round(math.log(u) / wt, 6)
+
+    want = sorted(
+        ((es_key(n, r, wt), -n, -r) for n, r, wt in rows),
+        reverse=True,
+    )[:25]
+    want_ids = sorted((-x[1], -x[2]) for x in want)
+    got = sorted(
+        (r["name"], r["rid"])
+        for r in weighted_sample(
+            df, "w", "name", 25, extra_cols=["rid"], validate_unique=True
+        ).collect()
+    )
+    assert got == want_ids
+    # determinism across calls with the completed identity
+    again = sorted(
+        (r["name"], r["rid"])
+        for r in weighted_sample(
+            df, "w", "name", 25, extra_cols=["rid"]
+        ).collect()
+    )
+    assert again == got
+
+
+def test_session_scratch_sweep_liveness(spark):
+    """r8 ADVICE #1: the best-effort scratch sweep must not rmtree a
+    CONCURRENT session's stale-looking dir while its owner process is
+    alive — the pidfile gates the mtime rule; dead-owner and pre-pidfile
+    dirs still get reclaimed."""
+    import os
+    import subprocess
+    import tempfile
+    import time as _time
+
+    from kamodo_dask_spark.queries import _session_scratch
+
+    prefix = f"kds_test_sweep_{os.getpid()}"
+    root = tempfile.gettempdir()
+    old = _time.time() - 7 * 3600
+
+    def sibling(name, pid=None):
+        p = os.path.join(root, f"{prefix}_{name}_deadbeef")
+        os.makedirs(p, exist_ok=True)
+        if pid is not None:
+            with open(os.path.join(p, ".owner_pid"), "w") as f:
+                f.write(str(pid))
+        os.utime(p, (old, old))
+        return p
+
+    # a provably-dead pid: spawn and reap a child
+    child = subprocess.Popen(["true"])
+    child.wait()
+    alive = sibling("alive", os.getpid())
+    dead = sibling("dead", child.pid)
+    legacy = sibling("legacy", None)  # pre-pidfile dir: mtime rule alone
+    garbled = sibling("garbled")
+    with open(os.path.join(garbled, ".owner_pid"), "w") as f:
+        f.write("not-a-pid")
+    os.utime(garbled, (old, old))
+    fresh = sibling("fresh", child.pid)
+    os.utime(fresh)  # recent mtime: never swept regardless of pid
+
+    base = _session_scratch(spark, prefix, "/root/testdata/sf0.001")
+    try:
+        assert os.path.isdir(alive), "live owner's stale dir was swept"
+        assert not os.path.isdir(dead), "dead owner's stale dir survived"
+        assert not os.path.isdir(legacy), "pre-pidfile stale dir survived"
+        assert not os.path.isdir(garbled), "garbled-pidfile stale dir survived"
+        assert os.path.isdir(fresh), "fresh dir was swept"
+        assert os.path.exists(os.path.join(base, ".owner_pid"))
+    finally:
+        import shutil
+
+        for p in (alive, fresh, base):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def test_gazetteer_match(spark):
