@@ -307,6 +307,8 @@ def trailing_distinct_users(
     user_col: str,
     slot_col: str,
     window: int,
+    exact: bool = True,
+    lg_k: int = 14,
 ) -> DataFrame:
     """Exact DISTINCT-user count per slot over a trailing window of
     ``window`` slots (DAU at window=1, WAU at 7, MAU at 30) — the
@@ -323,16 +325,30 @@ def trailing_distinct_users(
     slots cover however much history exists (partial windows, the
     standard DAU/WAU convention).
 
-    At true corpus scale swap the exact distinct for an HLL sketch per
-    slot and merge sketches across the window (mergeability is the
-    sketch's whole point) — this operator is the exact/oracle-able
-    spelling. Returns ``(slot, n_users)`` restricted to slots that had
+    ``exact=False`` is the corpus-scale path (the ``mad_outliers``
+    sketch/exact pattern): ONE corpus scan folds each slot's users into
+    a Datasketches HLL sketch (``hll_sketch_agg``, deterministic —
+    hash-based, no RNG), producing a SLOTS-sized relation; the trailing
+    window is then an ``hll_union_agg`` merge of ``window`` sketches per
+    slot — mergeability is the sketch's whole point. The ×window explode
+    happens on the slots-sized sketch relation (metadata), never on the
+    activity relation, and no big-side distinct is materialized at all.
+    Estimates carry the sketch's relative error (~0.8% at the default
+    ``lg_k=14``; exact below the sparse-mode threshold) — pytest-bounded
+    against the exact path rather than oracle-checked. ``exact=True`` is
+    the oracle-able spelling.
+
+    Both paths return ``(slot, n_users)`` restricted to slots that had
     at least one active user in their window and fall inside the
     OBSERVED slot range (the explode also lands on slots past the data's
     end, which would report phantom trailing windows).
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if not exact:
+        return _trailing_distinct_sketch(
+            df, user_col, slot_col, window, lg_k
+        )
     us = (
         df.select(
             F.col(user_col).alias("_u"), F.col(slot_col).alias("_s")
@@ -365,4 +381,52 @@ def trailing_distinct_users(
         covered.distinct()
         .groupBy("slot")
         .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def _trailing_distinct_sketch(
+    df: DataFrame,
+    user_col: str,
+    slot_col: str,
+    window: int,
+    lg_k: int,
+) -> DataFrame:
+    """The ``exact=False`` body of :func:`trailing_distinct_users` —
+    per-slot HLL sketches merged across the trailing window. 100 TB
+    shape: one corpus scan → partial-combined sketch agg (one sketch
+    per slot survives the shuffle), then everything downstream —
+    the max-slot bound, the ×window explode, the union-merge — runs on
+    the slots-sized sketch relation."""
+    sk = (
+        df.select(
+            F.col(user_col).alias("_u"), F.col(slot_col).alias("_s")
+        )
+        .filter(F.col("_u").isNotNull() & F.col("_s").isNotNull())
+        .groupBy("_s")
+        .agg(F.hll_sketch_agg("_u", F.lit(lg_k)).alias("_sk"))
+    )
+    if window == 1:
+        return sk.select(
+            F.col("_s").alias("slot"),
+            F.hll_sketch_estimate("_sk").cast("bigint").alias("n_users"),
+        )
+    # slots-sized: checkpoint so the bounds job and the merge share one
+    # sketch build instead of rescanning the corpus twice
+    sk = sk.localCheckpoint(eager=True)
+    mx = sk.agg(F.max("_s")).first()[0]
+    if mx is None:
+        return sk.select(
+            F.col("_s").alias("slot"),
+            F.lit(0).cast("bigint").alias("n_users"),
+        ).limit(0)
+    covered = sk.select(
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + F.lit(window - 1))
+        ).alias("slot"),
+        "_sk",
+    ).filter(F.col("slot") <= F.lit(mx))
+    return covered.groupBy("slot").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+        .cast("bigint")
+        .alias("n_users")
     )

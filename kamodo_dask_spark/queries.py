@@ -6239,6 +6239,57 @@ def bloom_semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_dau_wau",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+               FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT max(day) AS mx FROM d),
+    cov AS (SELECT DISTINCT d.user_id, d.day + i AS slot
+            FROM d, unnest(range(0, 7)) t(i), mx
+            WHERE d.day + i <= mx.mx)
+    SELECT CAST(slot AS BIGINT) AS slot, CAST(count(*) AS BIGINT) AS wau,
+           TRUE AS sketch_ok
+    FROM cov GROUP BY slot
+    """,
+)
+def approx_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path WAU (``operators/timeseries.py::trailing_distinct_users``
+    ``exact=False``): per-day Datasketches HLL sketches merged across the
+    trailing 7-day window — ONE corpus scan, the ×window explode confined
+    to the slots-sized sketch relation (the 100 TB spelling the r8 verdict
+    asked for). The tolerance-style oracle: the entry returns the EXACT
+    trailing distinct count (hash-checked against DuckDB) plus
+    ``sketch_ok`` — whether the HLL estimate lands within
+    max(2, 5%) of it, deterministically TRUE because the sketch is
+    hash-based (no RNG) and lg_k=14 keeps relative error ~0.8%. A sketch
+    regression flips ``sketch_ok`` and fails the driver hash."""
+    from kamodo_dask_spark.operators.timeseries import (
+        trailing_distinct_users,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    ex = trailing_distinct_users(daily, "user_id", "day", 7)
+    ap = trailing_distinct_users(
+        daily, "user_id", "day", 7, exact=False
+    ).select("slot", F.col("n_users").alias("_approx"))
+    return ex.join(ap, "slot").select(
+        F.col("slot").cast("bigint").alias("slot"),
+        F.col("n_users").alias("wau"),
+        (
+            F.abs(F.col("_approx") - F.col("n_users"))
+            <= F.greatest(F.lit(2.0), F.col("n_users") * F.lit(0.05))
+        ).alias("sketch_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------
