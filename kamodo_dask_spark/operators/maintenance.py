@@ -386,6 +386,26 @@ def merge_agg_view(
         *[F.min(src).alias(c) for c, src in mins.items()],
         *[F.max(src).alias(c) for c, src in maxs.items()],
     )
+    return _merge_agg_states(
+        view, d, keys, counts, list(sums), list(mins), list(maxs)
+    )
+
+
+def _merge_agg_states(
+    view: DataFrame,
+    d: DataFrame,
+    keys: list[str],
+    counts: list[str],
+    sums: list[str],
+    mins: list[str],
+    maxs: list[str],
+) -> DataFrame:
+    """The view-sized merge both IVM spellings share: one null-safe
+    full-outer equi-join of the existing view against the ALREADY
+    AGGREGATED delta state ``d`` (same column names), combining per
+    monoid — ``+`` for counts/sums, least/greatest for min/max. A key
+    present on one side only passes its state through unchanged."""
+    measures = [*counts, *sums, *mins, *maxs]
     v = view.select(
         *keys, *[F.col(c).alias(f"_v_{c}") for c in measures]
     )
@@ -415,3 +435,94 @@ def merge_agg_view(
         *[pick(c, F.least) for c in mins],
         *[pick(c, F.greatest) for c in maxs],
     )
+
+
+def merge_agg_view_retract(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sign_col: str,
+    counts: list[str],
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental maintenance under a RETRACTING delta — the
+    :func:`merge_agg_view` identity extended to deletes/updates for the
+    INVERTIBLE aggregates (count/sum form groups, not just monoids):
+    each delta row carries ``sign_col`` = +1 (insert) or −1 (retract a
+    previously inserted row, with the SAME measure values it was
+    inserted with — an update is a −1/+1 pair). The delta is folded as
+    signed partial aggregates — ``sum(sign)`` for counts,
+    ``sum(sign · x)`` for sums — then merged into the view with the
+    same view-sized null-safe full-outer join; keys whose row count
+    reaches zero DROP out of the view (the group is gone). This is the
+    Z-set/DBSP spelling of IVM; the reference's sliding-window re-run
+    pattern (test/test_parquet_load.py:97-101) retracts rows falling
+    out of the window, which previously forced a full recompute.
+
+    ``mins``/``maxs`` raise: min/max are NOT invertible (retracting the
+    current minimum needs the runner-up, which the view state no longer
+    has) — exactly the boundary Materialize/Flink draw. Keep min/max
+    views append-only via :func:`merge_agg_view` or recompute the
+    touched partitions.
+
+    At least one ``counts`` column is required: the per-key row count
+    is what detects a fully-retracted group. Signs other than ±1 raise
+    AT EXECUTION via a row-local ``raise_error`` (no extra validation
+    job). Retracting rows that were never inserted leaves a NEGATIVE
+    count — deliberately visible (a silent clamp would hide the caller
+    bug); sums should use exact integer units (cents/µs), where a fully
+    retracted key zeroes exactly rather than leaving float residue.
+
+    100 TB shape: identical to the append-only path — the delta
+    shuffles one row per touched key, the merge join is view-sized, the
+    base table is never rescanned; the zero-count drop is a row-local
+    filter on the merged output.
+    """
+    sums = dict(sums or {})
+    if mins or maxs:
+        raise ValueError(
+            "min/max are not invertible under retraction (the view state "
+            "cannot recover the runner-up when the extremum is retracted) "
+            "— keep min/max views append-only via merge_agg_view, or "
+            "recompute the touched partitions"
+        )
+    if not keys:
+        raise ValueError("need at least one key column")
+    if not counts:
+        raise ValueError(
+            "need at least one count column — the per-key row count is "
+            "what detects a fully-retracted group"
+        )
+    measures = [*counts, *sums]
+    dup = {c for c in measures if measures.count(c) > 1}
+    if dup:
+        raise ValueError(f"column(s) in more than one aggregate role: {dup}")
+    missing = [c for c in (*keys, *measures) if c not in view.columns]
+    if missing:
+        raise ValueError(f"view lacks column(s): {missing}")
+    if sign_col not in delta.columns:
+        raise ValueError(f"delta lacks sign column {sign_col!r}")
+
+    sign = F.col(sign_col).cast("bigint")
+    checked = F.when(sign.isin(-1, 1), sign).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{sign_col} must be +1 or -1, got "),
+                F.col(sign_col).cast("string"),
+            )
+        )
+    )
+    d = delta.groupBy(*keys).agg(
+        *[F.sum(checked).cast("bigint").alias(c) for c in counts],
+        # sign · x promotes to the source column's arithmetic type, so
+        # integer-unit views stay exact bigint end to end
+        *[F.sum(checked * F.col(src)).alias(c) for c, src in sums.items()],
+    )
+    merged = _merge_agg_states(view, d, keys, counts, list(sums), [], [])
+    alive = None
+    for c in counts:
+        nz = F.col(c) != 0
+        alive = nz if alive is None else (alive | nz)
+    return merged.filter(alive)

@@ -6290,6 +6290,74 @@ def approx_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retractable_agg_view",
+    """
+    WITH c AS (SELECT o_orderstatus AS status,
+                      CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderkey
+               FROM orders),
+    net AS (SELECT status, yr, cents FROM c WHERE yr <> 1995
+            UNION ALL
+            SELECT status, yr, cents FROM c
+            WHERE yr <> 1995 AND o_orderkey % 10 = 0)
+    SELECT status, yr, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM net GROUP BY status, yr
+    """,
+)
+def retractable_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable IVM
+    (``operators/maintenance.py::merge_agg_view_retract``, r8 verdict ask
+    #4): the engine builds the per-(status, year) view from ALL orders,
+    then applies ONE signed delta — every 1995 row retracted (the
+    sliding-window aging pattern the reference re-runs from scratch,
+    test/test_parquet_load.py:97-101) plus a +1 re-insert batch — as
+    signed partial aggregates merged through the same view-sized
+    full-outer join; base never rescanned, and the fully-retracted 1995
+    keys DROP via the zero-count filter. The oracle recomputes from the
+    net row multiset in one shot, so the hash match proves the Z-set
+    identity ``agg(base − dels + ins) = merge(agg(base),
+    agg±(delta))`` INCLUDING the group-vanish path. Integer cents keep
+    retraction arithmetic exact (a fully retracted key zeroes exactly,
+    never float residue)."""
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    view = orders.groupBy("status", "yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    dels = orders.filter(F.col("yr") == 1995).withColumn(
+        "_sign", F.lit(-1)
+    )
+    ins = orders.filter(
+        (F.col("yr") != 1995) & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("_sign", F.lit(1))
+    out = merge_agg_view_retract(
+        view,
+        dels.unionByName(ins),
+        ["status", "yr"],
+        sign_col="_sign",
+        counts=["n"],
+        sums={"cents": "cents"},
+    )
+    return out.select(
+        "status",
+        "yr",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

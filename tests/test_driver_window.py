@@ -64,6 +64,7 @@ PENDING_THIS_ROUND: list[str] = [
     # all 20 round-8 additions went driver-green in CORRECTNESS_r08 and
     # were pruned; round-9 additions land here as they register:
     "approx_dau_wau",
+    "retractable_agg_view",
 ]
 
 

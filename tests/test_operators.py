@@ -2776,6 +2776,64 @@ def test_merge_agg_view(spark):
         merge_agg_view(view, delta, ["g"], sums={"nope": "x"})
 
 
+def test_merge_agg_view_retract(spark):
+    """Z-set IVM (r8 verdict ask #4): signed deltas maintain count/sum
+    under deletes/updates, fully-retracted keys VANISH from the view,
+    NULL keys merge null-safely, min/max and bad signs raise loudly,
+    never-inserted retractions stay visibly negative."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("b", 7), (None, 3)],
+        "g string, x long",
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").alias("sx")
+    )
+    # update a: (10 -> 11); retract b entirely; insert under NULL key
+    delta = spark.createDataFrame(
+        [("a", 10, -1), ("a", 11, 1), ("b", 5, -1), ("b", 7, -1),
+         (None, 4, 1)],
+        "g string, x long, s long",
+    )
+    out = {
+        r["g"]: (r["n"], r["sx"])
+        for r in merge_agg_view_retract(
+            view, delta, ["g"], "s", counts=["n"], sums={"sx": "x"}
+        ).collect()
+    }
+    assert out == {"a": (2, 31), None: (2, 7)}  # b vanished
+
+    # retract-without-insert leaves a visible negative count
+    ghost = spark.createDataFrame([("zz", 1, -1)], "g string, x long, s long")
+    neg = {
+        r["g"]: (r["n"], r["sx"])
+        for r in merge_agg_view_retract(
+            view, ghost, ["g"], "s", counts=["n"], sums={"sx": "x"}
+        ).collect()
+    }
+    assert neg["zz"] == (-1, -1)
+
+    with _pytest.raises(ValueError, match="not invertible"):
+        merge_agg_view_retract(
+            view, delta, ["g"], "s", counts=["n"], mins={"sx": "x"}
+        )
+    with _pytest.raises(ValueError, match="count column"):
+        merge_agg_view_retract(view, delta, ["g"], "s", counts=[])
+    with _pytest.raises(ValueError, match="sign column"):
+        merge_agg_view_retract(view, delta.drop("s"), ["g"], "s", counts=["n"])
+    # signs other than ±1 raise at execution (row-local, no extra job)
+    bad = spark.createDataFrame([("a", 1, 2)], "g string, x long, s long")
+    with _pytest.raises(Exception, match="must be \\+1 or -1"):
+        merge_agg_view_retract(
+            view, bad, ["g"], "s", counts=["n"], sums={"sx": "x"}
+        ).collect()
+
+
 def test_bloom_semi_join(spark):
     """Exact mode equals the plain semi join; inexact mode is a superset
     containing every true match; NULL keys never match; validation."""

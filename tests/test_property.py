@@ -649,3 +649,49 @@ def test_merge_agg_view_equals_full_recompute(spark, seed):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in agg(df).collect()
     }
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_merge_agg_view_retract_equals_full_recompute(spark, seed):
+    """Random retract/insert deltas (incl. NULL keys, whole-key
+    retractions): the signed merge equals aggregating the net row
+    multiset from scratch, with vanished keys absent."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 40))
+    rows = [
+        (["a", "b", "c", None][int(rng.integers(0, 4))],
+         int(rng.integers(-50, 50)))
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    # retract a deterministic subset of base rows, insert a fresh batch
+    dels = df.filter(F.col("x") % 3 == 0)
+    ins_rows = [
+        (["a", "d", None][int(rng.integers(0, 3))],
+         int(rng.integers(-50, 50)))
+        for _ in range(int(rng.integers(0, 10)))
+    ]
+    ins = spark.createDataFrame(ins_rows, "g string, x long")
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("x").alias("sx")
+        )
+
+    delta = dels.withColumn("s", F.lit(-1)).unionByName(
+        ins.withColumn("s", F.lit(1))
+    )
+    out = merge_agg_view_retract(
+        agg(df), delta, ["g"], "s", counts=["n"], sums={"sx": "x"}
+    )
+    net = df.exceptAll(dels).unionByName(ins)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in agg(net).collect()
+    }
