@@ -6358,6 +6358,71 @@ def retractable_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sssp",
+    f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    wts AS (SELECT u, v, 1 + (u + v) % 7 AS w FROM e),
+    adj AS (SELECT u AS f, v AS t, w FROM wts
+            UNION ALL SELECT v, u, w FROM wts),
+    d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM part WHERE p_partkey < 20),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL SELECT adj.t, d0.dist + adj.w
+             FROM d0 JOIN adj ON adj.f = d0.node) GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL SELECT adj.t, d1.dist + adj.w
+             FROM d1 JOIN adj ON adj.f = d1.node) GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL SELECT adj.t, d2.dist + adj.w
+             FROM d2 JOIN adj ON adj.f = d2.node) GROUP BY node)
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def weighted_sssp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from a seed set
+    (``operators/graph.py::weighted_sssp``, r8 verdict ask #5):
+    3-round frontier-pruned Bellman–Ford over the thinned co-purchase
+    graph with deterministic integer weights — min total weight over
+    paths of ≤3 edges, the citation-distance weighting pass of link
+    curation. Per round one frontier⋈edges join + partial-combined min
+    + one improvement join, rounds lineage-truncated; work ∝ frontier,
+    never path counts. The oracle unrolls the same three relaxation
+    rounds relationally (relaxing from ALL nodes per round — equivalent
+    by the Bellman–Ford invariant the engine's frontier pruning
+    preserves) and every (node, dist) row hash-checks as exact int64."""
+    from kamodo_dask_spark.operators.graph import weighted_sssp
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 35
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "weight", (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+        )
+    )
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 20)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return weighted_sssp(edges, seeds, max_hops=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

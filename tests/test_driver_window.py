@@ -65,6 +65,7 @@ PENDING_THIS_ROUND: list[str] = [
     # were pruned; round-9 additions land here as they register:
     "approx_dau_wau",
     "retractable_agg_view",
+    "weighted_sssp",
 ]
 
 

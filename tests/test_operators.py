@@ -2641,6 +2641,47 @@ def test_k_hop_reachability(spark):
     assert out0 == {1: 0}
 
 
+def test_weighted_sssp(spark):
+    """Bounded Bellman–Ford: the longer-but-lighter path wins once the
+    hop budget admits it; parallel edges keep the lightest; directed
+    respects orientation; max_hops=0 returns only seeds; early exit when
+    a round improves nothing; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.graph import weighted_sssp
+
+    # 1 -10-> 4 direct, but 1 -1-> 2 -1-> 3 -1-> 4 is lighter in 3 hops
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 2, 5), (5, 6, 2)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    d1 = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, seeds, 1).collect()}
+    assert d1 == {1: 0, 4: 10, 2: 1}
+    d3 = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, seeds, 3).collect()}
+    assert d3 == {1: 0, 2: 1, 3: 2, 4: 3}  # light path displaced 10
+    # hop budget beyond the diameter: early exit, same answer
+    d9 = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, seeds, 9).collect()}
+    assert d9 == d3
+
+    d0 = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, seeds, 0).collect()}
+    assert d0 == {1: 0}
+
+    # directed: edge 3->4 unusable from seed 4
+    back = spark.createDataFrame([(4,)], "node long")
+    dd = {r["node"]: r["dist"]
+          for r in weighted_sssp(edges, back, 3, directed=True).collect()}
+    assert dd == {4: 0}
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        weighted_sssp(edges, seeds, -1)
+
+
 def test_constraint_audit(spark):
     """Every kind on a hand frame with known fractions; empty-input and
     empty-FK vacuous truths; bad specs raise."""

@@ -612,6 +612,47 @@ def test_k_hop_matches_bfs_reference(spark, seed, k):
         assert got == want, (directed, edges, seeds)
 
 
+@given(seed=st.integers(0, 2**32 - 1), hops=st.integers(0, 4))
+@settings(max_examples=8, deadline=None)
+def test_weighted_sssp_matches_bellman_ford(spark, seed, hops):
+    """Random weighted graphs: bounded-hop min-cost distances equal a
+    reference Bellman–Ford (relax-all per round), directed and
+    undirected, with parallel edges."""
+    from kamodo_dask_spark.operators.graph import weighted_sssp
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 9))
+    m = int(rng.integers(2, 18))
+    edges = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n)),
+         int(rng.integers(1, 10)))
+        for _ in range(m)
+    ]
+    seeds = sorted({int(rng.integers(0, n)) for _ in range(2)})
+
+    for directed in (False, True):
+        rel = [e for e in edges if e[0] != e[1]]
+        if not directed:
+            rel = rel + [(b, a, w) for a, b, w in rel]
+        want = {s: 0 for s in seeds}
+        for _ in range(hops):
+            nxt = dict(want)
+            for a, b, w in rel:
+                if a in want and want[a] + w < nxt.get(b, 1 << 60):
+                    nxt[b] = want[a] + w
+            want = nxt
+        got = {
+            r["node"]: r["dist"]
+            for r in weighted_sssp(
+                spark.createDataFrame(edges, "src long, dst long, weight long"),
+                spark.createDataFrame([(s,) for s in seeds], "node long"),
+                max_hops=hops,
+                directed=directed,
+            ).collect()
+        }
+        assert got == want, (directed, hops, edges, seeds)
+
+
 @given(seed=st.integers(0, 2**32 - 1))
 @settings(max_examples=8, deadline=None)
 def test_merge_agg_view_equals_full_recompute(spark, seed):
