@@ -66,6 +66,7 @@ PENDING_THIS_ROUND: list[str] = [
     "approx_dau_wau",
     "retractable_agg_view",
     "weighted_sssp",
+    "weighted_sample_by_source",
 ]
 
 

@@ -3185,6 +3185,61 @@ def test_weighted_sample_identity(spark):
     assert again == got
 
 
+def test_weighted_sample_stratified(spark):
+    """Per-stratum A-ES: exactly min(k, |eligible stratum|) rows per
+    group, membership matches a NumPy re-derivation of the global ES key
+    ranked within each stratum, zero/NULL/negative weights excluded,
+    deterministic, extra_cols/validate_unique behave as in the global
+    sampler."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.sampling import (
+        weighted_sample_stratified,
+    )
+
+    rows = [(f"s{i % 3}", i, float(1 + i % 5)) for i in range(90)]
+    rows += [("s0", 900, 0.0), ("s1", 901, None), ("s2", 902, -2.0)]
+    df = spark.createDataFrame(rows, "src string, id long, w double")
+
+    def es_key(i, wt):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % (1 << 32)
+        u = (h + 0.5) / (1 << 32)
+        return round(math.log(u) / wt, 6)
+
+    want = set()
+    for s in ("s0", "s1", "s2"):
+        ranked = sorted(
+            ((es_key(i, wt), -i) for src, i, wt in rows
+             if src == s and wt and wt > 0),
+            reverse=True,
+        )[:7]
+        want |= {(s, -x[1]) for x in ranked}
+    out = weighted_sample_stratified(df, "src", "w", "id", 7).collect()
+    got = {(r["src"], r["id"]) for r in out}
+    assert got == want
+    assert {900, 901, 902}.isdisjoint({i for _, i in got})
+    from collections import Counter
+
+    assert Counter(s for s, _ in got) == {"s0": 7, "s1": 7, "s2": 7}
+    # a stratum smaller than k returns all of it
+    tiny = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 1.0), ("b", 3, 1.0)],
+        "src string, id long, w double",
+    )
+    assert weighted_sample_stratified(tiny, "src", "w", "id", 5).count() == 3
+
+    with _pytest.raises(ValueError, match="k must"):
+        weighted_sample_stratified(df, "src", "w", "id", 0)
+    dup = df.unionByName(df)
+    with _pytest.raises(ValueError, match="uniquely identify"):
+        weighted_sample_stratified(
+            dup, "src", "w", "id", 5, validate_unique=True
+        )
+
+
 def test_session_scratch_sweep_liveness(spark):
     """r8 ADVICE #1: the best-effort scratch sweep must not rmtree a
     CONCURRENT session's stale-looking dir while its owner process is
