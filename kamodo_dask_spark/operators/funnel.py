@@ -9,7 +9,7 @@ algebra, one aggregation per step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def funnel(
@@ -74,3 +74,154 @@ def funnel(
             F.col(last) - F.col("t1") <= F.lit(int(window_us)), F.lit(False)
         ).alias("converted"),
     )
+
+
+def match_pattern(
+    events: DataFrame,
+    steps: "list[tuple[str, object, str]]",
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-class sequence matching — :func:`funnel`
+    generalized from a fixed event-type chain to PER-STEP PREDICATES
+    with optional and repeated steps (``A B+ C? D within T``), the
+    pattern language product-analytics users actually write (r8 verdict
+    ask #7; SQL:2016 MATCH_RECOGNIZE's greedy one-match-per-partition
+    core, minus backtracking alternation).
+
+    ``steps`` is an ordered list of ``(name, predicate, quantifier)``:
+    ``predicate`` is a boolean Column or SQL expression string over the
+    event row (e.g. ``"event_type = 'click' AND value > 60"``);
+    ``quantifier`` is ``'once'`` (exactly one), ``'plus'`` (one or
+    more), or ``'opt'`` (zero or one). The first step must be ``'once'``
+    or ``'plus'`` — it anchors the match.
+
+    Semantics (greedy-earliest, the :func:`funnel` contract extended):
+    per user, step 1 binds at the EARLIEST matching event ``t_1``; each
+    later step binds at the earliest matching event STRICTLY after the
+    previous BOUND step (an unbound ``'opt'`` step is skipped over) and
+    within ``t_1 + window_us``. An unbound required step breaks the
+    chain — everything later stays NULL. A ``'plus'`` step binds at its
+    first occurrence and reports ``n_<name>``: how many matching events
+    it greedily consumed — those in ``[t_step, next bound step)``, or to
+    the window end when no later step binds. ``converted`` is true iff
+    every non-optional step bound (each bind is already window-capped).
+
+    Returns one row per user who anchored step 1: ``(user_col,
+    t_<name> bigint µs per step, n_<name> bigint per plus step,
+    converted boolean)``.
+
+    100 TB shape: exactly :func:`funnel`'s — the (user, µs, per-step
+    match flags) projection is checkpointed once (one events scan, flags
+    row-local), then each step is one hash join on the user key against
+    the previous per-user state plus a partial-combined min; each
+    ``'plus'`` count is one more such join+count. k−1+p joins of
+    answer-scale relations, no windows, no per-user arrays — a
+    power-user costs their event count in the filters, nothing more.
+    NULL users are excluded (a pattern needs an entity).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {len(steps)}")
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    names = [n for n, _, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"step names must be unique, got {names}")
+    quants = [q for _, _, q in steps]
+    bad = [q for q in quants if q not in ("once", "plus", "opt")]
+    if bad:
+        raise ValueError(f"quantifier must be once|plus|opt, got {bad}")
+    if quants[0] == "opt":
+        raise ValueError(
+            "the first step anchors the match and cannot be optional — "
+            "drop it or make it 'once'/'plus'"
+        )
+
+    flags = [
+        (p if isinstance(p, Column) else F.expr(p)).alias(f"_m{i}")
+        for i, (_, p, _) in enumerate(steps)
+    ]
+    e = events.filter(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_ts"),
+        *flags,
+    ).localCheckpoint(eager=True)
+
+    t0 = f"t_{names[0]}"
+    cur = (
+        e.filter(F.col("_m0"))
+        .groupBy("_u")
+        .agg(F.min("_ts").alias(t0))
+        .withColumn("_end", F.col(t0) + F.lit(int(window_us)))
+    )
+    # _prev tracks the last BOUND step's time expression per user;
+    # an unbound 'opt' coalesces through, an unbound required step
+    # leaves _prev NULL which filters every later candidate out.
+    prev_expr = F.col(t0)
+    for i, (name, _, quant) in enumerate(steps[1:], start=1):
+        tcol = f"t_{name}"
+        nxt = (
+            e.filter(F.col(f"_m{i}"))
+            .join(
+                cur.select(
+                    "_u", prev_expr.alias("_prev"), F.col("_end")
+                ),
+                "_u",
+            )
+            .filter(
+                (F.col("_ts") > F.col("_prev"))
+                & (F.col("_ts") <= F.col("_end"))
+            )
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(tcol))
+        )
+        cur = cur.join(nxt, "_u", "left")
+        prev_expr = (
+            F.coalesce(F.col(tcol), prev_expr)
+            if quant == "opt"
+            else F.col(tcol)
+        )
+
+    # greedy consumption counts for the 'plus' steps: events the step
+    # matched in [its bind, the next bound step), window-capped
+    for i, (name, _, quant) in enumerate(steps):
+        if quant != "plus":
+            continue
+        tcol = f"t_{name}"
+        later = [F.col(f"t_{n}") for n in names[i + 1:]]
+        nx = F.coalesce(*later) if later else F.lit(None).cast("bigint")
+        nc = (
+            e.filter(F.col(f"_m{i}"))
+            .join(
+                cur.select(
+                    "_u", F.col(tcol).alias("_t0"), "_end",
+                    nx.alias("_nx"),
+                ),
+                "_u",
+            )
+            .filter(
+                (F.col("_ts") >= F.col("_t0"))
+                & (F.col("_ts") <= F.col("_end"))
+                & (F.col("_nx").isNull() | (F.col("_ts") < F.col("_nx")))
+            )
+            .groupBy("_u")
+            .agg(F.count("*").cast("bigint").alias(f"n_{name}"))
+        )
+        cur = cur.join(nc, "_u", "left").withColumn(
+            f"n_{name}",
+            F.when(F.col(tcol).isNotNull(), F.col(f"n_{name}")),
+        )
+
+    required = [
+        F.col(f"t_{n}").isNotNull()
+        for n, _, q in steps
+        if q != "opt"
+    ]
+    conv = required[0]
+    for c in required[1:]:
+        conv = conv & c
+    out_cols = [F.col("_u").alias(user_col)]
+    out_cols += [F.col(f"t_{n}") for n in names]
+    out_cols += [F.col(f"n_{n}") for n, _, q in steps if q == "plus"]
+    return cur.select(*out_cols, conv.alias("converted"))

@@ -6461,6 +6461,62 @@ def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seq_pattern_matches",
+    """
+    WITH e AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS t,
+                      event_type AS ty, value AS v
+               FROM events WHERE user_id IS NOT NULL),
+    t1 AS (SELECT u, min(t) AS t_signup FROM e WHERE ty = 'signup'
+           GROUP BY u),
+    tb AS (SELECT e.u, min(e.t) AS t_bigclick
+           FROM e JOIN t1 ON e.u = t1.u
+           WHERE e.ty = 'click' AND e.v > 60 AND e.t > t1.t_signup
+             AND e.t <= t1.t_signup + 259200000000
+           GROUP BY e.u),
+    tc AS (SELECT e.u, min(e.t) AS t_purchase
+           FROM e JOIN t1 ON e.u = t1.u JOIN tb ON e.u = tb.u
+           WHERE e.ty = 'purchase' AND e.t > tb.t_bigclick
+             AND e.t <= t1.t_signup + 259200000000
+           GROUP BY e.u),
+    nb AS (SELECT e.u, CAST(count(*) AS BIGINT) AS n_bigclick
+           FROM e JOIN t1 ON e.u = t1.u JOIN tb ON e.u = tb.u
+                LEFT JOIN tc ON e.u = tc.u
+           WHERE e.ty = 'click' AND e.v > 60 AND e.t >= tb.t_bigclick
+             AND e.t <= t1.t_signup + 259200000000
+             AND (tc.t_purchase IS NULL OR e.t < tc.t_purchase)
+           GROUP BY e.u)
+    SELECT t1.u AS user_id, t1.t_signup, tb.t_bigclick, tc.t_purchase,
+           nb.n_bigclick, tc.t_purchase IS NOT NULL AS converted
+    FROM t1 LEFT JOIN tb ON t1.u = tb.u LEFT JOIN tc ON t1.u = tc.u
+            LEFT JOIN nb ON t1.u = nb.u
+    """,
+)
+def seq_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-class sequence pattern
+    (``operators/funnel.py::match_pattern``, r8 verdict ask #7):
+    ``signup  (click ∧ value>60)+  purchase  within 3 days`` — per-step
+    PREDICATES (not just event-type equality) and a greedy repeated
+    step reporting how many qualifying clicks it consumed before the
+    purchase bound. One events scan (checkpointed row-local flags),
+    then one user-keyed join + partial-combined min per step and one
+    more per plus-count. The oracle unrolls the same greedy-earliest
+    binds as chained self-joins and hash-checks every bind timestamp,
+    consumption count, and conversion flag."""
+    from kamodo_dask_spark.operators.funnel import match_pattern
+
+    ev = read_table(spark, sf_dir, "events")
+    return match_pattern(
+        ev,
+        [
+            ("signup", "event_type = 'signup'", "once"),
+            ("bigclick", "event_type = 'click' AND value > 60", "plus"),
+            ("purchase", "event_type = 'purchase'", "once"),
+        ],
+        window_us=3 * 86400 * 1_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ PENDING_THIS_ROUND: list[str] = [
     "retractable_agg_view",
     "weighted_sssp",
     "weighted_sample_by_source",
+    "seq_pattern_matches",
 ]
 
 

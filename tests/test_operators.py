@@ -3185,6 +3185,76 @@ def test_weighted_sample_identity(spark):
     assert again == got
 
 
+def test_match_pattern(spark):
+    """Sequence patterns (A B+ C? D within T): per-step predicates,
+    greedy-earliest binds, optional step skipped-over via coalesce,
+    plus-step consumption counts cut at the next bound (or window end),
+    chain break leaves NULLs, NULL users excluded, validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.funnel import match_pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+    BASE = 1_704_067_200 * 10**6  # 2024-01-01T00:00:00 UTC in µs
+
+    def ev(u, s, ty, v=0.0):
+        return (u, t0 + dt.timedelta(seconds=s), ty, float(v))
+
+    rows = [
+        # u1: full chain with opt bound; B+ consumes 2 before C
+        ev(1, 0, "A"), ev(1, 10, "B", 6), ev(1, 12, "B", 9),
+        ev(1, 20, "B", 1), ev(1, 15, "C"), ev(1, 30, "D"),
+        # u2: opt step absent — D searched after B, still converts
+        ev(2, 0, "A"), ev(2, 10, "B", 6), ev(2, 90, "D"),
+        # u3: D outside the 100s window — not converted
+        ev(3, 0, "A"), ev(3, 10, "B", 6), ev(3, 20, "C"), ev(3, 150, "D"),
+        # u4: no qualifying B — required break, later C/D must NOT bind
+        ev(4, 0, "A"), ev(4, 10, "B", 1), ev(4, 20, "C"), ev(4, 30, "D"),
+        # u5: no anchor — excluded
+        ev(5, 10, "B", 6), ev(5, 30, "D"),
+        # u6: B+ runs to the window end (no later bound)
+        ev(6, 0, "A"), ev(6, 10, "B", 6), ev(6, 95, "B", 7),
+        # NULL user — excluded
+        (None, t0, "A", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    steps = [
+        ("a", "event_type = 'A'", "once"),
+        ("b", "event_type = 'B' AND value > 5", "plus"),
+        ("c", "event_type = 'C'", "opt"),
+        ("d", "event_type = 'D'", "once"),
+    ]
+    out = {
+        r["user_id"]: (
+            r["t_a"], r["t_b"], r["t_c"], r["t_d"], r["n_b"], r["converted"]
+        )
+        for r in match_pattern(df, steps, window_us=100_000_000).collect()
+    }
+    M = 10**6
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1] == (BASE, BASE + 10 * M, BASE + 15 * M, BASE + 30 * M,
+                      2, True)
+    assert out[2] == (BASE, BASE + 10 * M, None, BASE + 90 * M, 1, True)
+    assert out[3] == (BASE, BASE + 10 * M, BASE + 20 * M, None, 1, False)
+    assert out[4] == (BASE, None, None, None, None, False)
+    assert out[6] == (BASE, BASE + 10 * M, None, None, 2, False)
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        match_pattern(df, steps[:1], 100)
+    with _pytest.raises(ValueError, match="window_us"):
+        match_pattern(df, steps, 0)
+    with _pytest.raises(ValueError, match="cannot be optional"):
+        match_pattern(df, [("x", "true", "opt"), ("y", "true", "once")], 100)
+    with _pytest.raises(ValueError, match="quantifier"):
+        match_pattern(df, [("x", "true", "once"), ("y", "true", "star")], 100)
+    with _pytest.raises(ValueError, match="unique"):
+        match_pattern(df, [("x", "true", "once"), ("x", "true", "once")], 100)
+
+
 def test_weighted_sample_stratified(spark):
     """Per-stratum A-ES: exactly min(k, |eligible stratum|) rows per
     group, membership matches a NumPy re-derivation of the global ES key
