@@ -365,10 +365,20 @@ def _calibration(spark) -> dict:
       immune to BLAS/JVM/thread-count differences;
     - ``spark_sum_s``: best-of-2 whole-stage-codegen sum over
       ``spark.range`` on all local cores — JVM+parallel throughput on the
-      exact engine the catalog runs on, no IO.
+      exact engine the catalog runs on, no IO;
+    - ``sched_job_s``: best-of-3 near-empty 32-partition job — pure
+      per-JOB scheduler round-trip, the dimension the other two miss
+      (r9 finding: the r8 pagerank/dedup_clusters "regressions" were
+      this constant moving — those entries run 31/22 jobs per call, so
+      their wall is ~job_count × sched_job_s + work, and a 60 ms
+      scheduler swing moves a 31-job entry by ~2 s while single-stage
+      entries and spark_sum barely notice).
 
     A round whose catalog wall moved by the same factor as these constants
-    is a host-speed change, full stop."""
+    is a host-speed change, full stop — and a MULTI-JOB entry (pagerank,
+    dedup_clusters, k_hop, weighted_sssp, the trainers) that moved with
+    ``sched_job_s`` while single-stage entries held still is the same
+    verdict, not a plan regression."""
     py_spin = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -381,7 +391,16 @@ def _calibration(spark) -> dict:
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
         spark_sum = min(spark_sum, time.perf_counter() - t0)
-    return {"py_spin_s": round(py_spin, 3), "spark_sum_s": round(spark_sum, 3)}
+    sched = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(32, numPartitions=32).count()
+        sched = min(sched, time.perf_counter() - t0)
+    return {
+        "py_spin_s": round(py_spin, 3),
+        "spark_sum_s": round(spark_sum, 3),
+        "sched_job_s": round(sched, 3),
+    }
 
 
 def run() -> dict:
