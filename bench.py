@@ -126,6 +126,16 @@ SF01_BUDGETS = {
     # two exact grouped percentiles (~1.6 s warm); catches a lost
     # broadcast re-shuffling the corpus for the flagging pass
     "mad_outliers": 4.0,
+    # r9 additions, ~2x headroom over isolated warm sf0.1 best-of-4
+    # (sched_job_s 0.09-0.14 during the measurement): sssp is the k_hop
+    # multi-job class (3 relaxation rounds; the budget catches path
+    # expansion replacing frontier pruning), approx_dau_wau runs BOTH the
+    # exact x7 explode and the sketch path (catches the sketch path
+    # rescanning the corpus per window slot), seq_pattern catches a lost
+    # events checkpoint re-scanning the corpus once per step
+    "weighted_sssp": 6.0,  # 2.5 s warm
+    "approx_dau_wau": 4.0,  # 1.1-1.7 s warm
+    "seq_pattern_matches": 3.0,  # 0.8-1.0 s warm
 }
 
 

@@ -526,3 +526,67 @@ def merge_agg_view_retract(
         nz = F.col(c) != 0
         alive = nz if alive is None else (alive | nz)
     return merged.filter(alive)
+
+
+def join_view_delta(
+    a: DataFrame,
+    b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view under
+    append-only deltas — the delta-join identity that completes the IVM
+    family (:func:`merge_agg_view` / :func:`merge_agg_view_retract`
+    cover aggregates): for ``V = A ⋈ B`` (inner equi-join) and appends
+    ``ΔA``/``ΔB``,
+
+        ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    exactly — append the returned rows to the stored view and it equals
+    ``(A ∪ ΔA) ⋈ (B ∪ ΔB)``. Returns ΔV only (the view itself may live
+    in storage); ``on`` keys follow SQL inner-join semantics (NULL keys
+    never match). Deletions need the signed-delta treatment and
+    per-side multiplicity state — out of scope here, the same boundary
+    :func:`merge_agg_view_retract` documents for min/max.
+
+    100 TB design — what the refresh does NOT do is shuffle the bases:
+    both deltas are BROADCAST (delta-sized by assumption, the
+    :func:`upsert_history` contract), so ``ΔA ⋈ B`` and ``A ⋈ ΔB`` are
+    one exchange-free scan of each base and ``ΔA ⋈ ΔB`` is
+    metadata-sized — versus the full recompute's shuffle of BOTH bases.
+    With the bases stored partition-pruned on the join key (bucketing,
+    Z-order), the base scans prune to the delta's key range and the
+    refresh cost approaches delta-sized. Plan-pinned exchange-free in
+    ``tests/test_plans.py``.
+    """
+    if not on:
+        raise ValueError("need at least one join key column")
+    if set(delta_a.columns) != set(a.columns):
+        raise ValueError(
+            f"delta_a columns {sorted(delta_a.columns)} != a columns "
+            f"{sorted(a.columns)}"
+        )
+    if set(delta_b.columns) != set(b.columns):
+        raise ValueError(
+            f"delta_b columns {sorted(delta_b.columns)} != b columns "
+            f"{sorted(b.columns)}"
+        )
+    missing = [k for k in on if k not in a.columns or k not in b.columns]
+    if missing:
+        raise ValueError(f"join key(s) missing from a side: {missing}")
+    overlap = (set(a.columns) & set(b.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"non-key column(s) present on both sides: {sorted(overlap)} "
+            "— rename before joining or the view columns are ambiguous"
+        )
+    out_cols = [
+        *on,
+        *[c for c in a.columns if c not in on],
+        *[c for c in b.columns if c not in on],
+    ]
+    d1 = b.join(F.broadcast(delta_a), on, "inner").select(*out_cols)
+    d2 = a.join(F.broadcast(delta_b), on, "inner").select(*out_cols)
+    d3 = delta_a.join(F.broadcast(delta_b), on, "inner").select(*out_cols)
+    return d1.unionByName(d2).unionByName(d3)

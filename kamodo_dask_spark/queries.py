@@ -6517,6 +6517,47 @@ def seq_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_view_maintenance",
+    """
+    SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           c.c_mktsegment AS segment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view IVM — the delta-join identity
+    (``operators/maintenance.py::join_view_delta``) completing the IVM
+    family: the engine materializes orders⋈customer from 90% of each
+    side, then appends ``ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`` with both deltas
+    BROADCAST — one exchange-free scan per base instead of the full
+    recompute's two-sided shuffle (plan-pinned in test_plans). The
+    oracle computes the full join in one shot, so the hash match IS the
+    identity ``(A∪ΔA)⋈(B∪ΔB) = V ∪ ΔV`` checked row for row across
+    all three delta terms."""
+    from kamodo_dask_spark.operators.maintenance import join_view_delta
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    a = orders.filter(F.col("orderkey") % 10 != 0)
+    da = orders.filter(F.col("orderkey") % 10 == 0)
+    b = cust.filter(F.col("custkey") % 10 != 0)
+    db = cust.filter(F.col("custkey") % 10 == 0)
+    view = a.join(b, "custkey").select(
+        "custkey", "orderkey", "cents", "segment"
+    )
+    dv = join_view_delta(a, b, da, db, ["custkey"])
+    return view.unionByName(dv.select(*view.columns))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

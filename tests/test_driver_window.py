@@ -68,6 +68,7 @@ PENDING_THIS_ROUND: list[str] = [
     "weighted_sssp",
     "weighted_sample_by_source",
     "seq_pattern_matches",
+    "join_view_maintenance",
 ]
 
 

@@ -2875,6 +2875,50 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_join_view_delta(spark):
+    """Delta-join identity: V ∪ ΔV == (A∪ΔA)⋈(B∪ΔB) including the
+    ΔA⋈ΔB cross term and delta-key fan-out; NULL keys never match
+    (inner-join semantics); validation raises on schema drift, missing
+    keys, and ambiguous non-key columns."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import join_view_delta
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2b"), (None, "an")],
+        "k long, av string",
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (3, "b3"), (None, "bn")], "k long, bv string"
+    )
+    da = spark.createDataFrame([(3, "da3"), (4, "da4")], "k long, av string")
+    db = spark.createDataFrame([(2, "db2"), (4, "db4")], "k long, bv string")
+
+    dv = join_view_delta(a, b, da, db, ["k"])
+    got = {tuple(r) for r in a.join(b, "k").unionByName(dv).collect()}
+    want = {
+        tuple(r)
+        for r in a.unionByName(da).join(b.unionByName(db), "k").collect()
+    }
+    assert got == want
+    # the cross term ΔA⋈ΔB (key 4) and both single-delta terms present
+    assert (4, "da4", "db4") in got and (3, "da3", "b3") in got
+    assert (2, "a2", "db2") in got and (2, "a2b", "db2") in got
+    assert not any(k is None for k, *_ in got)
+
+    with _pytest.raises(ValueError, match="at least one join key"):
+        join_view_delta(a, b, da, db, [])
+    with _pytest.raises(ValueError, match="delta_a columns"):
+        join_view_delta(a, b, da.withColumnRenamed("av", "x"), db, ["k"])
+    with _pytest.raises(ValueError, match="missing"):
+        join_view_delta(a, b, da, db, ["nope"])
+    with _pytest.raises(ValueError, match="both sides"):
+        join_view_delta(
+            a, b.withColumnRenamed("bv", "av"),
+            da, db.withColumnRenamed("bv", "av"), ["k"],
+        )
+
+
 def test_bloom_semi_join(spark):
     """Exact mode equals the plain semi join; inexact mode is a superset
     containing every true match; NULL keys never match; validation."""

@@ -942,6 +942,38 @@ def test_incremental_agg_view_two_scans(spark):
     assert "BroadcastNestedLoop" not in plan, plan
 
 
+def test_join_view_delta_is_exchange_free(spark):
+    """join_view_delta: all three delta terms are BROADCAST joins — the
+    refresh never shuffles a base table (the whole point vs the full
+    recompute's two-sided shuffle). No ShuffleExchange anywhere in the
+    delta plan; exactly 3 broadcast hash joins."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.maintenance import join_view_delta
+    from kamodo_dask_spark.plans.checks import executed_plan
+    from kamodo_dask_spark.queries import read_table
+
+    orders = read_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+    cust = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dv = join_view_delta(
+        orders.filter(F.col("orderkey") % 10 != 0),
+        cust.filter(F.col("custkey") % 10 != 0),
+        orders.filter(F.col("orderkey") % 10 == 0),
+        cust.filter(F.col("custkey") % 10 == 0),
+        ["custkey"],
+    )
+    plan = executed_plan(dv)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_bloom_semi_join_probe_before_join(spark):
     """bloom_semi_join: the literal-bitmap probe (shiftright arithmetic)
     filters the big side IN THE SCAN STAGE, and the mop-up is a
