@@ -6558,6 +6558,53 @@ def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.unionByName(dv.select(*view.columns))
 
 
+@register(
+    "equi_depth_histogram",
+    """
+    WITH v AS (SELECT o_totalprice AS val FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    e AS (SELECT round(quantile_cont(val, 0.125), 6) AS e1,
+                 round(quantile_cont(val, 0.25),  6) AS e2,
+                 round(quantile_cont(val, 0.375), 6) AS e3,
+                 round(quantile_cont(val, 0.5),   6) AS e4,
+                 round(quantile_cont(val, 0.625), 6) AS e5,
+                 round(quantile_cont(val, 0.75),  6) AS e6,
+                 round(quantile_cont(val, 0.875), 6) AS e7
+          FROM v),
+    b AS (SELECT CAST((val > e1)::INT + (val > e2)::INT + (val > e3)::INT
+                    + (val > e4)::INT + (val > e5)::INT + (val > e6)::INT
+                    + (val > e7)::INT AS BIGINT) AS bin
+          FROM v CROSS JOIN e),
+    c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+    r AS (SELECT unnest(range(8)) AS bin)
+    SELECT r.bin,
+           CASE r.bin WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+                      WHEN 4 THEN e4 WHEN 5 THEN e5 WHEN 6 THEN e6
+                      WHEN 7 THEN e7 END AS lo,
+           CASE r.bin WHEN 0 THEN e1 WHEN 1 THEN e2 WHEN 2 THEN e3
+                      WHEN 3 THEN e4 WHEN 4 THEN e5 WHEN 5 THEN e6
+                      WHEN 6 THEN e7 END AS hi,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
+    FROM r CROSS JOIN e LEFT JOIN c ON c.bin = r.bin
+    """,
+)
+def equi_depth_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram
+    (``operators/profile.py::equi_depth_histogram``): 8 equal-population
+    bins over order totals — the skew-proof complement of
+    ``psi_drift``'s fixed equi-width bins, and the binning feature
+    pipelines use for monotone numeric features. Exact interpolated
+    quantile edges rounded in-engine (half-up both engines), edges
+    collected once (7 scalars, the metadata-collect contract), binning
+    row-local over ONE scan. Every rounded edge AND every bin population
+    is hash-checked; the `percentile_approx` corpus path is
+    pytest-bounded against this exact spelling."""
+    from kamodo_dask_spark.operators.profile import equi_depth_histogram
+
+    orders = read_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(orders, "o_totalprice", 8)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

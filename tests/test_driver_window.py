@@ -69,6 +69,7 @@ PENDING_THIS_ROUND: list[str] = [
     "weighted_sample_by_source",
     "seq_pattern_matches",
     "join_view_maintenance",
+    "equi_depth_histogram",
 ]
 
 

@@ -2875,6 +2875,53 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_equi_depth_histogram(spark):
+    """Quantile binning: edges at i/n interpolated percentiles, ties land
+    LEFT, empty bins materialize with n=0, NULLs excluded, approx path
+    bounded against exact, empty input yields n empty bins."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import equi_depth_histogram
+
+    # 0..99: quartile edges 24.75 / 49.5 / 74.25 -> bins of 25 each
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = {r["bin"]: (r["lo"], r["hi"], r["n"])
+           for r in equi_depth_histogram(df, "x", 4).collect()}
+    assert out == {
+        0: (None, 24.75, 25),
+        1: (24.75, 49.5, 25),
+        2: (49.5, 74.25, 25),
+        3: (74.25, None, 25),
+    }
+
+    # heavy ties: all values equal -> every edge equals the value, ties
+    # go LEFT so bin 0 holds everything and the rest are EMPTY but present
+    ties = spark.createDataFrame([(5.0,)] * 10 + [(None,)], "x double")
+    tout = {r["bin"]: r["n"]
+            for r in equi_depth_histogram(ties, "x", 3).collect()}
+    assert tout == {0: 10, 1: 0, 2: 0}
+
+    # approx path: same bins, counts within 5% of exact on a big corpus
+    big = spark.range(20000).select(
+        (F.col("id") % 997 * 7.5).alias("x")
+    )
+    ex = {r["bin"]: r["n"]
+          for r in equi_depth_histogram(big, "x", 8).collect()}
+    ap = {r["bin"]: r["n"]
+          for r in equi_depth_histogram(big, "x", 8, exact=False).collect()}
+    assert set(ap) == set(ex)
+    for b, n in ex.items():
+        assert abs(ap[b] - n) <= max(2, 0.05 * n), (b, ap[b], n)
+
+    empty = df.limit(0)
+    eout = {r["bin"]: r["n"]
+            for r in equi_depth_histogram(empty, "x", 4).collect()}
+    assert eout == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        equi_depth_histogram(df, "x", 1)
+
+
 def test_join_view_delta(spark):
     """Delta-join identity: V ∪ ΔV == (A∪ΔA)⋈(B∪ΔB) including the
     ΔA⋈ΔB cross term and delta-key fan-out; NULL keys never match
