@@ -430,3 +430,63 @@ def _trailing_distinct_sketch(
         .cast("bigint")
         .alias("n_users")
     )
+
+
+def time_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bar_us: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """OHLC downsampling — per key and fixed time bar, the value's
+    open/high/low/close plus the row count: the candlestick/telemetry
+    compaction every metrics store runs to turn raw ticks into bars
+    (TimescaleDB continuous aggregates' canonical example).
+
+    ``open``/``close`` are the values at the earliest/latest event in
+    the bar, ties on the timestamp broken by ``tiebreak_cols`` then by
+    the value itself — fully deterministic cross-engine (pass the event
+    id when duplicate timestamps are possible; without it two ticks in
+    the same microsecond resolve by value order, documented rather than
+    engine-dependent). Bars are exact integer-µs buckets
+    (``unix_micros div bar_us``); rows with NULL value or timestamp are
+    excluded; bars with no rows don't exist (densify with
+    :func:`gap_fill` if the consumer needs a continuous series).
+
+    100 TB shape: ONE partial-combined aggregation — open/close are
+    ``min``/``max`` over a ``(ts, tiebreaks..., value)`` struct, which
+    combines map-side exactly like the plain min/max of high/low, so
+    the shuffle carries one row per (key, bar), never the ticks. No
+    windows, no sort, no self-join.
+    """
+    if bar_us <= 0:
+        raise ValueError(f"bar_us must be positive, got {bar_us}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    missing = [
+        c for c in (ts_col, value_col, *key_cols, *(tiebreak_cols or []))
+        if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
+    t = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+    tagged = F.struct(
+        t.alias("_t"),
+        *[F.col(c).alias(f"_tb_{c}") for c in (tiebreak_cols or [])],
+        v.alias("_v"),
+    )
+    bar = F.expr(f"unix_micros(`{ts_col}`) div {int(bar_us)}")
+    return (
+        rows.groupBy(*key_cols, bar.cast("bigint").alias("bar"))
+        .agg(
+            F.min(tagged).getField("_v").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(tagged).getField("_v").alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )

@@ -6605,6 +6605,54 @@ def equi_depth_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(orders, "o_totalprice", 8)
 
 
+@register(
+    "ohlc_hourly_bars",
+    """
+    WITH e AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 3600000000 AS bar,
+                      epoch_us(ts::TIMESTAMP) AS t, event_id, value AS v
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    o AS (SELECT event_type, bar, v,
+                 row_number() OVER (PARTITION BY event_type, bar
+                                    ORDER BY t, event_id, v) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar
+                                    ORDER BY t DESC, event_id DESC, v DESC)
+                   AS rn_d
+          FROM e),
+    agg AS (SELECT event_type, bar, CAST(count(*) AS BIGINT) AS n,
+                   max(v) AS high, min(v) AS low
+            FROM e GROUP BY 1, 2)
+    SELECT agg.event_type, CAST(agg.bar AS BIGINT) AS bar,
+           op.v AS open, agg.high, agg.low, cl.v AS close, agg.n
+    FROM agg
+    JOIN (SELECT event_type, bar, v FROM o WHERE rn_a = 1) op
+      USING (event_type, bar)
+    JOIN (SELECT event_type, bar, v FROM o WHERE rn_d = 1) cl
+      USING (event_type, bar)
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bar compaction (``operators/timeseries.py::time_bars``):
+    hourly open/high/low/close/count of event values per type — the
+    candlestick/telemetry downsampling continuous aggregates exist for.
+    Open/close are min/max over a (ts, event_id, value) struct, so the
+    whole bar builder is ONE partial-combined aggregation (the shuffle
+    carries one row per bar, never the ticks — no windows, no sort,
+    no self-join); the oracle re-derives the same ends via tie-broken
+    row_number windows and every bar hash-checks."""
+    from kamodo_dask_spark.operators.timeseries import time_bars
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_bars(
+        ev,
+        ["event_type"],
+        "ts",
+        "value",
+        bar_us=3_600_000_000,
+        tiebreak_cols=["event_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -70,6 +70,7 @@ PENDING_THIS_ROUND: list[str] = [
     "seq_pattern_matches",
     "join_view_maintenance",
     "equi_depth_histogram",
+    "ohlc_hourly_bars",
 ]
 
 

@@ -2875,6 +2875,57 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_time_bars(spark):
+    """OHLC semantics: open/close at earliest/latest tick with
+    deterministic tie-break, high/low exact, per-key per-bar grouping,
+    NULL value/ts rows excluded, validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import time_bars
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # key a, bar 0 (0-9s): open=5 (t=0), high=9, low=1, close=7 (t=9)
+        ("a", 1, t0 + 0 * s, 5.0),
+        ("a", 2, t0 + 3 * s, 9.0),
+        ("a", 3, t0 + 5 * s, 1.0),
+        ("a", 4, t0 + 9 * s, 7.0),
+        # key a, bar 1: single tick
+        ("a", 5, t0 + 12 * s, 4.0),
+        # key b, bar 0: duplicate timestamps — event_id breaks the tie
+        ("b", 7, t0 + 1 * s, 2.0),
+        ("b", 6, t0 + 1 * s, 8.0),
+        # excluded rows
+        ("b", 8, None, 3.0),
+        ("b", 9, t0 + 2 * s, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, eid long, ts timestamp, v double"
+    )
+    out = {
+        (r["k"], r["bar"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in time_bars(
+            df, ["k"], "ts", "v", bar_us=10_000_000, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    base = 1_704_067_200 * 10**6 // 10_000_000
+    assert out == {
+        ("a", base): (5.0, 9.0, 1.0, 7.0, 4),
+        ("a", base + 1): (4.0, 4.0, 4.0, 4.0, 1),
+        ("b", base): (8.0, 8.0, 2.0, 2.0, 2),  # eid 6 first, eid 7 last
+    }
+
+    with _pytest.raises(ValueError, match="bar_us"):
+        time_bars(df, ["k"], "ts", "v", 0)
+    with _pytest.raises(ValueError, match="key"):
+        time_bars(df, [], "ts", "v", 1)
+    with _pytest.raises(ValueError, match="lacks"):
+        time_bars(df, ["k"], "ts", "nope", 1)
+
+
 def test_equi_depth_histogram(spark):
     """Quantile binning: edges at i/n interpolated percentiles, ties land
     LEFT, empty bins materialize with n=0, NULLs excluded, approx path
