@@ -949,3 +949,84 @@ def logreg_fit(
         "score", F.round(sigmoid(margin(w)), round_digits)
     )
     return w, scored
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k bigram COLLOCATIONS by pointwise mutual information — the
+    classic collocation-mining statistic (Church & Hanks 1990): which
+    adjacent word pairs co-occur far more than their marginals predict
+    ("new york", "machine learning"), the phrase-discovery pass feeding
+    tokenizer vocab curation and gazetteer construction.
+
+    All probabilities come from the bigram relation itself:
+    ``pmi(a,b) = ln(c(a,b)·N / (c_left(a)·c_right(b)))`` with ``N`` the
+    total bigram count and the marginals the pair's left/right
+    occurrence counts. ``min_count`` floors ``c(a,b)`` — PMI's
+    notorious pathology is maximal scores on hapax pairs — applied
+    AFTER the marginals are computed from the full relation, so the
+    floor never biases the statistic. Rounded PMI + (prev, cur)
+    tie-break pins the top-k cutoff cross-engine.
+
+    Returns ``(prev, cur, n_pair, pmi)``, the top ``top_k`` by
+    ``(pmi desc, prev, cur)``.
+
+    100 TB shape: bigrams are built ROW-LOCAL (``zip_with`` of shifted
+    slices, the :func:`bigram_logprob` spelling — no positional
+    self-join) and partial-combine straight to the bigram-TYPE relation;
+    the marginals are two re-aggregations of that (much smaller)
+    relation, N is a one-scalar collect (metadata contract), and the
+    answer leaves via ``TakeOrderedAndProject``. The corpus is scanned
+    once.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    ws = words(F.col(text_col))
+    n_pairs = F.size(ws) - F.lit(1)
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n_pairs),
+            F.slice(ws, 2, n_pairs),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    )
+    c2 = (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p.prev", "_p.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .localCheckpoint(eager=True)  # marginals + N + candidates share it
+    )
+    n_total = c2.agg(F.sum("n_pair")).first()[0]
+    if not n_total:
+        return c2.select(
+            "prev", "cur", "n_pair", F.lit(0.0).alias("pmi")
+        ).limit(0)
+    cl = c2.groupBy("prev").agg(F.sum("n_pair").alias("_cl"))
+    cr = c2.groupBy("cur").agg(F.sum("n_pair").alias("_cr"))
+    # double arithmetic in the same association order as the SQL oracle
+    # ((1.0·c2)·N) / ((1.0·cl)·cr); the marginal product also must not be
+    # computed in bigint — at corpus scale cl·cr overflows int64
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.lit(float(n_total)))
+            / (F.col("_cl").cast("double") * F.col("_cr"))
+        ),
+        round_digits,
+    )
+    return (
+        c2.filter(F.col("n_pair") >= min_count)
+        .join(cl, "prev")
+        .join(cr, "cur")
+        .select("prev", "cur", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "prev", "cur")
+        .limit(top_k)
+    )

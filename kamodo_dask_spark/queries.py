@@ -6653,6 +6653,45 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pmi_collocations",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    b0 AS (SELECT doc_id,
+                  unnest([{{'p': ws[i], 'q': ws[i+1]}}
+                          for i in range(1, len(ws))]) AS pr
+           FROM w WHERE len(ws) >= 2),
+    b AS (SELECT pr.p AS prev, pr.q AS cur FROM b0),
+    c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pair
+           FROM b GROUP BY 1, 2),
+    np AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM c2),
+    cl AS (SELECT prev, CAST(sum(n_pair) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+    cr AS (SELECT cur, CAST(sum(n_pair) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+    s AS (SELECT c2.prev, c2.cur, c2.n_pair,
+                 round(ln((1.0 * c2.n_pair * np.n)
+                          / ((1.0 * cl.cl) * cr.cr)), 6) AS pmi
+          FROM c2 JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN np
+          WHERE c2.n_pair >= 3)
+    SELECT prev, cur, n_pair, pmi FROM s
+    ORDER BY pmi DESC, prev, cur LIMIT 50
+    """,
+)
+def pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (``operators/text.py::pmi_collocations``,
+    Church–Hanks PMI): the 50 adjacent word pairs that co-occur most
+    above their marginals, min-count 3 — the phrase-discovery pass
+    feeding tokenizer vocab and gazetteer curation, one statistic over
+    from the `bigram_logprob` LM entry. Bigrams row-local (zip_with, no
+    positional self-join), marginals re-aggregated from the bigram-TYPE
+    relation, N one scalar collect, answer via TakeOrderedAndProject;
+    rounded PMI + pair tie-break pins the cutoff and every row
+    hash-checks."""
+    from kamodo_dask_spark.operators.text import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=3, top_k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

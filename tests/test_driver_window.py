@@ -71,6 +71,7 @@ PENDING_THIS_ROUND: list[str] = [
     "join_view_maintenance",
     "equi_depth_histogram",
     "ohlc_hourly_bars",
+    "pmi_collocations",
 ]
 
 

@@ -2875,6 +2875,58 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_pmi_collocations(spark):
+    """PMI from the bigram relation's own marginals, NumPy-re-derived;
+    min_count floors candidates AFTER marginals; top-k deterministic;
+    empty corpus yields empty; validation."""
+    import math
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.text import pmi_collocations
+
+    texts = [
+        "new york is a big city",
+        "new york has new ideas",
+        "big city big dreams",
+        "a b a b a b",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    pairs = []
+    for t in texts:
+        ws = t.lower().split()
+        pairs += list(zip(ws, ws[1:]))
+    c2 = Counter(pairs)
+    n = sum(c2.values())
+    cl, cr = Counter(), Counter()
+    for (a, b), c in c2.items():
+        cl[a] += c
+        cr[b] += c
+    want = {
+        (a, b): (c, round(math.log((1.0 * c * n) / ((1.0 * cl[a]) * cr[b])), 6))
+        for (a, b), c in c2.items()
+        if c >= 2
+    }
+    got = {
+        (r["prev"], r["cur"]): (r["n_pair"], r["pmi"])
+        for r in pmi_collocations(df, min_count=2, top_k=100).collect()
+    }
+    assert got == want
+    # top-k cutoff: highest-PMI pair first, ties by (prev, cur)
+    top1 = pmi_collocations(df, min_count=2, top_k=1).collect()
+    top_sorted = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert (top1[0]["prev"], top1[0]["cur"]) == top_sorted[0][0]
+
+    assert pmi_collocations(df.limit(0)).count() == 0
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+    with _pytest.raises(ValueError, match="top_k"):
+        pmi_collocations(df, top_k=0)
+
+
 def test_time_bars(spark):
     """OHLC semantics: open/close at earliest/latest tick with
     deterministic tie-break, high/low exact, per-key per-bar grouping,
