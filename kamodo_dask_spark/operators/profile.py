@@ -484,3 +484,74 @@ def equi_depth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    value_cols: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson correlation for EVERY pair of k numeric columns in ONE
+    corpus scan — the feature-redundancy screen run before model
+    training (:func:`grouped_correlation` generalized from one pair to
+    the full upper triangle; same raw-sums closed form, spelled once
+    and identically in any engine, never an engine-specific ``corr``).
+
+    Pairwise NULL deletion, per the statistic's standard definition:
+    each pair's n and sums aggregate only rows where BOTH columns are
+    non-null, so one spotty column doesn't poison the rest of the
+    matrix. Degenerate pairs (zero variance on either side) emit NULL.
+
+    Returns one row per unordered pair in ``value_cols`` order:
+    ``(col_x, col_y, n, corr)``, corr rounded.
+
+    100 TB shape: ONE aggregation with 6·C(k,2) conditional partials —
+    a single scan, shuffle volume one row of partials per task, output
+    metadata-sized (the profiling contract: k is dozens at most, and
+    the agg row explodes row-locally into the pair relation). No joins,
+    no per-pair scans.
+    """
+    k = len(value_cols)
+    if k < 2:
+        raise ValueError(f"need at least 2 columns, got {k}")
+    if len(set(value_cols)) != k:
+        raise ValueError(f"duplicate column(s) in {value_cols}")
+    missing = [c for c in value_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    exprs = []
+    for i, j in pairs:
+        x = F.col(value_cols[i]).cast("double")
+        y = F.col(value_cols[j]).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xm, ym = F.when(both, x), F.when(both, y)
+        t = f"_{i}_{j}"
+        exprs += [
+            F.count(xm).cast("double").alias(f"n{t}"),
+            F.sum(xm).alias(f"sx{t}"),
+            F.sum(ym).alias(f"sy{t}"),
+            F.sum(xm * xm).alias(f"sxx{t}"),
+            F.sum(ym * ym).alias(f"syy{t}"),
+            F.sum(xm * ym).alias(f"sxy{t}"),
+        ]
+    agg = df.agg(*exprs)
+    structs = []
+    for i, j in pairs:
+        t = f"_{i}_{j}"
+        n = F.col(f"n{t}")
+        vx = n * F.col(f"sxx{t}") - F.col(f"sx{t}") * F.col(f"sx{t}")
+        vy = n * F.col(f"syy{t}") - F.col(f"sy{t}") * F.col(f"sy{t}")
+        cov = n * F.col(f"sxy{t}") - F.col(f"sx{t}") * F.col(f"sy{t}")
+        corr = F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), round_digits)
+        )
+        structs.append(
+            F.struct(
+                F.lit(value_cols[i]).alias("col_x"),
+                F.lit(value_cols[j]).alias("col_y"),
+                n.cast("bigint").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return agg.select(F.explode(F.array(*structs)).alias("_r")).select("_r.*")

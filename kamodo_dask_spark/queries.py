@@ -6692,6 +6692,49 @@ def pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, min_count=3, top_k=50)
 
 
+_CORR_MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pair_sql(x: str, y: str) -> str:
+    """One pair of the correlation-matrix oracle: the SAME raw-sums
+    closed form as the engine (grouped_correlation's portability
+    contract), over the pairwise-complete rows."""
+    vx = "(count(*)::DOUBLE * sum(x*x) - sum(x)*sum(x))"
+    vy = "(count(*)::DOUBLE * sum(y*y) - sum(y)*sum(y))"
+    cov = "(count(*)::DOUBLE * sum(x*y) - sum(x)*sum(y))"
+    return f"""
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN {vx} > 0 AND {vy} > 0
+                THEN round({cov} / sqrt({vx} * {vy}), 6) END AS corr
+    FROM (SELECT {x}::DOUBLE AS x, {y}::DOUBLE AS y FROM lineitem
+          WHERE {x} IS NOT NULL AND {y} IS NOT NULL)"""
+
+
+@register(
+    "correlation_matrix",
+    " UNION ALL ".join(
+        _corr_pair_sql(_CORR_MATRIX_COLS[i], _CORR_MATRIX_COLS[j])
+        for i in range(len(_CORR_MATRIX_COLS))
+        for j in range(i + 1, len(_CORR_MATRIX_COLS))
+    ),
+)
+def correlation_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy screen
+    (``operators/profile.py::correlation_matrix``): Pearson correlation
+    for all 6 pairs of lineitem's numeric measures in ONE corpus scan —
+    6·C(4,2) conditional partials in a single aggregation, the 1-row
+    result exploding row-locally into the pair relation (no joins, no
+    per-pair scans; `grouped_correlation` generalized to the full upper
+    triangle with pairwise NULL deletion). The oracle replays the same
+    raw-sums closed form per pair and every rounded coefficient
+    hash-checks."""
+    from kamodo_dask_spark.operators.profile import correlation_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _CORR_MATRIX_COLS)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -72,6 +72,7 @@ PENDING_THIS_ROUND: list[str] = [
     "equi_depth_histogram",
     "ohlc_hourly_bars",
     "pmi_collocations",
+    "correlation_matrix",
 ]
 
 

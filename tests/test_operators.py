@@ -2875,6 +2875,66 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_correlation_matrix(spark):
+    """All-pairs Pearson vs NumPy on pairwise-complete rows: exact
+    coefficients (rounded), pairwise NULL deletion with per-pair n,
+    zero-variance pairs NULL, validation."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    n = 60
+    a = rng.normal(size=n)
+    b = 2.0 * a + rng.normal(scale=0.5, size=n)
+    c = rng.normal(size=n)
+    # zero variance; binary-exact constant so n·Σd² − (Σd)² is EXACTLY 0
+    # (a non-representable constant leaves float fuzz in the closed form —
+    # identically in both engines, so parity holds, but the NULL contract
+    # is exact-arithmetic)
+    d = np.full(n, 2.0)
+    rows = []
+    for i in range(n):
+        # punch pairwise holes: a missing on i%7==0, c missing on i%5==0
+        rows.append((
+            None if i % 7 == 0 else float(a[i]),
+            float(b[i]),
+            None if i % 5 == 0 else float(c[i]),
+            float(d[i]),
+        ))
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("a", "d"),
+                        ("b", "c"), ("b", "d"), ("c", "d")}
+
+    def ref(x, y, mx, my):
+        m = mx & my
+        xx, yy = x[m], y[m]
+        return len(xx), round(float(np.corrcoef(xx, yy)[0, 1]), 6)
+
+    ma = np.array([i % 7 != 0 for i in range(n)])
+    mc = np.array([i % 5 != 0 for i in range(n)])
+    mall = np.ones(n, bool)
+    assert out[("a", "b")] == ref(a, b, ma, mall)
+    assert out[("a", "c")] == ref(a, c, ma, mc)
+    assert out[("b", "c")] == ref(b, c, mall, mc)
+    # zero-variance column: n counted, corr NULL
+    assert out[("a", "d")] == (ma.sum(), None)
+    assert out[("b", "d")] == (n, None)
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        correlation_matrix(df, ["a"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        correlation_matrix(df, ["a", "a"])
+    with _pytest.raises(ValueError, match="lacks"):
+        correlation_matrix(df, ["a", "nope"])
+
+
 def test_pmi_collocations(spark):
     """PMI from the bigram relation's own marginals, NumPy-re-derived;
     min_count floors candidates AFTER marginals; top-k deterministic;
