@@ -590,3 +590,69 @@ def join_view_delta(
     d2 = a.join(F.broadcast(delta_b), on, "inner").select(*out_cols)
     d3 = delta_a.join(F.broadcast(delta_b), on, "inner").select(*out_cols)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compact a CDC change LOG into the current snapshot — the forward
+    application that closes the loop with :func:`snapshot_diff` (which
+    RECOVERS a feed) and :func:`upsert_snapshot` (which applies ONE
+    deduplicated batch): given the full Debezium-shaped history of
+    ``(key, op, version, row image)`` rows, keep each key's
+    highest-version row and drop the key entirely when that row is a
+    delete. Any op other than ``delete_op`` is an upsert image
+    (Debezium c/u/r all carry the after-image).
+
+    ``version_col`` must totally order each key's changes (log offset,
+    LSN, commit timestamp); ties resolve by ``order_cols`` and then by
+    the remaining row fields — deterministic cross-engine, but pass the
+    real tiebreaker if versions can repeat, or which image wins is
+    semantically arbitrary.
+
+    Returns the live rows: key columns + ``version_col`` + ``op_col`` +
+    the image columns, exactly one row per surviving key.
+
+    100 TB shape: ONE partial-combined aggregation — the winner is
+    ``max`` over a ``(version, tiebreaks..., op, image...)`` struct
+    (the :func:`time_bars` trick), so map-side combine collapses each
+    partition to one candidate per key BEFORE the shuffle: the exchange
+    carries one row per key per task, never the log. No window, no
+    sort, no self-join — this is why log compaction scales to
+    billion-row topics.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    missing = [
+        c for c in (*key_cols, version_col, op_col, *(order_cols or []))
+        if c not in log.columns
+    ]
+    if missing:
+        raise ValueError(f"log lacks column(s): {missing}")
+    attrs = [
+        c for c in log.columns
+        if c not in (*key_cols, version_col, op_col)
+    ]
+    tagged = F.struct(
+        F.col(version_col).alias("_ver"),
+        *[F.col(c).alias(f"_ord_{c}") for c in (order_cols or [])],
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_a_{c}") for c in attrs],
+    )
+    last = log.groupBy(*key_cols).agg(F.max(tagged).alias("_last"))
+    return last.filter(
+        F.col("_last").getField("_op") != F.lit(delete_op)
+    ).select(
+        *key_cols,
+        F.col("_last").getField("_ver").alias(version_col),
+        F.col("_last").getField("_op").alias(op_col),
+        *[
+            F.col("_last").getField(f"_a_{c}").alias(c)
+            for c in attrs
+        ],
+    )

@@ -6735,6 +6735,57 @@ def correlation_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(li, _CORR_MATRIX_COLS)
 
 
+@register(
+    "cdc_log_compaction",
+    """
+    SELECT o_orderkey AS okey,
+           CAST(CASE WHEN o_orderkey % 4 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS version,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE 'I' END AS op,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 4 = 0 THEN 1000 ELSE 0 END AS cents
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (``operators/maintenance.py::cdc_apply``): a
+    three-version Debezium-shaped change log over orders — v1 inserts
+    everything, v2 updates every 4th key's amount, v3 deletes every
+    10th key — compacted to the live snapshot with ONE partial-combined
+    max-over-struct aggregation (map-side combine collapses the log to
+    one candidate per key per task before the shuffle; no window, no
+    sort — the Kafka-compaction shape). The oracle computes the final
+    state directly from the generating rules, so every surviving
+    (key, version, op, image) row hash-checks and deleted keys are
+    proven absent."""
+    from kamodo_dask_spark.operators.maintenance import cdc_apply
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = orders.select(
+        "okey",
+        F.lit(1).cast("bigint").alias("version"),
+        F.lit("I").alias("op"),
+        "cents",
+    )
+    v2 = orders.filter(F.col("okey") % 4 == 0).select(
+        "okey",
+        F.lit(2).cast("bigint").alias("version"),
+        F.lit("U").alias("op"),
+        (F.col("cents") + 1000).alias("cents"),
+    )
+    v3 = orders.filter(F.col("okey") % 10 == 0).select(
+        "okey",
+        F.lit(3).cast("bigint").alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    log = v1.unionByName(v2).unionByName(v3)
+    return cdc_apply(log, ["okey"], "version")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

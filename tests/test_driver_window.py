@@ -73,6 +73,7 @@ PENDING_THIS_ROUND: list[str] = [
     "ohlc_hourly_bars",
     "pmi_collocations",
     "correlation_matrix",
+    "cdc_log_compaction",
 ]
 
 

@@ -2875,6 +2875,53 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_cdc_apply(spark):
+    """Log compaction: highest version wins per key, delete drops the
+    key, a later re-insert resurrects it, non-delete ops are all upsert
+    images, order_cols break version ties, NULL-image deletes fine,
+    validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import cdc_apply
+
+    rows = [
+        # k1: I then U — update image wins
+        (1, 1, "I", "a1"), (1, 2, "U", "a2"),
+        # k2: I then D — gone
+        (2, 1, "I", "b1"), (2, 2, "D", None),
+        # k3: I, D, then re-insert — resurrected with the last image
+        (3, 1, "I", "c1"), (3, 2, "D", None), (3, 3, "I", "c3"),
+        # k4: single insert
+        (4, 7, "I", "d1"),
+        # k5: Debezium 'r' snapshot op is an upsert image too
+        (5, 1, "r", "e1"),
+    ]
+    log = spark.createDataFrame(rows, "k long, v long, op string, img string")
+    out = {r["k"]: (r["v"], r["op"], r["img"])
+           for r in cdc_apply(log, ["k"], "v").collect()}
+    assert out == {
+        1: (2, "U", "a2"),
+        3: (3, "I", "c3"),
+        4: (7, "I", "d1"),
+        5: (1, "r", "e1"),
+    }
+
+    # version tie: order_cols decide the winner deterministically
+    ties = spark.createDataFrame(
+        [(1, 5, 10, "U", "x"), (1, 5, 20, "U", "y")],
+        "k long, v long, off long, op string, img string",
+    )
+    got = cdc_apply(ties, ["k"], "v", order_cols=["off"]).collect()
+    assert [(r["img"],) for r in got] == [("y",)]
+
+    with _pytest.raises(ValueError, match="key"):
+        cdc_apply(log, [], "v")
+    with _pytest.raises(ValueError, match="lacks"):
+        cdc_apply(log, ["k"], "nope")
+    with _pytest.raises(ValueError, match="lacks"):
+        cdc_apply(log, ["k"], "v", order_cols=["nope"])
+
+
 def test_correlation_matrix(spark):
     """All-pairs Pearson vs NumPy on pairwise-complete rows: exact
     coefficients (rounded), pairwise NULL deletion with per-pair n,
