@@ -136,6 +136,14 @@ SF01_BUDGETS = {
     "weighted_sssp": 6.0,  # 2.5 s warm
     "approx_dau_wau": 4.0,  # 1.1-1.7 s warm
     "seq_pattern_matches": 3.0,  # 0.8-1.0 s warm
+    # r9 second batch (~0.9-1.0 s warm each): join_view catches a delta
+    # broadcast degrading to a base-table shuffle (also plan-pinned),
+    # pmi catches a lost bigram-relation checkpoint re-exploding the
+    # corpus per downstream consumer, equi_depth catches the binning
+    # degrading to an edge-relation join or corpus sort
+    "join_view_maintenance": 3.0,
+    "pmi_collocations": 4.0,
+    "equi_depth_histogram": 3.0,
 }
 
 
