@@ -43,6 +43,7 @@ STREAMING_QUERIES = {
     "stream_stream_join",
     "streaming_interp",
     "streaming_view_maintenance",
+    "streaming_dau_sketch",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged
@@ -144,6 +145,10 @@ SF01_BUDGETS = {
     "join_view_maintenance": 3.0,
     "pmi_collocations": 4.0,
     "equi_depth_histogram": 3.0,
+    # four micro-batches + per-batch slots-sized sketch merge; the budget
+    # catches a per-batch history-rescan regression (the same class the
+    # streaming_view_maintenance budget guards)
+    "streaming_dau_sketch": 7.0,
 }
 
 

@@ -6786,6 +6786,120 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(log, ["okey"], "version")
 
 
+@register(
+    "streaming_dau_sketch",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+    SELECT CAST(day AS BIGINT) AS slot, CAST(count(*) AS BIGINT) AS dau,
+           TRUE AS sketch_ok
+    FROM d GROUP BY day
+    """,
+)
+def streaming_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance — ``foreachBatch`` + HLL union (§2.9
+    composed with the r9 sketch path, the ``streaming_view_maintenance``
+    discipline applied to a SKETCH-valued view): purchase activity is
+    split into FOUR files streamed one per micro-batch, each batch folds
+    its per-day ``hll_sketch_agg`` partials into a driver-carried
+    (day, sketch) state via ``hll_union_agg`` — per commit, work
+    proportional to the delta plus one slots-sized merge, and the
+    distinct count is never recomputed from history. The entry returns
+    the EXACT per-day distinct count (hash-checked vs DuckDB) plus
+    ``sketch_ok``: whether the cross-batch-merged estimate lands within
+    max(2, 5%) — deterministically TRUE (hash-based sketch), so a
+    mergeability regression across batch boundaries fails the driver
+    hash. This is exactly how a 100 TB engagement dashboard stays
+    current: sketches merge; distincts don't."""
+    from kamodo_dask_spark.operators.timeseries import (
+        trailing_distinct_users,
+    )
+    from kamodo_dask_spark.session import scoped_conf
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+    )
+    base = _session_scratch(spark, "kds_stream_hll", sf_dir)
+    # total chunk split (NULL event_id coalesced — the
+    # streaming_view_maintenance hash-desync lesson)
+    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
+    for i in range(4):
+        ev.filter(chunk == i).select("user_id", "day").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/chunk={i}")
+
+    state: dict = {"sk": None}
+
+    def fold(batch_df, _batch_id):
+        sk = batch_df.groupBy("day").agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("_sk")
+        )
+        cur = state["sk"]
+        merged = (
+            sk
+            if cur is None
+            else cur.unionByName(sk)
+            .groupBy("day")
+            .agg(F.hll_union_agg("_sk").alias("_sk"))
+        )
+        state["sk"] = merged.localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema("user_id long, day long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/chunk=*")
+    )
+    with scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    ):
+        for q in spark.streams.active:
+            if q.name == "streaming_dau_sketch_q":
+                q.stop()
+        with _ephemeral_checkpoint() as ckpt:
+            query = (
+                stream.writeStream.foreachBatch(fold)
+                .queryName("streaming_dau_sketch_q")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+    exact = trailing_distinct_users(
+        ev.select("user_id", "day"), "user_id", "day", 1
+    ).select("slot", F.col("n_users").alias("dau"))
+    if state["sk"] is None:  # no batches delivered: vacuously exact
+        return exact.select(
+            F.col("slot").cast("bigint").alias("slot"),
+            "dau",
+            F.lit(True).alias("sketch_ok"),
+        )
+    approx = state["sk"].select(
+        F.col("day").alias("slot"),
+        F.hll_sketch_estimate("_sk").cast("bigint").alias("_approx"),
+    )
+    return exact.join(approx, "slot").select(
+        F.col("slot").cast("bigint").alias("slot"),
+        "dau",
+        (
+            F.abs(F.col("_approx") - F.col("dau"))
+            <= F.greatest(F.lit(2.0), F.col("dau") * F.lit(0.05))
+        ).alias("sketch_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -74,6 +74,7 @@ PENDING_THIS_ROUND: list[str] = [
     "pmi_collocations",
     "correlation_matrix",
     "cdc_log_compaction",
+    "streaming_dau_sketch",
 ]
 
 
