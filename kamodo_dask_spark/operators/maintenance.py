@@ -656,3 +656,109 @@ def cdc_apply(
             for c in attrs
         ],
     )
+
+
+#: Unit separator for canonical row strings (never appears in normal data);
+#: NULL fields take a sentinel because concat_ws SKIPS nulls in both
+#: engines, which would make ('a', NULL, 'b') collide with ('a', 'b', NULL).
+_CANON_SEP = "\x1f"
+_CANON_NULL = "~NULL~"
+
+
+def partition_checksums(
+    df: DataFrame,
+    partition_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Order-independent content checksum per partition group — the
+    primitive behind 100 TB table RECONCILIATION: comparing two copies
+    of a table (replica, migration target, backup restore) by shipping
+    one checksum row per partition instead of re-reading both copies
+    row-against-row (the anti-entropy pattern every replicated store
+    uses).
+
+    Each row is canonicalized to a string (``content_cols`` cast to
+    string, NULLs as a sentinel — cast floats to exact integer units
+    upstream; float-to-string formatting is NOT engine-portable), md5'd,
+    and folded per partition into three order-independent components:
+
+    - ``n``: row count;
+    - ``xor60``: bit_xor of a 60-bit md5 prefix — no overflow ever, but
+      identical DUPLICATE rows cancel in pairs, hence:
+    - ``sum20``: sum of a 20-bit md5 prefix — duplicate-sensitive; exact
+      int64 up to ~10^12 rows per partition (documented bound, not a
+      silent wrap).
+
+    A partition matches iff all three match; collisions require
+    simultaneous 60-bit-xor AND 20-bit-sum AND count agreement.
+
+    100 TB shape: one row-local projection + ONE partial-combined
+    aggregation — the shuffle carries one checksum row per partition per
+    task; nothing else moves.
+    """
+    if not partition_cols:
+        raise ValueError("need at least one partition column")
+    if not content_cols:
+        raise ValueError("need at least one content column")
+    missing = [
+        c for c in (*partition_cols, *content_cols) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
+    canon = F.concat_ws(
+        _CANON_SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_CANON_NULL))
+            for c in content_cols
+        ],
+    )
+    h = F.md5(canon)
+    h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    h20 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(1 << 20)
+    return df.groupBy(*partition_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.bit_xor(h60).alias("xor60"),
+        F.sum(h20).cast("bigint").alias("sum20"),
+    )
+
+
+def checksum_diff(
+    a: DataFrame,
+    b: DataFrame,
+    partition_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Which partition groups DIFFER between two copies of a table —
+    :func:`partition_checksums` on each side + one partition-sized
+    null-safe full-outer join, emitting only mismatched groups with
+    both sides' components (NULL where the group is absent on a side).
+    The repair job then re-reads ONLY those partitions; the comparison
+    itself never moves a data row.
+    """
+    ca = partition_checksums(a, partition_cols, content_cols)
+    cb = partition_checksums(b, partition_cols, content_cols)
+    va = ca.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in partition_cols],
+        *[F.col(c).alias(f"{c}_a") for c in ("n", "xor60", "sum20")],
+    )
+    vb = cb.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in partition_cols],
+        *[F.col(c).alias(f"{c}_b") for c in ("n", "xor60", "sum20")],
+    )
+    cond = None
+    for k in partition_cols:
+        c = va[f"_ak_{k}"].eqNullSafe(vb[f"_bk_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = va.join(vb, cond, "full_outer")
+    same = (
+        F.col("n_a").eqNullSafe(F.col("n_b"))
+        & F.col("xor60_a").eqNullSafe(F.col("xor60_b"))
+        & F.col("sum20_a").eqNullSafe(F.col("sum20_b"))
+    )
+    return joined.filter(~same).select(
+        *[
+            F.coalesce(F.col(f"_ak_{k}"), F.col(f"_bk_{k}")).alias(k)
+            for k in partition_cols
+        ],
+        "n_a", "n_b", "xor60_a", "xor60_b", "sum20_a", "sum20_b",
+    )

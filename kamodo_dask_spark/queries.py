@@ -6900,6 +6900,75 @@ def streaming_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "checksum_reconciliation",
+    """
+    WITH rowsrc AS (SELECT year(l_shipdate)*100 + month(l_shipdate) AS pt,
+                           l_orderkey AS okey, l_linenumber AS ln,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS cents
+                    FROM lineitem),
+    b AS (SELECT pt, okey, ln,
+                 cents + CASE WHEN okey % 9973 = 0 THEN 1 ELSE 0 END AS cents
+          FROM rowsrc WHERE okey % 19997 <> 0),
+    ck_a AS (SELECT pt, CAST(count(*) AS BIGINT) AS n_a,
+        bit_xor(('0x' || substr(md5(okey::VARCHAR || chr(31) ||
+                 ln::VARCHAR || chr(31) || cents::VARCHAR), 1, 15))::BIGINT)
+          AS xor60_a,
+        CAST(sum(('0x' || substr(md5(okey::VARCHAR || chr(31) ||
+                 ln::VARCHAR || chr(31) || cents::VARCHAR), 1, 8))::BIGINT
+                 % 1048576) AS BIGINT) AS sum20_a
+      FROM rowsrc GROUP BY pt),
+    ck_b AS (SELECT pt, CAST(count(*) AS BIGINT) AS n_b,
+        bit_xor(('0x' || substr(md5(okey::VARCHAR || chr(31) ||
+                 ln::VARCHAR || chr(31) || cents::VARCHAR), 1, 15))::BIGINT)
+          AS xor60_b,
+        CAST(sum(('0x' || substr(md5(okey::VARCHAR || chr(31) ||
+                 ln::VARCHAR || chr(31) || cents::VARCHAR), 1, 8))::BIGINT
+                 % 1048576) AS BIGINT) AS sum20_b
+      FROM b GROUP BY pt)
+    SELECT CAST(coalesce(ck_a.pt, ck_b.pt) AS BIGINT) AS pt,
+           n_a, n_b, xor60_a, xor60_b, sum20_a, sum20_b
+    FROM ck_a FULL OUTER JOIN ck_b ON ck_a.pt = ck_b.pt
+    WHERE NOT (n_a IS NOT DISTINCT FROM n_b
+           AND xor60_a IS NOT DISTINCT FROM xor60_b
+           AND sum20_a IS NOT DISTINCT FROM sum20_b)
+    """,
+)
+def checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation by partition checksums
+    (``operators/maintenance.py::checksum_diff``): two copies of
+    lineitem — copy B with a few rows corrupted (+1 cent on keys
+    divisible by 9973) and a few dropped (keys divisible by 19997) —
+    compared per ship-month by (count, 60-bit md5 XOR, 20-bit md5 sum)
+    WITHOUT moving a data row: one partial-combined checksum agg per
+    side + one partition-sized full-outer join. The anti-entropy
+    pattern that makes 100 TB replica verification affordable (the
+    repair re-reads only the emitted months). The oracle replays the
+    identical canonical-string md5 folds and every differing month's
+    component pair hash-checks."""
+    from kamodo_dask_spark.operators.maintenance import checksum_diff
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr("year(l_shipdate) * 100 + month(l_shipdate)")
+        .cast("bigint")
+        .alias("pt"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    corrupted = li.filter(F.col("okey") % 19997 != 0).select(
+        "pt",
+        "okey",
+        "ln",
+        (
+            F.col("cents")
+            + F.when(F.col("okey") % 9973 == 0, 1).otherwise(0)
+        ).alias("cents"),
+    )
+    return checksum_diff(li, corrupted, ["pt"], ["okey", "ln", "cents"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -75,6 +75,7 @@ PENDING_THIS_ROUND: list[str] = [
     "correlation_matrix",
     "cdc_log_compaction",
     "streaming_dau_sketch",
+    "checksum_reconciliation",
 ]
 
 

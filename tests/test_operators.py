@@ -2875,6 +2875,58 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_partition_checksums_and_diff(spark):
+    """Order-independence (shuffled copy checksums equal), value change /
+    extra row / missing partition all surface with both sides'
+    components, identical copies emit nothing, NULL content fields don't
+    collide with shifted fields, duplicate rows caught by sum20 even
+    when XOR cancels; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import (
+        checksum_diff,
+        partition_checksums,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "y"), (2, 20, None), (3, 30, "z")],
+        "p long, k long, v string",
+    )
+    shuffled = spark.createDataFrame(
+        [(3, 30, "z"), (2, 20, None), (1, 11, "y"), (1, 10, "x")],
+        "p long, k long, v string",
+    )
+    assert checksum_diff(a, shuffled, ["p"], ["k", "v"]).count() == 0
+
+    # change a value in p=1, drop p=3 entirely, add a row to p=2
+    b = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "CHANGED"), (2, 20, None), (2, 21, "w")],
+        "p long, k long, v string",
+    )
+    out = {r["p"]: (r["n_a"], r["n_b"]) for r in
+           checksum_diff(a, b, ["p"], ["k", "v"]).collect()}
+    assert out == {1: (2, 2), 2: (1, 2), 3: (1, None)}
+
+    # NULL sentinel: (NULL, 'x') must differ from ('x', NULL)
+    na = spark.createDataFrame([(1, None, "x")], "p long, k string, v string")
+    nb = spark.createDataFrame([(1, "x", None)], "p long, k string, v string")
+    assert checksum_diff(na, nb, ["p"], ["k", "v"]).count() == 1
+
+    # duplicate rows XOR-cancel in pairs but sum20 (and n) still catch it
+    da = spark.createDataFrame([(1, 5), (1, 5), (1, 6)], "p long, k long")
+    db = spark.createDataFrame([(1, 6)], "p long, k long")
+    row = checksum_diff(da, db, ["p"], ["k"]).collect()
+    assert len(row) == 1 and row[0]["xor60_a"] == row[0]["xor60_b"]
+    assert row[0]["sum20_a"] != row[0]["sum20_b"]
+
+    with _pytest.raises(ValueError, match="partition"):
+        partition_checksums(a, [], ["k"])
+    with _pytest.raises(ValueError, match="content"):
+        partition_checksums(a, ["p"], [])
+    with _pytest.raises(ValueError, match="lacks"):
+        partition_checksums(a, ["p"], ["nope"])
+
+
 def test_cdc_apply(spark):
     """Log compaction: highest version wins per key, delete drops the
     key, a later re-insert resurrects it, non-delete ops are all upsert
