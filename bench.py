@@ -149,6 +149,10 @@ SF01_BUDGETS = {
     # catches a per-batch history-rescan regression (the same class the
     # streaming_view_maintenance budget guards)
     "streaming_dau_sketch": 7.0,
+    # ~4.8-5.0 s warm at sf0.1 (5k docs); the budget catches the prefix
+    # filter degenerating to the full inverted index (jaccard_pairs cost
+    # without the max_df guard — bucket fan-out re-explodes)
+    "prefix_jaccard_pairs": 10.0,
 }
 
 

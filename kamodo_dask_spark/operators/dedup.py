@@ -1066,3 +1066,130 @@ def remove_spans(
         F.size(arr).cast("bigint").alias("n_words_before"),
         F.size(kept).cast("bigint").alias("n_words_after"),
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via PREFIX FILTERING — the
+    AllPairs/PPJoin family (Bayardo et al. 2007, Xiao et al. 2008): the
+    exact complement of :func:`minhash_lsh_candidates` (probabilistic
+    recall) and :func:`jaccard_pairs` (indexes EVERY shingle). Only each
+    set's ``|s| − ⌈t·|s|⌉ + 1`` rarest shingles enter the inverted
+    index — by the prefix-filter theorem, any pair with ``J ≥ t`` under
+    a single global token order must collide inside both prefixes — so
+    the quadratic candidate fan-out shrinks with the threshold instead
+    of with ``max_df`` semantics changes. Candidates then pass the
+    length filter (``min ≥ t·max``) and an exact row-local
+    ``array_intersect`` verify, so the OUTPUT is exactly all pairs with
+    ``J ≥ t`` — no recall knob, no dropped shingles.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and rounded
+    Jaccard, set semantics over distinct hashed ``shingle_n``-grams.
+
+    100 TB shape: one token-scale shuffle to attach global document
+    frequencies (the rare-first order), one per-doc re-aggregation
+    carrying the sorted shingle array (row size = the document's own
+    shingle set — the minhash-signature bound), a PREFIX-scale inverted
+    index (the point: at t=0.8 a 100-shingle doc indexes 21 tokens, not
+    100) with within-bucket pair emission JVM-side, and two hash joins
+    back for the verify. Zipfian buckets are bounded by construction —
+    a stop-shingle appears in few prefixes because prefixes hold each
+    doc's RAREST tokens.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _widen(df).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).withColumn("_size", F.size("_sh"))
+    tok = _explode_nonempty(sh, [id_col, "_size"], "_sh", "_g").select(
+        id_col, "_size", hash48(F.col("_g")).alias("_h")
+    )
+    dfreq = tok.groupBy("_h").agg(F.count("*").alias("_df"))
+    docs = (
+        tok.join(dfreq, "_h")
+        .groupBy(id_col, "_size")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_h")))
+            ).alias("_arr")
+        )
+        .select(
+            id_col,
+            "_size",
+            # rare-first prefix: the |s| - ceil(t*s) + 1 first tokens
+            F.transform(
+                F.slice(
+                    F.col("_arr"),
+                    F.lit(1),
+                    (
+                        F.col("_size")
+                        - F.ceil(F.lit(threshold) * F.col("_size"))
+                        + F.lit(1)
+                    ).cast("int"),
+                ),
+                lambda s: s["_h"],
+            ).alias("_prefix"),
+            F.transform(F.col("_arr"), lambda s: s["_h"]).alias("_toks"),
+        )
+        .localCheckpoint(eager=True)  # prefix index + both verify sides
+    )
+    pre = docs.select(id_col, "_size", F.explode("_prefix").alias("_h"))
+    grouped = pre.groupBy("_h").agg(
+        F.array_sort(F.collect_list(F.struct(id_col, "_size"))).alias("_ds")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ds"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("_ds"),
+                            i + F.lit(2),
+                            F.size(F.col("_ds")) - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(
+                            x[id_col].alias("id_a"),
+                            y[id_col].alias("id_b"),
+                            x["_size"].alias("size_a"),
+                            y["_size"].alias("size_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    cands = (
+        pairs.filter(
+            F.least(F.col("size_a"), F.col("size_b"))
+            >= F.lit(threshold) * F.greatest(F.col("size_a"), F.col("size_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_size").alias("_sa"),
+        F.col("_toks").alias("_ta"),
+    )
+    vb = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_size").alias("_sb"),
+        F.col("_toks").alias("_tb"),
+    )
+    common = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    jac = F.round(
+        common / (F.col("_sa") + F.col("_sb") - common), 6
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

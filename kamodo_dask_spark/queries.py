@@ -6969,6 +6969,37 @@ def checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum_diff(li, corrupted, ["pt"], ["okey", "ln", "cents"])
 
 
+@register(
+    "prefix_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_sql_words()} AS ws FROM documents),
+    sh AS (SELECT doc_id, {_sql_shingles(3)} AS grams FROM w),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) AS common,
+                 len(a.grams) AS sa, len(b.grams) AS sb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(common / (sa + sb - common), 6) AS jaccard
+    FROM p WHERE round(common / (sa + sb - common), 6) >= 0.5
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold join via prefix filtering
+    (``operators/dedup.py::prefix_jaccard_join``, AllPairs/PPJoin): only
+    each document's ``|s| − ⌈t·|s|⌉ + 1`` RAREST shingles enter the
+    inverted index — the prefix-filter theorem guarantees every J ≥ 0.5
+    pair collides there — then the length filter and an exact row-local
+    ``array_intersect`` verify. Unlike ``jaccard_near_dups`` (max_df
+    stop-shingles change semantics) or the MinHash cascade (probabilistic
+    recall), the output is exactly all qualifying pairs. The oracle
+    BRUTE-FORCES every C(n,2) pair — a completeness proof of the prefix
+    scheme, the ``fuzzy_name_matches`` discipline."""
+    from kamodo_dask_spark.operators.dedup import prefix_jaccard_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(docs, shingle_n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -76,6 +76,7 @@ PENDING_THIS_ROUND: list[str] = [
     "cdc_log_compaction",
     "streaming_dau_sketch",
     "checksum_reconciliation",
+    "prefix_jaccard_pairs",
 ]
 
 

@@ -612,6 +612,49 @@ def test_k_hop_matches_bfs_reference(spark, seed, k):
         assert got == want, (directed, edges, seeds)
 
 
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=8, deadline=None)
+def test_prefix_jaccard_join_matches_brute_force(spark, seed):
+    """Random small corpora over a tiny vocabulary: the prefix-filtered
+    exact join returns EXACTLY the brute-force all-pairs J >= t set —
+    a completeness proof of the prefix-filter theorem + length filter,
+    across thresholds."""
+    from kamodo_dask_spark.operators.dedup import prefix_jaccard_join
+
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    n_docs = int(rng.integers(4, 12))
+    texts = []
+    for _ in range(n_docs):
+        n_w = int(rng.integers(0, 8))
+        texts.append(" ".join(vocab[int(rng.integers(0, 5))] for _ in range(n_w)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def gram_set(t, n=3):
+        ws = t.lower().split()
+        if not ws:
+            return {""}
+        m = max(len(ws) - (n - 1), 1)
+        return {" ".join(ws[i:i + n]) for i in range(m)}
+
+    sets = [gram_set(t) for t in texts]
+    for t in (0.34, 0.6, 0.9, 1.0):
+        want = set()
+        for i in range(n_docs):
+            for j in range(i + 1, n_docs):
+                inter = len(sets[i] & sets[j])
+                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+                if jac >= t:
+                    want.add((i, j, jac))
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in prefix_jaccard_join(df, threshold=t).collect()
+        }
+        assert got == want, (t, texts)
+
+
 @given(seed=st.integers(0, 2**32 - 1), hops=st.integers(0, 4))
 @settings(max_examples=8, deadline=None)
 def test_weighted_sssp_matches_bellman_ford(spark, seed, hops):
