@@ -1183,13 +1183,16 @@ def prefix_jaccard_join(
         F.col("_toks").alias("_tb"),
     )
     common = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-    jac = F.round(
-        common / (F.col("_sa") + F.col("_sb") - common), 6
-    )
+    # the THRESHOLD test runs on the UNROUNDED ratio: the prefix-filter
+    # theorem and the length filter only guarantee candidacy for TRUE
+    # J >= t, so filtering on a rounded value would admit pairs
+    # (true J in [t - 5e-7, t)) the candidate stage is allowed to prune
+    # — output rounds for display/hashing only, and the oracle spells
+    # the same unrounded comparison
+    jac = common / (F.col("_sa") + F.col("_sb") - common)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

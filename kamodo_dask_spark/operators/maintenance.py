@@ -446,6 +446,7 @@ def merge_agg_view_retract(
     sums: dict[str, str] | None = None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    sum_nonnull_counts: dict[str, str] | None = None,
 ) -> DataFrame:
     """Incremental maintenance under a RETRACTING delta — the
     :func:`merge_agg_view` identity extended to deletes/updates for the
@@ -475,12 +476,26 @@ def merge_agg_view_retract(
     bug); sums should use exact integer units (cents/µs), where a fully
     retracted key zeroes exactly rather than leaving float residue.
 
+    NULLABLE sum measures need one more piece of state: SQL's
+    ``sum`` is NULL over an all-NULL group, but signed arithmetic alone
+    yields 0 when the last non-NULL contribution is retracted (the
+    remaining NULL-measure rows keep the group alive with a surviving
+    row count). Pass ``sum_nonnull_counts`` — *sum view column →
+    companion view column holding that measure's NON-NULL contribution
+    count* (maintained here exactly like a row count, via
+    ``sum(sign · x IS NOT NULL)``) — and the merged sum is NULLed
+    whenever its companion reaches 0, restoring the exact
+    full-recompute identity. Without a companion, a sum over a nullable
+    measure reports 0 instead of NULL in that corner — documented, not
+    silent. Non-nullable measures need none of this.
+
     100 TB shape: identical to the append-only path — the delta
     shuffles one row per touched key, the merge join is view-sized, the
     base table is never rescanned; the zero-count drop is a row-local
     filter on the merged output.
     """
     sums = dict(sums or {})
+    nn = dict(sum_nonnull_counts or {})
     if mins or maxs:
         raise ValueError(
             "min/max are not invertible under retraction (the view state "
@@ -495,7 +510,12 @@ def merge_agg_view_retract(
             "need at least one count column — the per-key row count is "
             "what detects a fully-retracted group"
         )
-    measures = [*counts, *sums]
+    stray = [c for c in nn if c not in sums]
+    if stray:
+        raise ValueError(
+            f"sum_nonnull_counts reference non-sum column(s): {stray}"
+        )
+    measures = [*counts, *sums, *nn.values()]
     dup = {c for c in measures if measures.count(c) > 1}
     if dup:
         raise ValueError(f"column(s) in more than one aggregate role: {dup}")
@@ -519,13 +539,29 @@ def merge_agg_view_retract(
         # sign · x promotes to the source column's arithmetic type, so
         # integer-unit views stay exact bigint end to end
         *[F.sum(checked * F.col(src)).alias(c) for c, src in sums.items()],
+        # companion non-null-contribution counts (see docstring): signed
+        # count of rows whose measure is non-NULL
+        *[
+            F.sum(checked * F.col(sums[sc]).isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias(cc)
+            for sc, cc in nn.items()
+        ],
     )
-    merged = _merge_agg_states(view, d, keys, counts, list(sums), [], [])
+    # companions merge exactly like row counts (+, bigint)
+    merged = _merge_agg_states(
+        view, d, keys, [*counts, *nn.values()], list(sums), [], []
+    )
     alive = None
     for c in counts:
         nz = F.col(c) != 0
         alive = nz if alive is None else (alive | nz)
-    return merged.filter(alive)
+    out = merged.filter(alive)
+    for sc, cc in nn.items():
+        out = out.withColumn(
+            sc, F.when(F.col(cc) != 0, F.col(sc))
+        )
+    return out
 
 
 def join_view_delta(

@@ -472,6 +472,32 @@ def _check_identity_unique(
         )
 
 
+def _es_rank(
+    weight_col: str,
+    key_col: str,
+    salt: str,
+    round_digits: int,
+    extra_cols: "list[str] | None",
+) -> "tuple[Column, Column, list[Column]]":
+    """The ONE A-ES rank spelling both weighted samplers share (and
+    their DuckDB oracles reproduce): ``(weight, rounded ln(u)/w,
+    tie-break columns)`` with u md5-derived from the row identity —
+    u in (0,1) as a 32-bit md5 prefix + 0.5 over 2^32, never exactly
+    0/1. Any change here diverges the global and stratified samplers
+    from each other AND from the shared oracle spelling — change all
+    three together or not at all."""
+    w = F.col(weight_col).cast("double")
+    ident = _es_identity(key_col, extra_cols)
+    u = (
+        md5_prefix_bucket(seeded_md5(ident, salt), 1 << 32)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    es_key = F.round(F.log(u) / w, round_digits)
+    tie = [F.col(key_col), *[F.col(c) for c in (extra_cols or [])]]
+    return w, es_key, tie
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -517,16 +543,9 @@ def weighted_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     if validate_unique:
         _check_identity_unique(df, key_col, extra_cols)
-    w = F.col(weight_col).cast("double")
-    ident = _es_identity(key_col, extra_cols)
-    # u in (0,1): 32-bit md5 prefix + 0.5, over 2^32 — never exactly 0/1
-    u = (
-        md5_prefix_bucket(seeded_md5(ident, salt), 1 << 32)
-        .cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))
-    es_key = F.round(F.log(u) / w, round_digits)
-    tie = [F.col(key_col), *[F.col(c) for c in (extra_cols or [])]]
+    w, es_key, tie = _es_rank(
+        weight_col, key_col, salt, round_digits, extra_cols
+    )
     return (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn("_es", es_key)
@@ -578,15 +597,9 @@ def weighted_sample_stratified(
         raise ValueError(f"k must be >= 1, got {k}")
     if validate_unique:
         _check_identity_unique(df, key_col, extra_cols)
-    w = F.col(weight_col).cast("double")
-    ident = _es_identity(key_col, extra_cols)
-    u = (
-        md5_prefix_bucket(seeded_md5(ident, salt), 1 << 32)
-        .cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))
-    es_key = F.round(F.log(u) / w, round_digits)
-    tie = [F.col(key_col), *[F.col(c) for c in (extra_cols or [])]]
+    w, es_key, tie = _es_rank(
+        weight_col, key_col, salt, round_digits, extra_cols
+    )
     win = Window.partitionBy(stratum_col).orderBy(F.desc("_es"), *tie)
     return (
         df.filter(w.isNotNull() & (w > 0))

@@ -122,6 +122,12 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
                 pid = int(f.read().strip())
         except (OSError, ValueError):
             return False  # no/garbled pidfile: mtime rule alone decides
+        if pid <= 0:
+            # os.kill(0, 0) signals OUR OWN process group (always
+            # succeeds) and negative pids address groups too — a
+            # truncated pidfile containing '0' would otherwise make the
+            # dir unreclaimable forever
+            return False
         try:
             os.kill(pid, 0)
             return True
@@ -6980,7 +6986,7 @@ def checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
     SELECT id_a, id_b,
            round(common / (sa + sb - common), 6) AS jaccard
-    FROM p WHERE round(common / (sa + sb - common), 6) >= 0.5
+    FROM p WHERE common / (sa + sb - common) >= 0.5
     """,
 )
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2859,9 +2859,44 @@ def test_merge_agg_view_retract(spark):
     }
     assert neg["zz"] == (-1, -1)
 
+    # NULLABLE-measure corner (review r9): retracting the last non-NULL
+    # contribution must leave sum NULL (SQL all-NULL group), not 0 —
+    # restored by the companion non-null count
+    nbase = spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 7)], "g string, x long"
+    )
+    nview = nbase.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.count("x").cast("bigint").alias("nx"),
+    )
+    ndelta = spark.createDataFrame([("a", 10, -1)], "g string, x long, s long")
+    nout = {
+        r["g"]: (r["n"], r["sx"], r["nx"])
+        for r in merge_agg_view_retract(
+            nview, ndelta, ["g"], "s", counts=["n"], sums={"sx": "x"},
+            sum_nonnull_counts={"sx": "nx"},
+        ).collect()
+    }
+    assert nout == {"a": (1, None, 0), "b": (1, 7, 1)}
+    # without the companion, the documented 0-instead-of-NULL corner
+    plain = {
+        r["g"]: r["sx"]
+        for r in merge_agg_view_retract(
+            nview.drop("nx"), ndelta, ["g"], "s",
+            counts=["n"], sums={"sx": "x"},
+        ).collect()
+    }
+    assert plain["a"] == 0
+
     with _pytest.raises(ValueError, match="not invertible"):
         merge_agg_view_retract(
             view, delta, ["g"], "s", counts=["n"], mins={"sx": "x"}
+        )
+    with _pytest.raises(ValueError, match="non-sum"):
+        merge_agg_view_retract(
+            nview, ndelta, ["g"], "s", counts=["n"], sums={"sx": "x"},
+            sum_nonnull_counts={"nope": "nx"},
         )
     with _pytest.raises(ValueError, match="count column"):
         merge_agg_view_retract(view, delta, ["g"], "s", counts=[])
@@ -3698,6 +3733,9 @@ def test_session_scratch_sweep_liveness(spark):
     with open(os.path.join(garbled, ".owner_pid"), "w") as f:
         f.write("not-a-pid")
     os.utime(garbled, (old, old))
+    # review r9: pid 0 would signal OUR OWN process group (os.kill(0, 0)
+    # always succeeds) — must count as dead, or the dir is unreclaimable
+    zero = sibling("zeropid", 0)
     fresh = sibling("fresh", child.pid)
     os.utime(fresh)  # recent mtime: never swept regardless of pid
 
@@ -3707,6 +3745,7 @@ def test_session_scratch_sweep_liveness(spark):
         assert not os.path.isdir(dead), "dead owner's stale dir survived"
         assert not os.path.isdir(legacy), "pre-pidfile stale dir survived"
         assert not os.path.isdir(garbled), "garbled-pidfile stale dir survived"
+        assert not os.path.isdir(zero), "pid-0 stale dir survived"
         assert os.path.isdir(fresh), "fresh dir was swept"
         assert os.path.exists(os.path.join(base, ".owner_pid"))
     finally:

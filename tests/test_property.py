@@ -645,9 +645,11 @@ def test_prefix_jaccard_join_matches_brute_force(spark, seed):
         for i in range(n_docs):
             for j in range(i + 1, n_docs):
                 inter = len(sets[i] & sets[j])
-                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                # threshold on the UNROUNDED ratio (the contract the
+                # prefix filter can actually guarantee); rounded output
                 if jac >= t:
-                    want.add((i, j, jac))
+                    want.add((i, j, round(jac, 6)))
         got = {
             (r["id_a"], r["id_b"], r["jaccard"])
             for r in prefix_jaccard_join(df, threshold=t).collect()
@@ -748,34 +750,41 @@ def test_merge_agg_view_retract_equals_full_recompute(spark, seed):
     )
 
     rng = np.random.default_rng(seed)
+
+    def val():
+        return None if rng.random() < 0.2 else int(rng.integers(-50, 50))
+
     n = int(rng.integers(2, 40))
     rows = [
-        (["a", "b", "c", None][int(rng.integers(0, 4))],
-         int(rng.integers(-50, 50)))
+        (["a", "b", "c", None][int(rng.integers(0, 4))], val())
         for _ in range(n)
     ]
     df = spark.createDataFrame(rows, "g string, x long")
-    # retract a deterministic subset of base rows, insert a fresh batch
-    dels = df.filter(F.col("x") % 3 == 0)
+    # retract a deterministic subset of base rows (incl. NULL-measure
+    # rows), insert a fresh batch
+    dels = df.filter(F.coalesce(F.col("x"), F.lit(9)) % 3 == 0)
     ins_rows = [
-        (["a", "d", None][int(rng.integers(0, 3))],
-         int(rng.integers(-50, 50)))
+        (["a", "d", None][int(rng.integers(0, 3))], val())
         for _ in range(int(rng.integers(0, 10)))
     ]
     ins = spark.createDataFrame(ins_rows, "g string, x long")
 
     def agg(d):
         return d.groupBy("g").agg(
-            F.count("*").cast("bigint").alias("n"), F.sum("x").alias("sx")
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.count("x").cast("bigint").alias("nx"),
         )
 
     delta = dels.withColumn("s", F.lit(-1)).unionByName(
         ins.withColumn("s", F.lit(1))
     )
     out = merge_agg_view_retract(
-        agg(df), delta, ["g"], "s", counts=["n"], sums={"sx": "x"}
+        agg(df), delta, ["g"], "s", counts=["n"], sums={"sx": "x"},
+        sum_nonnull_counts={"sx": "nx"},
     )
     net = df.exceptAll(dels).unionByName(ins)
-    assert {tuple(r) for r in out.collect()} == {
-        tuple(r) for r in agg(net).collect()
+    cols = ["g", "n", "sx", "nx"]
+    assert {tuple(r) for r in out.select(*cols).collect()} == {
+        tuple(r) for r in agg(net).select(*cols).collect()
     }
