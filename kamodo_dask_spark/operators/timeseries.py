@@ -490,3 +490,81 @@ def time_bars(
             F.count("*").cast("bigint").alias("n"),
         )
     )
+
+
+def seasonal_residual_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    slot_col: str,
+    value_col: str,
+    period: int,
+    z_thresh: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seasonal-naive residual anomaly detection — the
+    week-over-week/day-over-day monitor production metric pipelines run
+    where :func:`cusum_changepoints` (level shifts) and
+    ``profile.mad_outliers`` (static distribution) both miss PERIODIC
+    structure: per key, the residual ``x_t − x_{t−period}`` strips the
+    seasonal component, and a row is flagged when the residual's
+    modified z-score (Iglewicz–Hoaglin over the key's own residuals —
+    median/MAD, 50% breakdown) exceeds ``z_thresh`` on the ROUNDED
+    score.
+
+    The seasonal reference is found by an equi-JOIN on ``slot −
+    period``, not a row-offset ``lag`` — so sparse series stay correct
+    (a missing slot yields no residual rather than silently comparing
+    against the wrong season; densify with :func:`gap_fill` first if
+    every slot must report). Slots are exact integer buckets; work in
+    integer units (cents, counts) and residuals are exact int64.
+
+    Returns flagged rows: ``(key..., slot, value, resid, mz)``.
+
+    100 TB shape: one self-equi-join on (key, slot−period) — both sides
+    hash-partition on the same key columns — then the mad_outliers
+    two-pass shape over the residuals: two per-key percentile
+    aggregations broadcast back (metadata-sized stats relations), flag
+    row-local. No windows over the raw series, no density assumption,
+    skew bounded by the heaviest key's slot count.
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    missing = [
+        c for c in (*key_cols, slot_col, value_col) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"input lacks column(s): {missing}")
+    cur = df.select(
+        *key_cols, F.col(slot_col), F.col(value_col)
+    ).filter(F.col(value_col).isNotNull() & F.col(slot_col).isNotNull())
+    prev = cur.select(
+        *key_cols,
+        (F.col(slot_col) + F.lit(int(period))).alias(slot_col),
+        F.col(value_col).alias("_prev"),
+    )
+    r = cur.join(prev, [*key_cols, slot_col]).select(
+        *key_cols,
+        slot_col,
+        value_col,
+        (F.col(value_col) - F.col("_prev")).alias("resid"),
+    )
+    med = r.groupBy(*key_cols).agg(
+        F.percentile(F.col("resid").cast("double"), F.lit(0.5)).alias("_med")
+    )
+    dev = r.join(F.broadcast(med), [*key_cols]).withColumn(
+        "_d", F.abs(F.col("resid") - F.col("_med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.percentile(F.col("_d").cast("double"), F.lit(0.5)).alias("_mad")
+    )
+    mz = F.round(
+        F.lit(0.6745) * (F.col("resid") - F.col("_med")) / F.col("_mad"),
+        round_digits,
+    )
+    return (
+        dev.join(F.broadcast(mad.filter(F.col("_mad") > 0)), [*key_cols])
+        .select(*key_cols, slot_col, value_col, "resid", mz.alias("mz"))
+        .filter(F.abs(F.col("mz")) >= float(z_thresh))
+    )

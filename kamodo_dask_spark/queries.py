@@ -7006,6 +7006,67 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_join(docs, shingle_n=3, threshold=0.5)
 
 
+@register(
+    "seasonal_residual_outliers",
+    """
+    WITH b AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+                      CAST(round(sum(value * 100)) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT c.event_type, c.hour, c.cents,
+                 c.cents - p.cents AS resid
+          FROM b c JOIN b p
+            ON p.event_type = c.event_type AND p.hour = c.hour - 24),
+    m AS (SELECT event_type, quantile_cont(resid, 0.5) AS med
+          FROM r GROUP BY 1),
+    d AS (SELECT r.*, m.med, abs(r.resid - m.med) AS dd
+          FROM r JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(dd, 0.5) AS mad
+           FROM d GROUP BY 1)
+    SELECT d.event_type, CAST(d.hour AS BIGINT) AS hour, d.cents,
+           CAST(d.resid AS BIGINT) AS resid,
+           round(0.6745 * (d.resid - d.med) / md.mad, 6) AS mz
+    FROM d JOIN md USING (event_type)
+    WHERE md.mad > 0
+      AND abs(round(0.6745 * (d.resid - d.med) / md.mad, 6)) >= 3.0
+    """,
+)
+def seasonal_residual_outliers_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive residual monitor
+    (``operators/timeseries.py::seasonal_residual_outliers``): hourly
+    revenue per event type compared against the SAME HOUR YESTERDAY
+    (period=24), residuals flagged by each type's own median/MAD
+    modified z — the periodic-structure complement of ``cusum_alarms``
+    (level shifts) and ``mad_outliers`` (static distribution). The
+    seasonal reference is an equi-join on slot−24, never a row-offset
+    lag, so sparse hours can't silently compare against the wrong
+    season; residuals are exact integer cents and every flagged
+    (type, hour, resid, mz) row hash-checks."""
+    from kamodo_dask_spark.operators.timeseries import (
+        seasonal_residual_outliers,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    ).agg(
+        F.round(F.sum(F.col("value") * 100)).cast("bigint").alias("cents")
+    )
+    out = seasonal_residual_outliers(
+        hourly, ["event_type"], "hour", "cents", period=24, z_thresh=3.0
+    )
+    return out.select(
+        "event_type",
+        F.col("hour").cast("bigint").alias("hour"),
+        "cents",
+        F.col("resid").cast("bigint").alias("resid"),
+        "mz",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

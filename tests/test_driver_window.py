@@ -77,6 +77,7 @@ PENDING_THIS_ROUND: list[str] = [
     "streaming_dau_sketch",
     "checksum_reconciliation",
     "prefix_jaccard_pairs",
+    "seasonal_residual_outliers",
 ]
 
 

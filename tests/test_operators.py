@@ -2910,6 +2910,50 @@ def test_merge_agg_view_retract(spark):
         ).collect()
 
 
+def test_seasonal_residual_outliers(spark):
+    """Residual = x_t − x_{t−period} via slot equi-join (sparse-safe):
+    a one-slot spike on an otherwise perfectly periodic series is the
+    ONLY flag (and its successor residual); missing seasonal reference
+    emits no residual row; zero-MAD keys flag nothing; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.timeseries import (
+        seasonal_residual_outliers,
+    )
+
+    # period 3; base pattern [10, 20, 30] repeating over 15 slots, with
+    # a +1000 spike at slot 7 and slot 11 MISSING (sparse)
+    rows = []
+    for s in range(15):
+        if s == 11:
+            continue
+        v = [10, 20, 30][s % 3] + (1000 if s == 7 else 0)
+        # jitter so MAD > 0: +/-1 alternating
+        v += 1 if s % 2 == 0 else -1
+        rows.append(("k", s, v))
+    df = spark.createDataFrame(rows, "k string, slot long, v long")
+    out = {r["slot"]: (r["resid"], r["mz"])
+           for r in seasonal_residual_outliers(
+               df, ["k"], "slot", "v", period=3, z_thresh=3.0).collect()}
+    # spike enters residuals at slot 7 (+1000ish) and slot 10 (-1000ish)
+    assert set(out) == {7, 10}
+    assert out[7][0] > 900 and out[10][0] < -900
+    # slot 14 has no slot-11 reference -> no residual row, no crash
+    # zero-MAD: constant series flags nothing
+    const = spark.createDataFrame(
+        [("c", s, 5) for s in range(9)], "k string, slot long, v long"
+    )
+    assert seasonal_residual_outliers(
+        const, ["k"], "slot", "v", 3).count() == 0
+
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_residual_outliers(df, ["k"], "slot", "v", 0)
+    with _pytest.raises(ValueError, match="key"):
+        seasonal_residual_outliers(df, [], "slot", "v", 3)
+    with _pytest.raises(ValueError, match="lacks"):
+        seasonal_residual_outliers(df, ["k"], "slot", "nope", 3)
+
+
 def test_partition_checksums_and_diff(spark):
     """Order-independence (shuffled copy checksums equal), value change /
     extra row / missing partition all surface with both sides'
