@@ -1023,11 +1023,18 @@ def remove_spans(
     coalesce). Returns the input columns with ``text_col`` rewritten plus
     ``n_words_before``/``n_words_after``.
     """
+    # DISTINCT: the same (doc, start, end) cut arrives once per PARTNER
+    # (a span shared with many docs), and duplicate rows are exactly the
+    # degenerate sort-tie class that broke the DuckDB-side island merge
+    # (duckdb 1.0.0 intermittently mis-merged [9,14)∪[29,34)→[9,34) when
+    # (29,34) appeared twice — 4-in-30 connections, round-9 hunt). The
+    # merge is duplicate-invariant semantically, so dedup is free; it
+    # also shrinks the window input to the distinct-cut relation.
     cuts = spans.select(
         F.col("id_b").alias(id_col),
         F.col("start_b").cast("bigint").alias("_s"),
         (F.col("start_b") + F.col("span_words")).cast("bigint").alias("_e"),
-    )
+    ).distinct()
     w = Window.partitionBy(id_col).orderBy("_s", "_e")
     prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = cuts.withColumn(

@@ -4324,7 +4324,8 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_removal",
     f"""
     WITH {_SPAN_BASE_SQL},
-    cuts AS (SELECT id_b AS doc_id, start_b AS s, start_b + span_words AS e
+    cuts AS (SELECT DISTINCT id_b AS doc_id, start_b AS s,
+                    start_b + span_words AS e
              FROM runs WHERE span_words >= 5),
     ordered AS (SELECT doc_id, s, e,
                        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -7099,6 +7100,9 @@ PINNED_THIS_ROUND = [
     # paths or results of the entries that use it, so those stay unpinned.
     "batch_sessions",  # sessionize_batch grew out_col/ts_col/key guards (ADVICE r8 #3)
     "weighted_sample_topk",  # weighted_sample grew extra_cols/validate_unique (ADVICE r8 #2)
+    "substring_removal",  # both engines' cut relations deduped — the duplicate
+    # sort-tie class intermittently broke DuckDB 1.0.0's island-merge window
+    # (r9 hunt: 4-in-30 oracle connections mis-merged doc 4611's intervals)
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds

@@ -132,8 +132,35 @@ def assert_frames_match(
             mismatch = sv.astype(str) != dv.astype(str)
             assert not mismatch.any(), (
                 f"{name}.{col}: {mismatch.sum()} mismatches\n"
-                f"{pd.DataFrame({'spark': sv, 'duck': dv})[mismatch].head(10)}"
+                f"{pd.DataFrame({'spark': sv, 'duck': dv})[mismatch].head(10)}\n"
+                f"{_keyed_diff(name, spark_pdf, duck_pdf)}"
             )
+
+
+def _keyed_diff(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    """Failure diagnostics: when the frames share a unique key column,
+    align on it and show the ACTUAL differing rows — the sorted
+    column-wise compare above reports a value-shift artifact when a
+    single row differs (every subsequent sorted value 'mismatches'),
+    which hides the real culprit row (round-9 substring_removal hunt)."""
+    for key in ("doc_id", "id", "okey", "node", "slot"):
+        if key not in spark_pdf.columns:
+            continue
+        if spark_pdf[key].is_unique and duck_pdf[key].is_unique:
+            s = spark_pdf.set_index(key).sort_index()
+            d = duck_pdf.set_index(key).sort_index()
+            if not s.index.equals(d.index):
+                only_s = s.index.difference(d.index)[:5].tolist()
+                only_d = d.index.difference(s.index)[:5].tolist()
+                return f"[keyed diff] {key} only-spark={only_s} only-duck={only_d}"
+            diff = (s.astype(str) != d.astype(str)).any(axis=1)
+            rows = s.index[diff][:5].tolist()
+            out = [f"[keyed diff] {int(diff.sum())} truly differing rows by {key}: {rows}"]
+            for r in rows:
+                out.append(f"  {key}={r} spark={s.loc[r].to_dict()}")
+                out.append(f"  {key}={r} duck ={d.loc[r].to_dict()}")
+            return "\n".join(out)
+    return "[keyed diff] no unique key column found]"
 
 
 ALL_QUERIES = sorted(entry_mod.queries())
