@@ -7057,7 +7057,15 @@ def seasonal_residual_outliers_query(
         F.round(F.sum(F.col("value") * 100)).cast("bigint").alias("cents")
     )
     out = seasonal_residual_outliers(
-        hourly, ["event_type"], "hour", "cents", period=24, z_thresh=3.0
+        hourly,
+        ["event_type"],
+        "hour",
+        "cents",
+        period=24,
+        z_thresh=3.0,
+        # event types are a bounded domain — assert it so the per-type
+        # median/MAD stats joins pin the broadcast plan statically
+        bounded_keys=True,
     )
     return out.select(
         "event_type",
