@@ -79,12 +79,20 @@ SF01_BUDGETS = {
     "streaming_tumbling_1h": 3.0,
     "streaming_sliding_30m": 3.0,
     "stream_static_enrich": 3.5,
-    "dedup_clusters": 4.5,
+    # raised 4.5 -> 6.0 in r10: connected_components' default moved to
+    # large-star/small-star contraction (worst-case O(log n) rounds on
+    # chain graphs vs hash-min's O(diameter)); on the DENSE sf0.1 dup
+    # graph the safe default costs ~1.2-1.7 s more of fixed per-iteration
+    # stage scheduling (SCALE.md round 10) — a wall trade for shape
+    # safety, not a regression class. The budget still catches the
+    # candidate-set explosion / lost-checkpoint classes (both >10 s).
+    "dedup_clusters": 6.0,
     # ~2.6-2.9 s warm (symmetric hash join state machinery); budget catches
     # an unbounded-state or per-batch-replan regression
     "stream_stream_join": 5.0,
     # ~2.0 s warm (CC rounds + quality join); shares dedup_clusters' shape
-    "cluster_representatives": 4.5,
+    # (and its r10 star-contraction raise — see dedup_clusters above)
+    "cluster_representatives": 6.0,
     # r5 scale probes: the forced corner join (~3.5 s — 1.23M-row slab ×
     # 100k points through the ShuffledHashJoin) and the streaming slab
     # refresh + cell-relation query (~2 s). Budgets catch a silent fallback

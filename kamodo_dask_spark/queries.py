@@ -7100,17 +7100,20 @@ DRIVER_WINDOW = 50
 #: cell joins moved to integer axis-index keys), sessionization +
 #: streaming_interp (streaming checkpoint/conf optimization pass).
 PINNED_THIS_ROUND = [
-    # Round-9 pins: entries whose operator machinery changes this round
-    # (ADVICE r8 fixes). The r8 pins are cleared — all four went
-    # driver-green in CORRECTNESS_r08 under the new spellings. The
-    # _session_scratch pidfile-gated sweep (ADVICE r8 #1) changes only
-    # best-effort CLEANUP of dead sessions' scratch, never the fixture
-    # paths or results of the entries that use it, so those stay unpinned.
-    "batch_sessions",  # sessionize_batch grew out_col/ts_col/key guards (ADVICE r8 #3)
-    "weighted_sample_topk",  # weighted_sample grew extra_cols/validate_unique (ADVICE r8 #2)
-    "substring_removal",  # both engines' cut relations deduped — the duplicate
-    # sort-tie class intermittently broke DuckDB 1.0.0's island-merge window
-    # (r9 hunt: 4-in-30 oracle connections mis-merged doc 4611's intervals)
+    # Round-10 pins: entries whose operator machinery changed this round.
+    # The r9 pins are cleared — all three went driver-green in
+    # CORRECTNESS_r09 under the new spellings.
+    # connected_components defaulted to star contraction (judge r9 ask
+    # #2) — every entry sitting on the primitive gets a fresh driver row
+    # under the new path:
+    "dedup_clusters",
+    "cluster_representatives",
+    "semantic_dedup",
+    "near_dup_cascade",
+    "incremental_dedup",
+    # per-key stats broadcasts gated behind bounded_keys (judge r9
+    # finding #1); the entry now passes the bounded-domain assertion:
+    "seasonal_residual_outliers",
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds
