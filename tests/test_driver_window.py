@@ -61,23 +61,12 @@ def _never_driver_green() -> list[str]:
 #: cannot notice an entry being deleted outright — this hardcoded subset
 #: can. Prune names once they have a recorded green round.
 PENDING_THIS_ROUND: list[str] = [
-    # all 20 round-8 additions went driver-green in CORRECTNESS_r08 and
-    # were pruned; round-9 additions land here as they register:
-    "approx_dau_wau",
-    "retractable_agg_view",
-    "weighted_sssp",
-    "weighted_sample_by_source",
-    "seq_pattern_matches",
-    "join_view_maintenance",
-    "equi_depth_histogram",
-    "ohlc_hourly_bars",
-    "pmi_collocations",
-    "correlation_matrix",
-    "cdc_log_compaction",
-    "streaming_dau_sketch",
-    "checksum_reconciliation",
-    "prefix_jaccard_pairs",
-    "seasonal_residual_outliers",
+    # all 15 round-9 additions went driver-green in CORRECTNESS_r09 and
+    # were pruned; round-10 additions land here as they register:
+    # the r10 catalog consolidations (judge r9 ask #5) — each folds two
+    # previously-green entries into one parameterized entry, so the new
+    # name needs its first driver row:
+    "weighted_samples",
 ]
 
 

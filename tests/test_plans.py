@@ -1049,15 +1049,19 @@ def test_batch_sessions_one_shuffle_one_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_weighted_sample_zero_shuffle_topk(spark):
-    """A-ES sampling: one scan, zero exchanges, top-k as
-    TakeOrderedAndProject — the rank key never globally sorts."""
+def test_weighted_samples_plan(spark):
+    """A-ES sampling, both scopes in the folded entry: the GLOBAL side
+    contributes zero exchanges and a TakeOrderedAndProject top-k (the
+    rank key never globally sorts); the PER-STRATUM side contributes
+    exactly ONE exchange (the stratum hash shuffle its streaming
+    row_number rides) — so the union plans 2 scans, 1 exchange total."""
     from kamodo_dask_spark.plans.checks import executed_plan
 
-    plan = executed_plan(QUERIES["weighted_sample_topk"](spark, SF))
-    assert plan.count("FileScan parquet") == 1, plan
-    assert plan.count("Exchange") == 0, plan
+    plan = executed_plan(QUERIES["weighted_samples"](spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("Exchange") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_gazetteer_literal_path_no_join(spark):
