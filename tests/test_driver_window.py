@@ -67,6 +67,8 @@ PENDING_THIS_ROUND: list[str] = [
     # previously-green entries into one parameterized entry, so the new
     # name needs its first driver row:
     "weighted_samples",
+    # r10 new operators:
+    "heavy_hitters_sketch",
 ]
 
 

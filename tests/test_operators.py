@@ -4237,3 +4237,67 @@ def test_constraint_audit_backslash_names(spark):
         ).collect()
         assert out[0]["check"] == name, name
         assert out[0]["passed"] is True
+
+
+def test_heavy_hitters_sketch_mergeable_and_bounds(spark):
+    """Misra-Gries across partitions: candidates are a SUPERSET of the
+    true heavy hitters at every partitioning (mergeability — partial
+    summaries from 1/4/32 partitions combine without false negatives),
+    with est <= true <= max_count for every true heavy hitter; with
+    enough counters and one partition the summary is EXACT (D = 0);
+    NULL keys are excluded; validation raises."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import heavy_hitters_sketch
+
+    # 10_000 rows: 'a' 30%, 'b' 20%, 600 cold keys sharing the rest
+    rows = (
+        [("a",)] * 3000
+        + [("b",)] * 2000
+        + [(f"c{i % 600}",) for i in range(5000)]
+        + [(None,)] * 37
+    )
+    df = spark.createDataFrame(rows, "k string")
+    exact = {
+        r["k"]: r["n"]
+        for r in df.filter("k is not null")
+        .groupBy("k")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    true_hh = {k for k, n in exact.items() if n >= 0.1 * n_total}
+    assert true_hh == {"a", "b"}
+
+    for n_parts in (1, 4, 32):
+        cand = {
+            r["k"]: (r["est_count"], r["max_count"])
+            for r in heavy_hitters_sketch(
+                df.repartition(n_parts), "k", threshold=0.1, k_counters=16
+            ).collect()
+        }
+        for k in true_hh:  # no false negatives at any partitioning
+            assert k in cand, (n_parts, cand)
+            est, mx = cand[k]
+            assert est <= exact[k] <= mx, (n_parts, k, est, exact[k], mx)
+        assert None not in cand
+
+    # exactness corner: one partition, counters >= distinct keys -> the
+    # summary never decrements and every estimate is the exact count
+    small = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 2, "k string"
+    )
+    got = {
+        r["k"]: (r["est_count"], r["max_count"])
+        for r in heavy_hitters_sketch(
+            small.coalesce(1), "k", threshold=0.2, k_counters=8
+        ).collect()
+    }
+    assert got == {"x": (5, 5), "y": (3, 3), "z": (2, 2)}
+
+    with _pytest.raises(ValueError, match="threshold"):
+        heavy_hitters_sketch(df, "k", threshold=0.0)
+    with _pytest.raises(ValueError, match="k_counters"):
+        heavy_hitters_sketch(df, "k", threshold=0.1, k_counters=0)
+    with _pytest.raises(ValueError, match="lacks"):
+        heavy_hitters_sketch(df, "nope", threshold=0.1)
