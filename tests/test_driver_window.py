@@ -69,6 +69,7 @@ PENDING_THIS_ROUND: list[str] = [
     "weighted_samples",
     # r10 new operators:
     "heavy_hitters_sketch",
+    "retractable_minmax_view",
 ]
 
 

@@ -4301,3 +4301,69 @@ def test_heavy_hitters_sketch_mergeable_and_bounds(spark):
         heavy_hitters_sketch(df, "k", threshold=0.1, k_counters=0)
     with _pytest.raises(ValueError, match="lacks"):
         heavy_hitters_sketch(df, "nope", threshold=0.1)
+
+
+def test_merge_agg_view_retract_minmax(spark):
+    """The min/max hybrid: retracting the current extremum recovers the
+    runner-up from the touched-key base rescan; untouched keys keep
+    stored state (including NULL-keyed groups through the null-safe
+    joins); fully-retracted groups drop and are NOT resurrected by the
+    rescan; brand-new keys appear with fresh min/max; validation."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract_minmax,
+    )
+
+    # base BEFORE delta: g=a {1, 5, 9}, g=b {7}, g=NULL {3, 4}, g=gone {2}
+    before = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 7), (None, 3), (None, 4),
+         ("gone", 2)],
+        "g string, x long",
+    )
+    view = before.groupBy("g").agg(
+        __import__("pyspark").sql.functions.count("*").cast("bigint").alias("n"),
+        __import__("pyspark").sql.functions.sum("x").cast("bigint").alias("sx"),
+        __import__("pyspark").sql.functions.min("x").cast("bigint").alias("mn"),
+        __import__("pyspark").sql.functions.max("x").cast("bigint").alias("mx"),
+    )
+    # delta: retract a's max (9) and min (1); insert a=6; retract gone's
+    # only row; insert brand-new key c=11. b and NULL untouched.
+    delta = spark.createDataFrame(
+        [("a", 9, -1), ("a", 1, -1), ("a", 6, 1), ("gone", 2, -1),
+         ("c", 11, 1)],
+        "g string, x long, s long",
+    )
+    after = spark.createDataFrame(
+        [("a", 5), ("a", 6), ("b", 7), (None, 3), (None, 4), ("c", 11)],
+        "g string, x long",
+    )
+    got = {
+        r["g"]: (r["n"], r["sx"], r["mn"], r["mx"])
+        for r in merge_agg_view_retract_minmax(
+            view, delta, after, ["g"], "s",
+            counts=["n"], sums={"sx": "x"},
+            mins={"mn": "x"}, maxs={"mx": "x"},
+        ).collect()
+    }
+    assert got == {
+        "a": (2, 11, 5, 6),      # extremum retracted -> runner-up found
+        "b": (1, 7, 7, 7),       # untouched, stored state survives
+        None: (2, 7, 3, 4),      # untouched NULL group survives
+        "c": (1, 11, 11, 11),    # new key
+    }                            # 'gone' dropped, not resurrected
+
+    with _pytest.raises(ValueError, match="mins/maxs"):
+        merge_agg_view_retract_minmax(
+            view, delta, after, ["g"], "s", counts=["n"]
+        )
+    with _pytest.raises(ValueError, match="both mins and maxs"):
+        merge_agg_view_retract_minmax(
+            view, delta, after, ["g"], "s", counts=["n"],
+            mins={"mn": "x"}, maxs={"mn": "x"},
+        )
+    with _pytest.raises(ValueError, match="base lacks"):
+        merge_agg_view_retract_minmax(
+            view, delta, after.select("g"), ["g"], "s", counts=["n"],
+            mins={"mn": "x"},
+        )
