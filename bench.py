@@ -274,9 +274,12 @@ def _normalized_allowance(
         if a and b and a > 0:
             ratio = max(ratio, b / a)
     ratio = min(ratio, 3.0)
-    sched_prev = cal_prev.get("sched_job_s") or 0.0
-    sched_now = cal_now.get("sched_job_s") or 0.0
-    sched_extra = max(0, int(n_jobs)) * max(0.0, sched_now - sched_prev)
+    sched_prev = cal_prev.get("sched_job_s")
+    sched_now = cal_now.get("sched_job_s")
+    if sched_prev and sched_now:  # need BOTH sides to price the swing
+        sched_extra = max(0, int(n_jobs)) * max(0.0, sched_now - sched_prev)
+    else:
+        sched_extra = 0.0
     return (prev_t + sched_extra) * ratio
 
 

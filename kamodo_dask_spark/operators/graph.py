@@ -46,10 +46,15 @@ def pagerank(
     source (hash-uniform — both sides keyed by node id) followed by a
     partial-combined sum keyed on the destination, plus a LEFT join back
     to the node relation to re-admit zero-in-degree nodes; the dangling
-    mass is a single driver-collected scalar per round (metadata-sized,
-    the ``kmeans_fit`` discipline). Per-iteration rounding pins the
-    trajectory cross-engine. Rank state is one row per node, never
-    materialized driver-side.
+    mass rides INSIDE the iteration's dataflow as a 1-row aggregate
+    broadcast back through a constant-key equi-join (BroadcastHashJoin —
+    an equi condition, never the banned nested-loop cross; r10: this
+    replaced a per-round driver ``first()``. Local-mode job count is
+    unchanged — AQE materializes the broadcast stage as its own job —
+    but the per-round DRIVER-BLOCKING sync is gone, which is the term
+    that grows with scheduler latency on a real cluster). Per-iteration
+    rounding pins the trajectory cross-engine. Rank state is one row
+    per node, never materialized driver-side.
 
     Returns ``(node, pr)``. Multi-edges count once per occurrence (each
     parallel edge carries its share) — deduplicate upstream if the input
@@ -89,8 +94,12 @@ def pagerank(
     for _ in range(n_iter):
         dangling = (
             state.filter(F.col("_out") == 0)
-            .agg(F.round(F.coalesce(F.sum("pr"), F.lit(0.0)), round_digits))
-            .first()[0]  # 1-row scalar (metadata-sized)
+            .agg(
+                F.round(
+                    F.coalesce(F.sum("pr"), F.lit(0.0)), round_digits
+                ).alias("_dang")
+            )
+            .withColumn("_k", F.lit(1))  # 1-row relation, constant key
         )
         contrib = (
             state.filter(F.col("_out") > 0)
@@ -99,8 +108,9 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("_out")).alias("_in"))
         )
         state = (
-            state.select("node", "_out")
+            state.select("node", "_out", F.lit(1).alias("_k"))
             .join(contrib, "node", "left")
+            .join(F.broadcast(dangling), "_k")
             .select(
                 "node",
                 "_out",
@@ -109,7 +119,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.lit(float(dangling) / n)
+                        + F.col("_dang") / F.lit(float(n))
                     ),
                     round_digits,
                 ).alias("pr"),

@@ -1,0 +1,60 @@
+"""Unit tests for bench.py's calibration-normalized regression tracker
+(judge r9 ask #3) — pure math, no SparkSession."""
+
+import importlib.util
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(_REPO, "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+CAL_PREV = {"py_spin_s": 0.32, "spark_sum_s": 0.118, "sched_job_s": 0.095}
+
+
+def test_allowance_scales_with_host_ratio():
+    # host 20% slower on py_spin -> allowance scales by exactly that
+    now = dict(CAL_PREV, py_spin_s=0.384)
+    assert abs(bench._normalized_allowance(2.0, 1, CAL_PREV, now) - 2.4) < 1e-9
+
+
+def test_allowance_never_shrinks_on_faster_host():
+    now = {"py_spin_s": 0.16, "spark_sum_s": 0.06, "sched_job_s": 0.04}
+    # a 2x-faster host must NOT tighten the bar below raw prev
+    assert bench._normalized_allowance(2.0, 5, CAL_PREV, now) == 2.0
+
+
+def test_allowance_ratio_clamped_at_3x():
+    now = dict(CAL_PREV, py_spin_s=3.2)  # 10x slower: clamp to 3
+    assert abs(bench._normalized_allowance(1.0, 1, CAL_PREV, now) - 3.0) < 1e-9
+
+
+def test_allowance_absorbs_sched_swing_per_job():
+    # the r9 pagerank shape: 31 jobs, sched 0.095 -> 0.155 (+60 ms)
+    now = dict(CAL_PREV, sched_job_s=0.155)
+    got = bench._normalized_allowance(3.68, 31, CAL_PREV, now)
+    assert abs(got - (3.68 + 31 * 0.06)) < 1e-9
+    # sched IMPROVING adds nothing (max(0, delta))
+    now = dict(CAL_PREV, sched_job_s=0.04)
+    assert bench._normalized_allowance(3.68, 31, CAL_PREV, now) == 3.68
+
+
+def test_allowance_degrades_to_raw_without_calibration():
+    assert bench._normalized_allowance(1.5, 31, {}, CAL_PREV) == 1.5
+    assert bench._normalized_allowance(1.5, 31, CAL_PREV, {}) == 1.5
+
+
+def test_previous_record_shape():
+    rec = bench._previous_record(0.1)
+    assert set(rec) == {"queries", "calibration", "jobs"}
+    assert isinstance(rec["queries"], dict)
+    # the committed BENCH_LOCAL sf0.1 record must keep feeding the tracker
+    assert rec["queries"], "sf0.1 baseline vanished from BENCH_LOCAL.json"
+
+
+def test_new_budgets_present():
+    for name in ("incremental_dedup", "lsh_ann_topk", "minhash_est_jaccard"):
+        assert name in bench.SF01_BUDGETS, name
