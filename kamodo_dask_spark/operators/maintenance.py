@@ -637,8 +637,19 @@ def merge_agg_view_retract_minmax(
         sum_nonnull_counts=sum_nonnull_counts,
     )
     touched = delta.select(*keys).distinct()
+    # the rescan's semi join must be NULL-SAFE like every other key
+    # join here: SQL GROUP BY keeps NULL groups, and a plain-equality
+    # semi join would silently never rescan a touched NULL-keyed group
+    # (its min/max would come back NULL — caught by the property test)
+    tch = touched.select(
+        *[F.col(k).alias(f"_tk_{k}") for k in keys]
+    )
+    semi_cond = None
+    for k in keys:
+        c = base[k].eqNullSafe(tch[f"_tk_{k}"])
+        semi_cond = c if semi_cond is None else (semi_cond & c)
     recomputed = (
-        base.join(touched, keys, "left_semi")
+        base.join(tch, semi_cond, "left_semi")
         .groupBy(*keys)
         .agg(
             *[F.min(src).alias(f"_new_{c}") for c, src in mins.items()],

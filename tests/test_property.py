@@ -788,3 +788,100 @@ def test_merge_agg_view_retract_equals_full_recompute(spark, seed):
     assert {tuple(r) for r in out.select(*cols).collect()} == {
         tuple(r) for r in agg(net).select(*cols).collect()
     }
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=6, deadline=None)
+def test_connected_components_star_matches_union_find(spark, seed):
+    """Random multigraphs (dup edges, self-loops, isolated self-pairs)
+    against a Python union-find GROUND TRUTH — stronger than star ≡
+    hashmin (which could agree on a shared bug): both algorithms must
+    produce exactly the union-find components with min-vertex labels."""
+    from kamodo_dask_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(seed)
+    n_nodes = int(rng.integers(2, 60))
+    n_edges = int(rng.integers(1, 80))
+    edges = [
+        (int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+        for _ in range(n_edges)
+    ]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {}
+    for v in verts:
+        root = find(v)
+        comp = min(u for u in verts if find(u) == root)
+        want[v] = comp
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for alg in ("star", "hashmin"):
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, algorithm=alg).collect()
+        }
+        assert got == want, (alg, seed)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=6, deadline=None)
+def test_retract_minmax_equals_full_recompute(spark, seed):
+    """Random retract/insert deltas against the min/max hybrid: the
+    touched-key rescan + stored-state passthrough equals aggregating
+    the net row multiset from scratch (incl. NULL keys, extremum
+    retractions, whole-group vanishes, and brand-new keys)."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.maintenance import (
+        merge_agg_view_retract_minmax,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 40))
+    rows = [
+        (
+            ["a", "b", "c", None][int(rng.integers(0, 4))],
+            int(rng.integers(-50, 50)),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    dels = df.filter(F.col("x") % 3 == 0)
+    ins_rows = [
+        (["a", "d", None][int(rng.integers(0, 3))], int(rng.integers(-50, 50)))
+        for _ in range(int(rng.integers(0, 10)))
+    ]
+    ins = spark.createDataFrame(ins_rows, "g string, x long")
+    net = df.exceptAll(dels).unionByName(ins)
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+
+    delta = dels.withColumn("s", F.lit(-1)).unionByName(
+        ins.withColumn("s", F.lit(1))
+    )
+    out = merge_agg_view_retract_minmax(
+        agg(df), delta, net, ["g"], "s",
+        counts=["n"], sums={"sx": "x"}, mins={"mn": "x"}, maxs={"mx": "x"},
+    )
+    cols = ["g", "n", "sx", "mn", "mx"]
+    assert {tuple(r) for r in out.select(*cols).collect()} == {
+        tuple(r) for r in agg(net).select(*cols).collect()
+    }
