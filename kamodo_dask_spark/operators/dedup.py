@@ -945,8 +945,9 @@ def _cc_star(
     else:
         raise RuntimeError(
             f"connected_components(star) did not converge in "
-            f"{max_iterations} rounds — raise max_iterations (O(log² n) "
-            "rounds suffice for any graph; this cap allows ~2^25 nodes)"
+            f"{max_iterations} rounds — raise max_iterations (rounds grow "
+            "~log n in practice: a 20,000-node path converges in 16; the "
+            "proven worst-case bound is O(log² n))"
         )
     # stars: every non-root points straight at its component minimum;
     # roots (and isolated vertices) label themselves
