@@ -44,6 +44,7 @@ STREAMING_QUERIES = {
     "streaming_interp",
     "streaming_view_maintenance",
     "streaming_dau_sketch",
+    "streaming_heavy_hitters",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged
@@ -173,6 +174,10 @@ SF01_BUDGETS = {
     "lsh_ann_topk": 4.5,  # 1.94-2.08 s warm best-of-4
     "minhash_est_jaccard": 5.5,  # 2.35-2.73 s warm; ~1.5-2.0 s of that
     # is 15 jobs x sched_job_s pure scheduling floor
+    # four micro-batches + per-batch state merge + (k+1)-row trim
+    # collect (~3.6 s warm at sf0.1); the budget catches a per-batch
+    # history-recount regression (the streaming_dau_sketch class)
+    "streaming_heavy_hitters": 7.0,
 }
 
 #: Regressions smaller than this many absolute seconds are never flagged:

@@ -7201,6 +7201,136 @@ def retractable_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_heavy_hitters",
+    """
+    WITH k AS (SELECT CASE WHEN user_id % 20 < 8
+                           THEN 'h' || CAST(user_id % 3 AS VARCHAR)
+                           ELSE 'u' || CAST(user_id AS VARCHAR) END AS key
+               FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY key),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.key, c.n, TRUE AS sketch_ok
+    FROM c, t WHERE c.n >= 0.05 * t.total
+    """,
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries maintenance — ``foreachBatch`` folding the
+    r10 frequent-items sketch (§2.9 composed with
+    ``operators/profile.py::heavy_hitters_sketch``, completing the
+    sketch-maintenance pairing: HLL cardinality streams via
+    ``streaming_dau_sketch``, frequencies stream here): the skewed-key
+    fixture is split into FOUR files streamed one per micro-batch; each
+    batch's exact per-key counts merge into a driver-carried
+    (key, est) state by the MERGEABLE summary rule — add, then trim to
+    the k largest by subtracting the (k+1)-th count, the subtraction
+    EXACTLY accounted in a running decrement total D. Per commit: one
+    batch-sized aggregation + a state-sized merge + a (k+1)-row
+    collect for the trim threshold; history is never recounted. The
+    cross-batch guarantee is the per-partition one with batches in
+    place of partitions: est ≤ true ≤ est + D and no false negatives
+    at threshold. Returns the EXACT heavy hitters (hash-checked vs
+    DuckDB) plus ``sketch_ok`` — the key must be a post-stream
+    candidate with bounds containing its exact count,
+    deterministically TRUE; a mergeability break across batch
+    boundaries (lost decrement accounting, dropped state) flips it
+    and fails the driver hash."""
+    from kamodo_dask_spark.session import scoped_conf
+
+    K_COUNTERS = 64
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        "event_id",
+        F.when(
+            F.col("user_id") % 20 < 8,
+            F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("key"),
+    )
+    base = _session_scratch(spark, "kds_stream_mg", sf_dir)
+    chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
+    for i in range(4):
+        keyed.filter(chunk == i).select("key").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/chunk={i}")
+
+    state: dict = {"mg": None, "d": 0}
+
+    def fold(batch_df, _batch_id):
+        bc = batch_df.groupBy("key").agg(
+            F.count("*").cast("bigint").alias("est")
+        )
+        cur = state["mg"]
+        merged = (
+            bc
+            if cur is None
+            else cur.unionByName(bc)
+            .groupBy("key")
+            .agg(F.sum("est").cast("bigint").alias("est"))
+        )
+        merged = merged.localCheckpoint(eager=True)
+        # trim to K_COUNTERS survivors: subtract the (k+1)-th largest
+        # estimate from everyone (the mergeable-summaries reduction) —
+        # a (k+1)-row collect, metadata-sized by construction
+        top = merged.orderBy(F.col("est").desc(), "key").limit(
+            K_COUNTERS + 1
+        ).collect()
+        if len(top) > K_COUNTERS:
+            m = int(top[-1]["est"])
+            state["d"] += m
+            merged = (
+                merged.filter(F.col("est") > m)
+                .select("key", (F.col("est") - m).alias("est"))
+                .localCheckpoint(eager=True)
+            )
+        state["mg"] = merged
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/chunk=*")
+    )
+    with scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    ):
+        for q in spark.streams.active:
+            if q.name == "streaming_heavy_hitters_q":
+                q.stop()
+        with _ephemeral_checkpoint() as ckpt:
+            query = (
+                stream.writeStream.foreachBatch(fold)
+                .queryName("streaming_heavy_hitters_q")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+    exact = keyed.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = exact.agg(F.sum("n")).first()[0] or 0
+    hh = exact.filter(F.col("n") >= F.lit(0.05 * int(total)))
+    if state["mg"] is None:  # no batches delivered: nothing to verify
+        return hh.select("key", "n", F.lit(True).alias("sketch_ok"))
+    d_total = int(state["d"])
+    cand = state["mg"].filter(
+        F.col("est") + F.lit(d_total) >= F.lit(0.05 * int(total))
+    )
+    return hh.join(F.broadcast(cand), "key", "left").select(
+        "key",
+        "n",
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("n"))
+            & (F.col("n") <= F.col("est") + F.lit(d_total))
+        ).alias("sketch_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window — registration order is a grading surface
 # ---------------------------------------------------------------------------

@@ -70,6 +70,7 @@ PENDING_THIS_ROUND: list[str] = [
     # r10 new operators:
     "heavy_hitters_sketch",
     "retractable_minmax_view",
+    "streaming_heavy_hitters",
 ]
 
 
