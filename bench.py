@@ -271,6 +271,12 @@ def _normalized_allowance(
       sched_prev)`` using THIS run's statusTracker-counted job count
       (structural and stable across runs, SCALE.md round-9 probe).
 
+    Each dimension is priced ONCE and the two terms ADD
+    (``prev_t * ratio + sched_extra``, advisor r10): the sched delta is
+    already measured on THIS host in this run's clock, so scaling it by
+    the speed ratio would absorb up to 3x the observed scheduler swing
+    on a slow host — a wider no-flag band than either axis justifies.
+
     Missing calibration on either side degrades to the raw comparison
     (ratio 1, sched delta 0)."""
     ratio = 1.0
@@ -285,7 +291,7 @@ def _normalized_allowance(
         sched_extra = max(0, int(n_jobs)) * max(0.0, sched_now - sched_prev)
     else:
         sched_extra = 0.0
-    return (prev_t + sched_extra) * ratio
+    return prev_t * ratio + sched_extra
 
 
 def interp_micro(spark, n_points: int = 200_000) -> float:

@@ -42,6 +42,17 @@ def test_allowance_absorbs_sched_swing_per_job():
     assert bench._normalized_allowance(3.68, 31, CAL_PREV, now) == 3.68
 
 
+def test_allowance_prices_each_dimension_once():
+    # BOTH axes move: 50% slower py_spin AND +60 ms sched. The sched
+    # delta is measured in THIS host's clock already — the allowance
+    # must be prev*ratio + jobs*delta, NOT (prev + jobs*delta)*ratio
+    # (advisor r10: the compound form absorbs ratio x the observed
+    # scheduler swing).
+    now = dict(CAL_PREV, py_spin_s=0.48, sched_job_s=0.155)
+    got = bench._normalized_allowance(3.68, 31, CAL_PREV, now)
+    assert abs(got - (3.68 * 1.5 + 31 * 0.06)) < 1e-9
+
+
 def test_allowance_degrades_to_raw_without_calibration():
     assert bench._normalized_allowance(1.5, 31, {}, CAL_PREV) == 1.5
     assert bench._normalized_allowance(1.5, 31, CAL_PREV, {}) == 1.5

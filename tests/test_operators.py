@@ -4367,3 +4367,97 @@ def test_merge_agg_view_retract_minmax(spark):
             view, delta, after.select("g"), ["g"], "s", counts=["n"],
             mins={"mn": "x"},
         )
+
+
+def test_quantile_sketch_mergeable_and_bounds(spark):
+    """GK-style quantile summary across partitions: for EVERY
+    partitioning (1/4/32 — mergeability: per-partition summaries union
+    without re-deriving error), every percentile estimate's exact rank
+    sits inside the deterministic sandwich ``est_rank <= rank <=
+    est_rank + E`` with fewer than ``t + E`` values strictly below it,
+    and E <= eps*N exactly as tracked; duplicates-heavy and skewed data;
+    one full-resolution partition (eps small enough that s_p = 1) is
+    EXACT (E = 0); NULL values excluded; validation raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import (
+        quantile_sketch,
+        quantile_summary,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 40, 6000),  # heavy duplicates
+            (rng.pareto(1.3, 4000) * 50).astype("int64"),  # skewed tail
+        ]
+    )
+    rows = [(int(v),) for v in vals] + [(None,)] * 23
+    df = spark.createDataFrame(rows, "c bigint")
+    sv = np.sort(vals)
+    n = int(sv.size)
+    eps = 0.02
+
+    for n_parts in (1, 4, 32):
+        out = quantile_sketch(
+            df.repartition(n_parts), "c", (10, 50, 90, 99), eps=eps
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n_total"] == n  # NULLs excluded
+            e = r["err_bound"]
+            assert e <= eps * n, (n_parts, e)
+            t = -(-r["q_pct"] * n // 100)  # ceil
+            cnt_le = int(np.searchsorted(sv, r["value"], side="right"))
+            cnt_lt = int(np.searchsorted(sv, r["value"], side="left"))
+            assert r["est_rank"] <= cnt_le <= r["est_rank"] + e, (
+                n_parts,
+                dict(r.asDict()),
+                cnt_le,
+            )
+            assert cnt_le >= t and cnt_lt <= t - 1 + e, (
+                n_parts,
+                dict(r.asDict()),
+                t,
+                cnt_le,
+                cnt_lt,
+            )
+
+    # exactness corner: eps so small that every partition keeps every
+    # value (s_p = 1, err 0) -> estimates are the exact percentiles
+    small_vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    small = spark.createDataFrame([(v,) for v in small_vals], "c bigint")
+    got = {
+        r["q_pct"]: (r["value"], r["err_bound"])
+        for r in quantile_sketch(
+            small.coalesce(1), "c", (50, 90), eps=0.01
+        ).collect()
+    }
+    ssv = sorted(small_vals)
+    assert got == {
+        50: (ssv[-(-50 * 10 // 100) - 1], 0),
+        90: (ssv[-(-90 * 10 // 100) - 1], 0),
+    }
+
+    # summary metadata: per-partition (err, n) rows carry the exact
+    # accounting the bound is built from
+    summ = quantile_summary(df.repartition(4), "c", eps=0.1).collect()
+    metas = [r for r in summ if r["c"] is None and r["_n"] > 0]
+    assert sum(r["_n"] for r in metas) == n
+    assert all(r["_err"] <= 0.1 * r["_n"] for r in metas)
+
+    with _pytest.raises(ValueError, match="eps"):
+        quantile_sketch(df, "c", (50,), eps=0.0)
+    with _pytest.raises(ValueError, match="q_pct"):
+        quantile_sketch(df, "c", (0,))
+    with _pytest.raises(ValueError, match="lacks"):
+        quantile_sketch(df, "nope", (50,))
+    with _pytest.raises(ValueError, match="numeric"):
+        quantile_sketch(
+            spark.createDataFrame([("x",)], "c string"), "c", (50,)
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        quantile_summary(
+            spark.createDataFrame([(1,)], "_w bigint"), "_w"
+        )
