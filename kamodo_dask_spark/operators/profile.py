@@ -782,22 +782,33 @@ def quantile_sketch(
     the banned BroadcastNestedLoopJoin); the percentile list is a
     row-local literal explode, never a join.
     """
-    from pyspark.sql import Window
-
     if not q_pcts:
         raise ValueError("q_pcts must be non-empty")
     for p in q_pcts:
         if not 0 < int(p) <= 100:
             raise ValueError(f"q_pct must be in (0, 100], got {p}")
-    summary = quantile_summary(df, value_col, eps=eps).localCheckpoint(
-        eager=True
-    )
+    summary = quantile_summary(df, value_col, eps=eps)
+    return quantiles_from_summary(summary, value_col, q_pcts)
+
+
+def quantiles_from_summary(
+    summary: DataFrame,
+    value_col: str,
+    q_pcts: "tuple[int, ...]",
+) -> DataFrame:
+    """Percentile selection over an ALREADY-BUILT summary relation in
+    :func:`quantile_summary`'s schema — shared by :func:`quantile_sketch`
+    (summary fresh from one scan) and the streaming twin (summary folded
+    across micro-batches via :func:`compress_summary`). See
+    :func:`quantile_sketch` for the guarantee."""
+    summary = summary.localCheckpoint(eager=True)
     e_total, n_total = summary.agg(F.sum("_err"), F.sum("_n")).first()
     e_total, n_total = int(e_total or 0), int(n_total or 0)
     if n_total == 0:
         return summary.sparkSession.createDataFrame(
             [],
-            f"q_pct bigint, value {df.schema[value_col].dataType.simpleString()},"
+            f"q_pct bigint, value "
+            f"{summary.schema[value_col].dataType.simpleString()},"
             " est_rank bigint, err_bound bigint, n_total bigint",
         )
     cum = (
@@ -834,4 +845,83 @@ def quantile_sketch(
         F.col("_pick._cumw").cast("bigint").alias("est_rank"),
         F.lit(e_total).cast("bigint").alias("err_bound"),
         F.lit(n_total).cast("bigint").alias("n_total"),
+    )
+
+
+def compress_summary(
+    summary: DataFrame,
+    value_col: str,
+    eps: float,
+) -> DataFrame:
+    """Re-compress a (possibly unioned) quantile summary back to
+    O(1/eps) rows, EXACTLY accounting the rank error the compression
+    adds — the fold step of the streaming quantile sketch: per batch,
+    union the batch's :func:`quantile_summary` into the state and
+    compress, so state stays O(1/eps) while the error budget grows by
+    an exactly-tracked ``s - 1`` per compression instead of silently.
+
+    Mechanics: data rows collapse to one row per distinct value (summed
+    weight — rank-lossless), a cumulative-weight window (ORDER BY the
+    now-UNIQUE value) assigns each row a block of size ``s = max(1,
+    floor(eps * W))`` (W = total weight, collected as one scalar off
+    the distinct relation — metadata-sized), and each block keeps its
+    LAST row, re-weighted to the block's span — so the kept row's
+    cumulative weight is EXACTLY its pre-compression cumulative weight,
+    and any rank query moved by at most ``s - 1``. That cost is emitted
+    as one extra metadata row (NULL value, ``_err = s - 1``); existing
+    metadata rows pass through untouched, so ``sum(_err)`` remains the
+    TOTAL exact bound and ``sum(_n)`` the true row count. Everything is
+    summary-sized; the corpus is never touched."""
+    if not 0.0 < eps <= 0.5:
+        raise ValueError(f"eps must be in (0, 0.5], got {eps}")
+    spark = summary.sparkSession
+    metas = summary.filter(F.col(value_col).isNull()).select(
+        value_col, "_w", "_err", "_n"
+    )
+    grouped = (
+        summary.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.sum("_w").cast("bigint").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    w_total = grouped.agg(F.sum("_w")).first()[0]
+    if not w_total:
+        return metas
+    s = max(1, int(float(eps) * int(w_total)))
+    cum = grouped.withColumn(
+        "_cumw",
+        F.sum("_w").over(
+            Window.orderBy(value_col).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).withColumn("_blk", F.floor((F.col("_cumw") - 1) / F.lit(s)))
+    kept = (
+        cum.groupBy("_blk")
+        .agg(
+            F.max_by(F.struct(value_col, "_cumw"), F.col("_cumw")).alias(
+                "_last"
+            )
+        )
+        .select(
+            F.col(f"_last.{value_col}").alias(value_col),
+            F.col("_last._cumw").alias("_cumw"),
+        )
+    )
+    reweighted = kept.withColumn(
+        "_w",
+        (
+            F.col("_cumw")
+            - F.coalesce(
+                F.lag("_cumw").over(Window.orderBy(value_col)), F.lit(0)
+            )
+        ).cast("bigint"),
+    ).select(value_col, "_w", F.lit(0).alias("_err"), F.lit(0).alias("_n"))
+    cost = spark.createDataFrame(
+        [(None, 0, s - 1, 0)],
+        f"{value_col} {grouped.schema[value_col].dataType.simpleString()},"
+        " _w long, _err long, _n long",
+    )
+    return reweighted.select(value_col, "_w", "_err", "_n").unionByName(
+        metas.unionByName(cost)
     )

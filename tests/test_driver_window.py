@@ -63,8 +63,10 @@ def _never_driver_green() -> list[str]:
 PENDING_THIS_ROUND: list[str] = [
     # all 4 round-10 additions went driver-green in CORRECTNESS_r10 and
     # were pruned; round-11 additions land here as they register:
-    # the mergeable quantile sketch (judge r10 ask #3):
+    # the mergeable quantile sketch (judge r10 ask #3) and its
+    # streaming foreachBatch twin:
     "quantile_sketch",
+    "streaming_quantile_sketch",
 ]
 
 
