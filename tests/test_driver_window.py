@@ -67,6 +67,8 @@ PENDING_THIS_ROUND: list[str] = [
     # streaming foreachBatch twin:
     "quantile_sketch",
     "streaming_quantile_sketch",
+    # incremental connected-components maintenance (judge r10 ask #4):
+    "cc_incremental",
 ]
 
 

@@ -4461,3 +4461,64 @@ def test_quantile_sketch_mergeable_and_bounds(spark):
         quantile_summary(
             spark.createDataFrame([(1,)], "_w bigint"), "_w"
         )
+
+
+def test_cc_incremental_matches_full_recompute(spark):
+    """Incremental CC maintenance == full recompute, on random graphs
+    (the contraction identity) and on every fold shape: empty delta,
+    delta touching only NEW vertices, a same-component no-op delta, and
+    a delta that merges two stored components (label = min vertex across
+    the merge). The no-op delta must produce an EMPTY super-edge graph —
+    work proportional to touched components means zero here."""
+    import random
+
+    from kamodo_dask_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    def as_df(edges):
+        if not edges:
+            return spark.createDataFrame([], "id_a bigint, id_b bigint")
+        return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 100
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = int(len(edges) * 0.8)
+        view = connected_components(as_df(edges[:cut])).localCheckpoint(
+            eager=True
+        )
+        inc = sorted(
+            (r["vertex"], r["component"])
+            for r in cc_incremental(view, as_df(edges[cut:])).collect()
+        )
+        full = sorted(
+            (r["vertex"], r["component"])
+            for r in connected_components(as_df(edges)).collect()
+        )
+        assert inc == full
+
+    view = connected_components(
+        as_df([(1, 2), (2, 3), (10, 11)])
+    ).localCheckpoint(eager=True)
+    base = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+    def run(delta):
+        return sorted(
+            (r["vertex"], r["component"])
+            for r in cc_incremental(view, as_df(delta)).collect()
+        )
+
+    assert run([]) == base
+    assert run([(100, 101)]) == base + [(100, 100), (101, 100)]
+    assert run([(1, 3)]) == base  # same component: no-op
+    assert run([(3, 10)]) == [(1, 1), (2, 1), (3, 1), (10, 1), (11, 1)]
+    # a new vertex bridging two stored components
+    assert run([(2, 50), (50, 11)]) == [
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (50, 1),
+    ]
