@@ -925,3 +925,218 @@ def compress_summary(
     return reweighted.select(value_col, "_w", "_err", "_n").unionByName(
         metas.unionByName(cost)
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 1024,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """K-minimum-values (theta) distinct sketch — the SET-OPERATION
+    member of the sketch family (HLL counts one set, Misra–Gries counts
+    heavy keys, the quantile summary ranks values; none can answer
+    "how many entities are in BOTH segments", which KMV/theta sketches
+    answer from k-row summaries; Bar-Yossef et al. 2002; Beyer et al.
+    2007; the Datasketches theta-sketch design).
+
+    Each value is hashed once with ``xxhash64`` (JVM-side,
+    deterministic — no RNG, so every estimate downstream is
+    reproducible) and the sketch keeps, per ``by``-group, the ``k``
+    SMALLEST distinct hashes. Mergeability is exact and order-free:
+    any global k-minimum hash is necessarily among its own partition's
+    k minima, so taking the k smallest of a union of per-partition
+    k-smallest summaries yields exactly the sketch of the union — the
+    property the 1/4/32-partitioning pytest pins.
+
+    Plan shape (the Misra–Gries summarizer discipline): ONE corpus
+    scan through an Arrow-batched per-partition summarizer that folds
+    each batch's hashes into a running ≤k-array per group (vectorized
+    ``np.unique`` + truncation — state is O(groups × k) per task,
+    never the partition); the only exchange carries the
+    O(partitions × groups × k)-row summary relation, which a
+    partial-combined distinct plus a per-group ``row_number`` window
+    (sorting k·partitions rows per group, not the corpus) reduces to
+    the final ≤k rows per group. At 100 TB the corpus is scanned once
+    and never shuffled — the cost ``count(DISTINCT ...)`` pays (a
+    full distinct-key exchange) is exactly what this avoids.
+
+    Returns ``(by..., _h)`` — the per-group k smallest distinct
+    hashes. Groups with fewer than k distinct values carry their FULL
+    hash set (exact mode: every estimator downstream degrades to the
+    exact answer). NULL values carry no identity and are excluded.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by or [])
+    for c in [value_col, *by]:
+        if c not in df.columns:
+            raise ValueError(f"input lacks column {c!r}")
+    if "_h" in by or value_col == "_h":
+        raise ValueError(
+            "column name '_h' is reserved for the sketch hash — alias it"
+        )
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.xxhash64(value_col).alias("_h")
+    )
+    schema_parts = [
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by
+    ]
+    out_schema = ", ".join([*schema_parts, "_h bigint"])
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            if by:
+                for key, grp in pdf.groupby(by, dropna=False, sort=False):
+                    kk = key if isinstance(key, tuple) else (key,)
+                    merged = np.union1d(
+                        state.get(kk, np.array([], dtype="int64")),
+                        grp["_h"].to_numpy(),
+                    )
+                    state[kk] = merged[:k]  # union1d sorts: k smallest
+            else:
+                merged = np.union1d(
+                    state.get((), np.array([], dtype="int64")),
+                    pdf["_h"].to_numpy(),
+                )
+                state[()] = merged[:k]
+        rows = [
+            pd.DataFrame(
+                {
+                    **{c: [kk[i]] * len(hs) for i, c in enumerate(by)},
+                    "_h": hs,
+                }
+            )
+            for kk, hs in state.items()
+            if len(hs)
+        ]
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
+
+    parts = hashed.mapInPandas(summarize, out_schema)
+    dedup = parts.select(*by, "_h").distinct()  # partial-combined
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
+    return (
+        dedup.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+#: xxhash64 is a signed 64-bit value; normalizing to (0, 1] maps hash h
+#: to u = (h − LONG_MIN + 1) / 2^64 so the k-th-minimum estimators below
+#: divide by a strictly positive fraction of the hash space.
+_KMV_SPAN = float(2**64)
+_KMV_MIN = -(2**63)
+
+
+def _kmv_u(col: Column) -> Column:
+    return (col.cast("double") - F.lit(float(_KMV_MIN)) + F.lit(1.0)) / F.lit(
+        _KMV_SPAN
+    )
+
+
+def kmv_distinct(
+    sketch: DataFrame,
+    k: int,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Distinct-count estimate per group from a :func:`kmv_sketch`
+    relation: the unbiased k-minimum-values estimator ``(k − 1) / u_k``
+    (u_k = the k-th smallest normalized hash; RSE ≈ 1/√(k−2)) when the
+    group saturated its k slots, else the EXACT count (the sketch holds
+    the group's full hash set). Summary-sized work only.
+
+    Returns ``(by..., est_n double, exact_mode boolean)``."""
+    by = list(by or [])
+    agg = sketch.groupBy(*by).agg(
+        F.count("*").alias("_cnt"), F.max("_h").alias("_hk")
+    )
+    exact = F.col("_cnt") < F.lit(int(k))
+    est = F.when(exact, F.col("_cnt").cast("double")).otherwise(
+        F.lit(float(k - 1)) / _kmv_u(F.col("_hk"))
+    )
+    return agg.select(
+        *by, est.alias("est_n"), exact.alias("exact_mode")
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame,
+    by: str,
+    group_a,
+    group_b,
+    k: int,
+) -> DataFrame:
+    """Union / intersection cardinality estimates between two groups of
+    a :func:`kmv_sketch` relation — the query HLL cannot answer (HLL
+    unions losslessly but has no intersection; theta sketches estimate
+    both from the k-row summaries alone; Datasketches theta design).
+
+    theta = min of the two groups' k-th-minimum normalized hashes (1.0
+    for an unsaturated group — its sketch IS the full set, so every
+    member sits below theta). Hashes strictly below theta are a uniform
+    sample of each set at rate theta, so
+
+    - ``est_union = |{h ∈ A_sk ∪ B_sk : u(h) < theta}| / theta``
+    - ``est_inter = |{h ∈ A_sk ∩ B_sk : u(h) < theta}| / theta``
+
+    and both degrade to EXACT counts when neither group saturated.
+    Everything here is sketch-relation-sized: theta comes off a ≤2-row
+    aggregate collected as two scalars and inlined as literals (the
+    metadata-collect contract — a scalar crossJoin would plan the
+    banned BroadcastNestedLoopJoin), and all four counts come from ONE
+    aggregation over the per-hash membership-flag relation — no joins
+    at all. Returns one row:
+    ``(est_a, est_b, est_union, est_inter, theta)``."""
+    sk = sketch.filter(F.col(by).isin([group_a, group_b])).localCheckpoint(
+        eager=True
+    )
+    stats = {
+        r[0]: (int(r[1]), int(r[2]))
+        for r in sk.groupBy(by)
+        .agg(F.count("*").alias("n"), F.max("_h").alias("hk"))
+        .collect()
+    }  # <= 2 rows: metadata-sized by construction
+    thetas = {}
+    for g in (group_a, group_b):
+        cnt, hk = stats.get(g, (0, None))
+        thetas[g] = (
+            (float(hk) - _KMV_MIN + 1.0) / _KMV_SPAN
+            if cnt >= k
+            else 1.0
+        )
+    theta = min(thetas.values())
+    # strict u(h) < theta, as one double comparison: u(h) < theta iff
+    # h < theta * 2^64 + LONG_MIN - 1 (at theta = 1.0: every hash passes)
+    cut = F.lit(theta) * F.lit(_KMV_SPAN) + F.lit(float(_KMV_MIN) - 1.0)
+    flags = (
+        sk.filter(F.col("_h").cast("double") < cut)
+        .groupBy("_h")
+        .agg(
+            F.max(F.col(by) == F.lit(group_a)).alias("_ia"),
+            F.max(F.col(by) == F.lit(group_b)).alias("_ib"),
+        )
+    )
+    inv = F.lit(1.0 / theta)
+    zero = F.lit(0)  # empty-group sums are NULL; the estimate is 0
+    return flags.agg(
+        (F.coalesce(F.sum(F.col("_ia").cast("long")), zero) * inv).alias(
+            "est_a"
+        ),
+        (F.coalesce(F.sum(F.col("_ib").cast("long")), zero) * inv).alias(
+            "est_b"
+        ),
+        (F.count("*") * inv).alias("est_union"),
+        (
+            F.coalesce(
+                F.sum((F.col("_ia") & F.col("_ib")).cast("long")), zero
+            )
+            * inv
+        ).alias("est_inter"),
+        F.lit(float(theta)).alias("theta"),
+    )

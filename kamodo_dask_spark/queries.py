@@ -7329,6 +7329,109 @@ def quantile_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theta_sketch_setops",
+    """
+    WITH ids AS (SELECT DISTINCT event_id FROM events
+                 WHERE event_id IS NOT NULL),
+    f AS (SELECT event_id % 10 AS m FROM ids),
+    c AS (SELECT
+        CAST(sum(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN m >= 3 AND m < 9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+        CAST(sum(CASE WHEN m < 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+        CAST(sum(CASE WHEN m >= 3 AND m < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_inter
+      FROM f)
+    SELECT 'a' AS measure, n_a AS exact_n, TRUE AS sketch_ok FROM c
+    UNION ALL SELECT 'b', n_b, TRUE FROM c
+    UNION ALL SELECT 'union', n_union, TRUE FROM c
+    UNION ALL SELECT 'intersection', n_inter, TRUE FROM c
+    """,
+)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-operation sketch
+    (``operators/profile.py::kmv_sketch`` / ``kmv_set_ops`` — the
+    set-operation member of the sketch family): two overlapping
+    event-id segments (A = ids with ``id % 10 < 5``, B = ``3 <= id %
+    10 < 9`` — 20% of the id space in both) are sketched to k=2048
+    minimum hashes each from ONE corpus scan, and the segment,
+    UNION, and INTERSECTION cardinalities are estimated from the two
+    k-row summaries alone — the question HLL cannot answer (HLL
+    unions losslessly but cannot intersect) and the reason theta
+    sketches exist. At 100 TB: exact ``COUNT(DISTINCT)`` per segment
+    pays a full distinct-key exchange PER QUESTION; this pays one
+    scan total, and any new segment pair is answered from stored
+    k-row sketches without touching the corpus again.
+
+    The tolerance-oracle pattern: the returned rows are the EXACT
+    four cardinalities (hash-checked vs DuckDB from the same distinct
+    relation) and ``sketch_ok`` pins the sketch path in-plan — the
+    KMV estimate must land within max(4, 10%) for the direct /
+    union measures and max(4, 18%) for the sampled intersection,
+    deterministically reproducible because xxhash64 has no RNG
+    (k=2048 -> RSE ~2.2%; the intersection is a theta-rate sample,
+    ~3.5% RSE at sf0.1). Groups under k distinct values take the exact
+    path (theta = 1), so sf0.001 exercises exact mode while
+    sf0.01/sf0.1 exercise estimation. A broken merge, hash change,
+    or lost theta flips a flag and fails the driver hash."""
+    from kamodo_dask_spark.operators.profile import kmv_set_ops, kmv_sketch
+
+    k = 2048
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    m = F.col("event_id") % 10
+    members = (
+        ev.filter(m < 5)
+        .select(F.col("event_id").alias("id"), F.lit("a").alias("seg"))
+        .unionByName(
+            ev.filter((m >= 3) & (m < 9)).select(
+                F.col("event_id").alias("id"), F.lit("b").alias("seg")
+            )
+        )
+    )
+    sk = kmv_sketch(members, "id", k=k, by=["seg"])
+    # one row of four estimates — the metadata-collect contract; inlined
+    # as literals below (a scalar crossJoin would plan the banned BNLJ)
+    est = kmv_set_ops(sk, "seg", "a", "b", k).first()
+    exact = (
+        ev.select("event_id")
+        .distinct()
+        .select((F.col("event_id") % 10).alias("m"))
+        .agg(
+            F.sum((F.col("m") < 5).cast("long")).alias("n_a"),
+            F.sum(((F.col("m") >= 3) & (F.col("m") < 9)).cast("long")).alias(
+                "n_b"
+            ),
+            F.sum((F.col("m") < 9).cast("long")).alias("n_union"),
+            F.sum(((F.col("m") >= 3) & (F.col("m") < 5)).cast("long")).alias(
+                "n_inter"
+            ),
+        )
+    )
+    measures = [
+        ("a", "n_a", float(est["est_a"]), 0.10),
+        ("b", "n_b", float(est["est_b"]), 0.10),
+        ("union", "n_union", float(est["est_union"]), 0.10),
+        ("intersection", "n_inter", float(est["est_inter"]), 0.18),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("measure"),
+            F.col(col).cast("bigint").alias("exact_n"),
+            (
+                F.abs(F.lit(e) - F.col(col))
+                <= F.greatest(F.lit(4.0), F.col(col) * F.lit(tol))
+            ).alias("sketch_ok"),
+        )
+        for name, col, e, tol in measures
+    ]
+    return exact.select(F.explode(F.array(*structs)).alias("_r")).select(
+        "_r.*"
+    )
+
+
+@register(
     "retractable_minmax_view",
     """
     WITH c AS (SELECT o_orderstatus AS status,

@@ -4522,3 +4522,94 @@ def test_cc_incremental_matches_full_recompute(spark):
     assert run([(2, 50), (50, 11)]) == [
         (1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (50, 1),
     ]
+
+
+def test_kmv_sketch_mergeable_exact_and_estimates(spark):
+    """KMV/theta sketch: the summary is IDENTICAL at every partitioning
+    (any global k-minimum is in its own partition's k minima, so
+    k-smallest of unioned partials = k-smallest of the union); groups
+    under k distinct values carry their FULL set and every estimator
+    degrades to exact (theta = 1); saturated groups estimate distinct /
+    union / intersection within the k=512 error envelope; duplicates
+    and NULLs carry no identity; validation raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.profile import (
+        kmv_distinct,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    # A = ids 0..5999, B = 3000..9999 -> |A|=6000 |B|=7000 inter=3000
+    # union=10000; duplicate every A row so multiplicity can't leak in
+    rows = (
+        [(i, "a") for i in range(6000)] * 2
+        + [(i, "b") for i in range(3000, 10000)]
+        + [(None, "a")] * 7
+    )
+    df = spark.createDataFrame(rows, "id bigint, seg string")
+    k = 512
+    sketches = [
+        sorted(
+            tuple(r)
+            for r in kmv_sketch(
+                df.repartition(p), "id", k=k, by=["seg"]
+            ).collect()
+        )
+        for p in (1, 4, 32)
+    ]
+    assert sketches[0] == sketches[1] == sketches[2]
+    assert len(sketches[0]) == 2 * k  # both groups saturated
+
+    sk = kmv_sketch(df, "id", k=k, by=["seg"])
+    est = {
+        r["seg"]: (r["est_n"], r["exact_mode"])
+        for r in kmv_distinct(sk, k, ["seg"]).collect()
+    }
+    assert not est["a"][1] and not est["b"][1]
+    assert abs(est["a"][0] - 6000) <= 0.15 * 6000  # RSE ~4.4% at k=512
+    assert abs(est["b"][0] - 7000) <= 0.15 * 7000
+    ops = kmv_set_ops(sk, "seg", "a", "b", k).first()
+    assert abs(ops["est_union"] - 10000) <= 0.15 * 10000
+    assert abs(ops["est_inter"] - 3000) <= 0.30 * 3000
+    assert 0.0 < ops["theta"] < 1.0
+
+    # exact mode: under k distinct values per group -> exact everywhere
+    small = spark.createDataFrame(
+        [(i, "x") for i in range(100)] + [(i, "y") for i in range(50, 150)],
+        "id bigint, seg string",
+    )
+    sk2 = kmv_sketch(small.repartition(8), "id", k=k, by=["seg"])
+    got = {
+        r["seg"]: (r["est_n"], r["exact_mode"])
+        for r in kmv_distinct(sk2, k, ["seg"]).collect()
+    }
+    assert got == {"x": (100.0, True), "y": (100.0, True)}
+    ops2 = kmv_set_ops(sk2, "seg", "x", "y", k).first()
+    assert (
+        ops2["est_a"],
+        ops2["est_b"],
+        ops2["est_union"],
+        ops2["est_inter"],
+        ops2["theta"],
+    ) == (100.0, 100.0, 150.0, 50.0, 1.0)
+
+    # global (no `by`) sketch; hashes are the k smallest distinct ones
+    g = kmv_sketch(df.select("id"), "id", k=8)
+    all_h = sorted(
+        r["_h"]
+        for r in df.filter("id is not null")
+        .select(F.xxhash64("id").alias("_h"))
+        .distinct()
+        .collect()
+    )
+    assert sorted(r["_h"] for r in g.collect()) == all_h[:8]
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "id", k=1)
+    with _pytest.raises(ValueError, match="lacks"):
+        kmv_sketch(df, "nope")
+    with _pytest.raises(ValueError, match="reserved"):
+        kmv_sketch(df.withColumnRenamed("id", "_h"), "_h")
