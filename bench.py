@@ -45,6 +45,8 @@ STREAMING_QUERIES = {
     "streaming_view_maintenance",
     "streaming_dau_sketch",
     "streaming_heavy_hitters",
+    "streaming_quantile_sketch",
+    "streaming_theta_sketch",
 }
 
 #: A query slower than this factor vs the previous recorded round is flagged

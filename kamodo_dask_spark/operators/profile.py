@@ -1018,7 +1018,23 @@ def kmv_sketch(
             yield pd.concat(rows, ignore_index=True)
 
     parts = hashed.mapInPandas(summarize, out_schema)
-    dedup = parts.select(*by, "_h").distinct()  # partial-combined
+    return kmv_merge(parts, k, by)
+
+
+def kmv_merge(
+    summary: DataFrame,
+    k: int,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """EXACT merge of (unioned) KMV summaries: the k smallest distinct
+    hashes per group of the union — by the k-minima property this IS
+    the sketch of the unioned underlying sets, so folding one batch's
+    sketch into a stored state per micro-batch loses nothing vs
+    sketching the whole history at once (the streaming twin's fold
+    step). Work is summary-sized: a partial-combined distinct plus a
+    per-group ``row_number`` window over O(inputs × k) rows."""
+    by = list(by or [])
+    dedup = summary.select(*by, "_h").distinct()  # partial-combined
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
     return (
         dedup.withColumn("_r", F.row_number().over(w))

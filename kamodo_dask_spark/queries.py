@@ -7328,9 +7328,9 @@ def quantile_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_exact_with_check(spark, cents, est_rows)
 
 
-@register(
-    "theta_sketch_setops",
-    """
+#: Shared oracle for the batch and streaming theta-sketch entries: the
+#: exact four segment/set-op cardinalities over distinct event ids.
+_THETA_ORACLE = """
     WITH ids AS (SELECT DISTINCT event_id FROM events
                  WHERE event_id IS NOT NULL),
     f AS (SELECT event_id % 10 AS m FROM ids),
@@ -7346,8 +7346,81 @@ def quantile_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'b', n_b, TRUE FROM c
     UNION ALL SELECT 'union', n_union, TRUE FROM c
     UNION ALL SELECT 'intersection', n_inter, TRUE FROM c
-    """,
-)
+    """
+
+_THETA_K = 2048
+
+
+def _theta_members(ev: DataFrame) -> DataFrame:
+    """The theta entries' shared fixture: two overlapping event-id
+    segments (A = ids with ``id % 10 < 5``, B = ``3 <= id % 10 < 9`` —
+    20% of the id space in both) as (id, seg) membership rows."""
+    m = F.col("event_id") % 10
+    return (
+        ev.filter(m < 5)
+        .select(F.col("event_id").alias("id"), F.lit("a").alias("seg"))
+        .unionByName(
+            ev.filter((m >= 3) & (m < 9)).select(
+                F.col("event_id").alias("id"), F.lit("b").alias("seg")
+            )
+        )
+    )
+
+
+def _theta_exact_with_check(ev: DataFrame, est) -> DataFrame:
+    """Exact four cardinalities + in-plan sketch verification shared by
+    the batch and streaming theta entries: ``est`` is the collected
+    one-row estimate record (the metadata-collect contract); the flags
+    require each KMV estimate within max(4, 10%) of the exact value for
+    the direct/union measures and max(4, 18%) for the sampled
+    intersection — deterministic because xxhash64 has no RNG."""
+    exact = (
+        ev.select("event_id")
+        .distinct()
+        .select((F.col("event_id") % 10).alias("m"))
+        .agg(
+            F.sum((F.col("m") < 5).cast("long")).alias("n_a"),
+            F.sum(((F.col("m") >= 3) & (F.col("m") < 9)).cast("long")).alias(
+                "n_b"
+            ),
+            F.sum((F.col("m") < 9).cast("long")).alias("n_union"),
+            F.sum(((F.col("m") >= 3) & (F.col("m") < 5)).cast("long")).alias(
+                "n_inter"
+            ),
+        )
+    )
+    measures = [
+        ("a", "n_a", float(est["est_a"]) if est else None, 0.10),
+        ("b", "n_b", float(est["est_b"]) if est else None, 0.10),
+        ("union", "n_union", float(est["est_union"]) if est else None, 0.10),
+        (
+            "intersection",
+            "n_inter",
+            float(est["est_inter"]) if est else None,
+            0.18,
+        ),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("measure"),
+            F.col(col).cast("bigint").alias("exact_n"),
+            (
+                F.lit(True)
+                if e is None  # no batches delivered: nothing to verify
+                else (
+                    F.abs(F.lit(e) - F.col(col))
+                    <= F.greatest(F.lit(4.0), F.col(col) * F.lit(tol))
+                )
+            ).alias("sketch_ok"),
+        )
+        for name, col, e, tol in measures
+    ]
+    return exact.select(F.explode(F.array(*structs)).alias("_r")).select(
+        "_r.*"
+    )
+
+
+@register("theta_sketch_setops", _THETA_ORACLE)
 def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta set-operation sketch
     (``operators/profile.py::kmv_sketch`` / ``kmv_set_ops`` — the
@@ -7376,59 +7449,14 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     or lost theta flips a flag and fails the driver hash."""
     from kamodo_dask_spark.operators.profile import kmv_set_ops, kmv_sketch
 
-    k = 2048
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_id").isNotNull()
     )
-    m = F.col("event_id") % 10
-    members = (
-        ev.filter(m < 5)
-        .select(F.col("event_id").alias("id"), F.lit("a").alias("seg"))
-        .unionByName(
-            ev.filter((m >= 3) & (m < 9)).select(
-                F.col("event_id").alias("id"), F.lit("b").alias("seg")
-            )
-        )
-    )
-    sk = kmv_sketch(members, "id", k=k, by=["seg"])
+    sk = kmv_sketch(_theta_members(ev), "id", k=_THETA_K, by=["seg"])
     # one row of four estimates — the metadata-collect contract; inlined
     # as literals below (a scalar crossJoin would plan the banned BNLJ)
-    est = kmv_set_ops(sk, "seg", "a", "b", k).first()
-    exact = (
-        ev.select("event_id")
-        .distinct()
-        .select((F.col("event_id") % 10).alias("m"))
-        .agg(
-            F.sum((F.col("m") < 5).cast("long")).alias("n_a"),
-            F.sum(((F.col("m") >= 3) & (F.col("m") < 9)).cast("long")).alias(
-                "n_b"
-            ),
-            F.sum((F.col("m") < 9).cast("long")).alias("n_union"),
-            F.sum(((F.col("m") >= 3) & (F.col("m") < 5)).cast("long")).alias(
-                "n_inter"
-            ),
-        )
-    )
-    measures = [
-        ("a", "n_a", float(est["est_a"]), 0.10),
-        ("b", "n_b", float(est["est_b"]), 0.10),
-        ("union", "n_union", float(est["est_union"]), 0.10),
-        ("intersection", "n_inter", float(est["est_inter"]), 0.18),
-    ]
-    structs = [
-        F.struct(
-            F.lit(name).alias("measure"),
-            F.col(col).cast("bigint").alias("exact_n"),
-            (
-                F.abs(F.lit(e) - F.col(col))
-                <= F.greatest(F.lit(4.0), F.col(col) * F.lit(tol))
-            ).alias("sketch_ok"),
-        )
-        for name, col, e, tol in measures
-    ]
-    return exact.select(F.explode(F.array(*structs)).alias("_r")).select(
-        "_r.*"
-    )
+    est = kmv_set_ops(sk, "seg", "a", "b", _THETA_K).first()
+    return _theta_exact_with_check(ev, est)
 
 
 @register(
@@ -7729,6 +7757,86 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary, "c", _QUANTILE_PCTS
     ).collect()
     return _quantile_exact_with_check(spark, cents, est_rows or None)
+
+
+@register("streaming_theta_sketch", _THETA_ORACLE)
+def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV/theta maintenance — ``foreachBatch`` folding the
+    r11 set-operation sketch (§2.9 composed with
+    ``operators/profile.py::kmv_sketch`` / ``kmv_merge``, completing
+    the sketch-maintenance MATRIX: every sketch family — HLL
+    cardinality, Misra-Gries frequency, GK ranks, KMV set ops — now
+    has both a batch and a streaming entry): the two-segment
+    membership fixture is split into FOUR files streamed one per
+    micro-batch; each batch is sketched (one batch-sized scan) and
+    merged into a restart-recoverable ≤2k-row (seg, _h) state via
+    ``kmv_merge`` — EXACT mergeability (k smallest of the union of
+    k-smallest summaries = the sketch of the union), so the
+    post-stream state is byte-identical to sketching the whole
+    history at once and the set-op estimates match the batch entry's
+    exactly. State persists per commit through ``CommittedState``;
+    per commit the work is one batch-sized sketch + a state-sized
+    merge + a state-sized snapshot write — history is never
+    re-scanned. Returns the EXACT four cardinalities (the shared
+    theta oracle) plus ``sketch_ok`` pinning the cross-batch fold
+    in-plan: a dropped batch, a broken merge, or unrestored state
+    moves an estimate outside its tolerance band and fails the
+    driver hash."""
+    from kamodo_dask_spark.operators.profile import (
+        kmv_merge,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+    from kamodo_dask_spark.session import scoped_conf
+    from kamodo_dask_spark.streaming.state import CommittedState
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    members = _theta_members(ev)
+    base = _session_scratch(spark, "kds_stream_theta", sf_dir)
+    chunk = F.pmod(F.col("id"), F.lit(4))
+    for i in range(4):
+        members.filter(chunk == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/chunk={i}")
+
+    st = CommittedState(spark, f"{base}/state", "seg string, _h bigint")
+    st.reset()  # fresh stream (fresh checkpoint): batch ids restart at 0
+
+    def fold(batch_df, batch_id):
+        bs = kmv_sketch(batch_df, "id", k=_THETA_K, by=["seg"])
+        cur, _ = st.ensure(batch_id)  # empty relation before batch 0
+        st.commit(batch_id, kmv_merge(cur.unionByName(bs), _THETA_K, ["seg"]))
+
+    stream = (
+        spark.readStream.schema("id bigint, seg string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/chunk=*")
+    )
+    with scoped_conf(
+        spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    ):
+        for q in spark.streams.active:
+            if q.name == "streaming_theta_sketch_q":
+                q.stop()
+        with _ephemeral_checkpoint() as ckpt:
+            query = (
+                stream.writeStream.foreachBatch(fold)
+                .queryName("streaming_theta_sketch_q")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+    sk, _ = st.state()
+    est = (
+        None
+        if sk.isEmpty()  # no batches delivered: nothing to verify
+        else kmv_set_ops(sk, "seg", "a", "b", _THETA_K).first()
+    )
+    return _theta_exact_with_check(ev, est)
 
 
 # ---------------------------------------------------------------------------

@@ -464,3 +464,69 @@ def test_committed_state_survives_query_restart(spark, tmp_path):
     # 0 and 1 were not replayed, their snapshots pruned down to the
     # newest two commits
     assert st2._committed_ids() == [2, 3]
+
+
+def test_kmv_stream_fold_survives_query_restart(spark, tmp_path):
+    """The KMV streaming fold is EXACTLY mergeable, so the recovered
+    state after a stop/restart (fresh CommittedState instance = new
+    driver) must be byte-identical to sketching all four chunks at
+    once — the strongest form of the r10 restart criterion."""
+    from kamodo_dask_spark.operators.profile import kmv_merge, kmv_sketch
+    from kamodo_dask_spark.streaming.state import CommittedState
+
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "kmv_ckpt")
+    state_path = str(tmp_path / "kmv_state")
+    K = 16
+
+    def write_chunk(i: int, ids: "list[int]") -> None:
+        spark.createDataFrame(
+            [(v, "s") for v in ids], "id bigint, seg string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk={i}")
+
+    def run_available(st: "CommittedState") -> None:
+        def fold(batch_df, batch_id):
+            bs = kmv_sketch(batch_df, "id", k=K, by=["seg"])
+            cur, _ = st.ensure(batch_id)
+            st.commit(batch_id, kmv_merge(cur.unionByName(bs), K, ["seg"]))
+
+        q = (
+            spark.readStream.schema("id bigint, seg string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/chunk=*")
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    chunks = [
+        list(range(0, 40)),
+        list(range(20, 60)),
+        list(range(50, 90)),
+        list(range(85, 120)),
+    ]
+    write_chunk(0, chunks[0])
+    write_chunk(1, chunks[1])
+    st1 = CommittedState(spark, state_path, "seg string, _h bigint")
+    run_available(st1)
+    assert len(st1._committed_ids()) == 2
+
+    # crash window: new files land while no query runs; the restart uses
+    # a fresh instance with no cache and must restore committed state
+    write_chunk(2, chunks[2])
+    write_chunk(3, chunks[3])
+    st2 = CommittedState(spark, state_path, "seg string, _h bigint")
+    run_available(st2)
+
+    got_df, _ = st2.state()
+    got = sorted(r["_h"] for r in got_df.collect())
+    all_rows = spark.createDataFrame(
+        [(v, "s") for c in chunks for v in c], "id bigint, seg string"
+    )
+    want = sorted(
+        r["_h"] for r in kmv_sketch(all_rows, "id", k=K, by=["seg"]).collect()
+    )
+    assert got == want and len(got) == K
