@@ -89,7 +89,11 @@ SF01_BUDGETS = {
     # stage scheduling (SCALE.md round 10) — a wall trade for shape
     # safety, not a regression class. The budget still catches the
     # candidate-set explosion / lost-checkpoint classes (both >10 s).
-    "dedup_clusters": 6.0,
+    # Tightened 6.0 -> 5.5 in r11: the convergence check folded into the
+    # checkpoint job returned ~0.5-0.9 s of the per-round floor
+    # (SCALE.md round 11: 4.16 s warm on a ~1.4x-slow host ≈ 3.0
+    # normalized).
+    "dedup_clusters": 5.5,
     # ~2.6-2.9 s warm (symmetric hash join state machinery); budget catches
     # an unbounded-state or per-batch-replan regression
     "stream_stream_join": 5.0,
@@ -180,6 +184,24 @@ SF01_BUDGETS = {
     # collect (~3.6 s warm at sf0.1); the budget catches a per-batch
     # history-recount regression (the streaming_dau_sketch class)
     "streaming_heavy_hitters": 7.0,
+    # r11 additions, ~2x headroom over isolated warm sf0.1 best-of-4
+    # (SCALE.md round 11; measured on a host calibrating ~1.4x slower
+    # than the r10 record host). The two streaming twins are the
+    # catalog's most job-heavy streaming entries — four micro-batches,
+    # each a summary/sketch build + state merge + CommittedState
+    # snapshot; their budgets catch a per-batch history-rescan or
+    # state-explosion regression (state must stay O(1/eps) / O(k)
+    # rows), not scheduler swings.
+    "streaming_quantile_sketch": 16.0,  # 8.4 s warm
+    "streaming_theta_sketch": 13.0,  # 6.2 s warm
+    # near_dup pair-finding + full CC over old + touched-only fold; the
+    # budget catches the fold degrading to view-shuffling joins or the
+    # contraction running on the full graph instead of super-edges
+    "cc_incremental": 12.0,  # ~6 s warm
+    # one-scan summary builds; budgets catch the summary degenerating
+    # to a corpus sort (quantile) / corpus shuffle (theta)
+    "quantile_sketch": 4.0,  # 1.76 s warm
+    "theta_sketch_setops": 3.5,  # 1.44 s warm
 }
 
 #: Regressions smaller than this many absolute seconds are never flagged:

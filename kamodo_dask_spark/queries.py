@@ -153,6 +153,29 @@ def _session_scratch(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     return base
 
 
+def _write_stream_chunks(
+    df: DataFrame, chunk_col, dest: str, cols: "list[str] | None" = None
+) -> str:
+    """Write a streaming entry's micro-batch fixture — n chunk files at
+    ``{dest}/chunk=<i>`` — in ONE scan and ONE task (directory-
+    partitioned write), replacing the per-chunk filtered-scan loop that
+    cost one full fixture scan + write job PER chunk. ``chunk_col`` is
+    evaluated against ``df`` BEFORE the optional ``cols`` projection, so
+    the split key needn't survive into the files. ``repartition(1)``
+    pins exactly one file per chunk directory, so ``maxFilesPerTrigger=1``
+    still yields exactly one micro-batch per chunk. The single-task
+    write is a bench-FIXTURE convenience (the fixture is the entry's
+    micro-batch corpus, metadata-sized at test scale), not an operator
+    path. Returns the glob the file stream should read."""
+    out = df.withColumn("chunk", chunk_col)
+    if cols is not None:
+        out = out.select(*cols, "chunk")
+    out.repartition(1).write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(dest)
+    return f"{dest}/chunk=*"
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.1-2.6 on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -5816,10 +5839,9 @@ def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL for every i — a NULL-keyed row would silently land in no
     # chunk while the oracle aggregates all events (latent hash desync).
     chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    for i in range(4):
-        ev.filter(chunk == i).select(
-            "event_type", "day", "cents"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/chunk={i}")
+    src_glob = _write_stream_chunks(
+        ev, chunk, f"{base}/chunks", cols=["event_type", "day", "cents"]
+    )
 
     # restart-recoverable view state (judge r10 ask #2): the post-fold
     # view persists per commit and restores on the first batch after a
@@ -5849,7 +5871,7 @@ def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("event_type string, day long, cents long")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/chunk=*")
+        .parquet(src_glob)
     )
     with scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
@@ -6895,10 +6917,9 @@ def streaming_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total chunk split (NULL event_id coalesced — the
     # streaming_view_maintenance hash-desync lesson)
     chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    for i in range(4):
-        ev.filter(chunk == i).select("user_id", "day").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/chunk={i}")
+    src_glob = _write_stream_chunks(
+        ev, chunk, f"{base}/chunks", cols=["user_id", "day"]
+    )
 
     from kamodo_dask_spark.streaming.state import CommittedState
 
@@ -6920,7 +6941,7 @@ def streaming_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("user_id long, day long")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/chunk=*")
+        .parquet(src_glob)
     )
     with scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
@@ -7592,10 +7613,9 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _session_scratch(spark, "kds_stream_mg", sf_dir)
     chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    for i in range(4):
-        keyed.filter(chunk == i).select("key").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/chunk={i}")
+    src_glob = _write_stream_chunks(
+        keyed, chunk, f"{base}/chunks", cols=["key"]
+    )
 
     from kamodo_dask_spark.streaming.state import CommittedState
 
@@ -7633,7 +7653,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("key string")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/chunk=*")
+        .parquet(src_glob)
     )
     with scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
@@ -7712,10 +7732,9 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _session_scratch(spark, "kds_stream_q", sf_dir)
     chunk = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
-    for i in range(4):
-        cents_keyed.filter(chunk == i).select("c").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/chunk={i}")
+    src_glob = _write_stream_chunks(
+        cents_keyed, chunk, f"{base}/chunks", cols=["c"]
+    )
 
     st = CommittedState(
         spark, f"{base}/state", "c bigint, _w long, _err long, _n long"
@@ -7733,7 +7752,7 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("c bigint")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/chunk=*")
+        .parquet(src_glob)
     )
     with scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
@@ -7796,10 +7815,7 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _theta_members(ev)
     base = _session_scratch(spark, "kds_stream_theta", sf_dir)
     chunk = F.pmod(F.col("id"), F.lit(4))
-    for i in range(4):
-        members.filter(chunk == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/chunk={i}")
+    src_glob = _write_stream_chunks(members, chunk, f"{base}/chunks")
 
     st = CommittedState(spark, f"{base}/state", "seg string, _h bigint")
     st.reset()  # fresh stream (fresh checkpoint): batch ids restart at 0
@@ -7812,7 +7828,7 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("id bigint, seg string")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/chunk=*")
+        .parquet(src_glob)
     )
     with scoped_conf(
         spark, **{"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
