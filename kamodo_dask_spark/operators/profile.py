@@ -1119,20 +1119,28 @@ def kmv_set_ops(
         .collect()
     }  # <= 2 rows: metadata-sized by construction
     thetas = {}
+    cuts = {}  # group -> exact int64 strict-below cut, or None (theta=1)
     for g in (group_a, group_b):
         cnt, hk = stats.get(g, (0, None))
-        thetas[g] = (
-            (float(hk) - _KMV_MIN + 1.0) / _KMV_SPAN
-            if cnt >= k
-            else 1.0
-        )
+        if cnt >= k:
+            thetas[g] = (float(hk) - _KMV_MIN + 1.0) / _KMV_SPAN
+            cuts[g] = hk
+        else:
+            thetas[g] = 1.0
+            cuts[g] = None
     theta = min(thetas.values())
-    # strict u(h) < theta, as one double comparison: u(h) < theta iff
-    # h < theta * 2^64 + LONG_MIN - 1 (at theta = 1.0: every hash passes)
-    cut = F.lit(theta) * F.lit(_KMV_SPAN) + F.lit(float(_KMV_MIN) - 1.0)
+    # strict u(h) < theta as an EXACT int64 comparison: theta is the
+    # normalized image of the smaller saturated group's k-th minimum
+    # hash, so u(h) < theta iff h < that hash — computing the cut in
+    # doubles instead would misclassify hashes within one 2^63-range
+    # ulp (~1024) of the threshold. theta = 1.0 (neither group
+    # saturated) keeps every hash: no filter at all.
+    cut_long = min(
+        (c for c in cuts.values() if c is not None), default=None
+    )
+    below = sk if cut_long is None else sk.filter(F.col("_h") < cut_long)
     flags = (
-        sk.filter(F.col("_h").cast("double") < cut)
-        .groupBy("_h")
+        below.groupBy("_h")
         .agg(
             F.max(F.col(by) == F.lit(group_a)).alias("_ia"),
             F.max(F.col(by) == F.lit(group_b)).alias("_ib"),
