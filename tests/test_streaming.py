@@ -530,3 +530,34 @@ def test_kmv_stream_fold_survives_query_restart(spark, tmp_path):
         r["_h"] for r in kmv_sketch(all_rows, "id", k=K, by=["seg"]).collect()
     )
     assert got == want and len(got) == K
+
+
+def test_write_stream_chunks_one_file_per_chunk(spark, tmp_path):
+    """The streaming fixtures' one-job partitioned write must land
+    EXACTLY one parquet file per chunk directory — maxFilesPerTrigger=1
+    turns files into micro-batches, so a second file in a chunk dir
+    silently changes every foreachBatch entry's batch count."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.queries import _write_stream_chunks
+
+    df = spark.range(1000, numPartitions=8).select(
+        F.col("id"), (F.col("id") % 7).alias("junk")
+    )
+    dest = str(tmp_path / "chunks")
+    pattern = _write_stream_chunks(
+        df, F.pmod(F.col("id"), F.lit(4)), dest, cols=["id"]
+    )
+    assert pattern == f"{dest}/chunk=*"
+    for i in range(4):
+        files = _glob.glob(f"{dest}/chunk={i}/*.parquet")
+        assert len(files) == 1, (i, files)
+    back = spark.read.schema("id bigint").parquet(pattern)
+    # the optional cols projection dropped 'junk'; every row survives
+    assert back.count() == 1000
+    assert back.columns == ["id"]
+    # chunk assignment respected: dir i holds exactly the id % 4 == i rows
+    got = spark.read.schema("id bigint").parquet(f"{dest}/chunk=2")
+    assert sorted(r["id"] for r in got.collect()) == list(range(2, 1000, 4))
