@@ -7743,7 +7743,14 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df, batch_id):
         bs = quantile_summary(batch_df, "c", eps=0.01)
-        cur, _ = st.ensure(batch_id)  # empty relation before batch 0
+        if batch_id == 0:
+            # state before batch 0 is empty BY PROTOCOL (ensure restores
+            # only ids strictly below, even on replay), and the batch
+            # summary is already O(1/eps) rows — committing it directly
+            # skips a no-op compression and its added error term
+            st.commit(batch_id, bs)
+            return
+        cur, _ = st.ensure(batch_id)
         st.commit(
             batch_id,
             compress_summary(cur.unionByName(bs), "c", eps=0.005),
@@ -7822,7 +7829,12 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df, batch_id):
         bs = kmv_sketch(batch_df, "id", k=_THETA_K, by=["seg"])
-        cur, _ = st.ensure(batch_id)  # empty relation before batch 0
+        if batch_id == 0:
+            # empty prior state by protocol; the batch sketch IS the
+            # merged state — skip the identity merge's distinct+window
+            st.commit(batch_id, bs)
+            return
+        cur, _ = st.ensure(batch_id)
         st.commit(batch_id, kmv_merge(cur.unionByName(bs), _THETA_K, ["seg"]))
 
     stream = (
