@@ -89,11 +89,16 @@ SF01_BUDGETS = {
     # stage scheduling (SCALE.md round 10) — a wall trade for shape
     # safety, not a regression class. The budget still catches the
     # candidate-set explosion / lost-checkpoint classes (both >10 s).
-    # Tightened 6.0 -> 5.5 in r11: the convergence check folded into the
-    # checkpoint job returned ~0.5-0.9 s of the per-round floor
-    # (SCALE.md round 11: 4.16 s warm on a ~1.4x-slow host ≈ 3.0
-    # normalized).
-    "dedup_clusters": 5.5,
+    # r11: the convergence check folded into the checkpoint job returned
+    # ~0.5-0.9 s of the per-round floor (SCALE.md round 11: 2.71 s in
+    # the clean catalog run vs r10's 3.39) — but the HARD budget must
+    # absorb the host's raw-wall swing, not reward the improvement: the
+    # same entry measured 4.0-5.2 s isolated-warm and 9.0 s in one
+    # stalled catalog window on a 2x-slow host, all with byte-identical
+    # plans. 7.0 keeps full separation from the >10 s (>20 s on a slow
+    # host) candidate-explosion / lost-checkpoint classes; the fold's
+    # win is visible in the tracker-normalized comparison instead.
+    "dedup_clusters": 7.0,
     # ~2.6-2.9 s warm (symmetric hash join state machinery); budget catches
     # an unbounded-state or per-batch-replan regression
     "stream_stream_join": 5.0,
