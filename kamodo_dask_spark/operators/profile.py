@@ -1105,10 +1105,13 @@ def kmv_set_ops(
     Everything here is sketch-relation-sized: theta comes off a ≤2-row
     aggregate collected as two scalars and inlined as literals (the
     metadata-collect contract — a scalar crossJoin would plan the
-    banned BroadcastNestedLoopJoin), and all four counts come from ONE
+    banned BroadcastNestedLoopJoin), and every count comes from ONE
     aggregation over the per-hash membership-flag relation — no joins
-    at all. Returns one row:
-    ``(est_a, est_b, est_union, est_inter, theta)``."""
+    at all. Returns one row: ``(est_a, est_b, est_union, est_inter,
+    est_diff_ab, est_diff_ba, est_jaccard, theta)`` — differences and
+    Jaccard fall out of the same theta sample (below theta both
+    sketches are complete, so absence is genuine absence), all exact
+    when neither group saturated."""
     sk = sketch.filter(F.col(by).isin([group_a, group_b])).localCheckpoint(
         eager=True
     )
@@ -1148,19 +1151,26 @@ def kmv_set_ops(
     )
     inv = F.lit(1.0 / theta)
     zero = F.lit(0)  # empty-group sums are NULL; the estimate is 0
+
+    def _cnt(cond: Column) -> Column:
+        return F.coalesce(F.sum(cond.cast("long")), zero)
+
+    n_inter = _cnt(F.col("_ia") & F.col("_ib"))
+    n_union = F.count("*")
+    # below theta BOTH sketches are complete samples of their sets
+    # (theta <= each group's own k-th minimum), so difference and
+    # Jaccard come from the same membership flags: a sampled member of
+    # A absent from B's sketch is genuinely absent from B below theta.
+    # Jaccard is the count RATIO — theta cancels, no division by it.
     return flags.agg(
-        (F.coalesce(F.sum(F.col("_ia").cast("long")), zero) * inv).alias(
-            "est_a"
-        ),
-        (F.coalesce(F.sum(F.col("_ib").cast("long")), zero) * inv).alias(
-            "est_b"
-        ),
-        (F.count("*") * inv).alias("est_union"),
-        (
-            F.coalesce(
-                F.sum((F.col("_ia") & F.col("_ib")).cast("long")), zero
-            )
-            * inv
-        ).alias("est_inter"),
+        (_cnt(F.col("_ia")) * inv).alias("est_a"),
+        (_cnt(F.col("_ib")) * inv).alias("est_b"),
+        (n_union * inv).alias("est_union"),
+        (n_inter * inv).alias("est_inter"),
+        (_cnt(F.col("_ia") & ~F.col("_ib")) * inv).alias("est_diff_ab"),
+        (_cnt(F.col("_ib") & ~F.col("_ia")) * inv).alias("est_diff_ba"),
+        F.when(n_union > 0, n_inter / n_union)
+        .otherwise(F.lit(0.0))
+        .alias("est_jaccard"),
         F.lit(float(theta)).alias("theta"),
     )

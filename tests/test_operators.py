@@ -4574,6 +4574,13 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
     ops = kmv_set_ops(sk, "seg", "a", "b", k).first()
     assert abs(ops["est_union"] - 10000) <= 0.15 * 10000
     assert abs(ops["est_inter"] - 3000) <= 0.30 * 3000
+    assert abs(ops["est_diff_ab"] - 3000) <= 0.30 * 3000
+    assert abs(ops["est_diff_ba"] - 4000) <= 0.30 * 4000
+    assert abs(ops["est_jaccard"] - 0.3) <= 0.1
+    # the four sampled counts are consistent by construction
+    assert ops["est_union"] == __import__("pytest").approx(
+        ops["est_inter"] + ops["est_diff_ab"] + ops["est_diff_ba"]
+    )
     assert 0.0 < ops["theta"] < 1.0
 
     # exact mode: under k distinct values per group -> exact everywhere
@@ -4593,8 +4600,11 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         ops2["est_b"],
         ops2["est_union"],
         ops2["est_inter"],
+        ops2["est_diff_ab"],
+        ops2["est_diff_ba"],
         ops2["theta"],
-    ) == (100.0, 100.0, 150.0, 50.0, 1.0)
+    ) == (100.0, 100.0, 150.0, 50.0, 50.0, 50.0, 1.0)
+    assert ops2["est_jaccard"] == __import__("pytest").approx(50.0 / 150.0)
 
     # global (no `by`) sketch; hashes are the k smallest distinct ones
     g = kmv_sketch(df.select("id"), "id", k=8)
