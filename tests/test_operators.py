@@ -4561,7 +4561,9 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         for p in (1, 4, 32)
     ]
     assert sketches[0] == sketches[1] == sketches[2]
-    assert len(sketches[0]) == 2 * k  # both groups saturated
+    # both groups saturated: k+1 retained slots each (the extra slot
+    # makes exact-at-k decidable)
+    assert len(sketches[0]) == 2 * (k + 1)
 
     sk = kmv_sketch(df, "id", k=k, by=["seg"])
     est = {
@@ -4583,9 +4585,13 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
     )
     assert 0.0 < ops["theta"] < 1.0
 
-    # exact mode: under k distinct values per group -> exact everywhere
+    # exact mode: up to AND INCLUDING k distinct values per group ->
+    # exact everywhere (seg "z" has EXACTLY k distinct values — the
+    # advisor-r11 boundary the k+1 retention makes decidable)
     small = spark.createDataFrame(
-        [(i, "x") for i in range(100)] + [(i, "y") for i in range(50, 150)],
+        [(i, "x") for i in range(100)]
+        + [(i, "y") for i in range(50, 150)]
+        + [(i, "z") for i in range(k)],
         "id bigint, seg string",
     )
     sk2 = kmv_sketch(small.repartition(8), "id", k=k, by=["seg"])
@@ -4593,7 +4599,11 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         r["seg"]: (r["est_n"], r["exact_mode"])
         for r in kmv_distinct(sk2, k, ["seg"]).collect()
     }
-    assert got == {"x": (100.0, True), "y": (100.0, True)}
+    assert got == {
+        "x": (100.0, True),
+        "y": (100.0, True),
+        "z": (float(k), True),
+    }
     ops2 = kmv_set_ops(sk2, "seg", "x", "y", k).first()
     assert (
         ops2["est_a"],
@@ -4606,7 +4616,7 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
     ) == (100.0, 100.0, 150.0, 50.0, 50.0, 50.0, 1.0)
     assert ops2["est_jaccard"] == __import__("pytest").approx(50.0 / 150.0)
 
-    # global (no `by`) sketch; hashes are the k smallest distinct ones
+    # global (no `by`) sketch; hashes are the k+1 smallest distinct ones
     g = kmv_sketch(df.select("id"), "id", k=8)
     all_h = sorted(
         r["_h"]
@@ -4615,7 +4625,7 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         .distinct()
         .collect()
     )
-    assert sorted(r["_h"] for r in g.collect()) == all_h[:8]
+    assert sorted(r["_h"] for r in g.collect()) == all_h[: 8 + 1]
 
     with _pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "id", k=1)

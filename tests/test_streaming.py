@@ -529,7 +529,7 @@ def test_kmv_stream_fold_survives_query_restart(spark, tmp_path):
     want = sorted(
         r["_h"] for r in kmv_sketch(all_rows, "id", k=K, by=["seg"]).collect()
     )
-    assert got == want and len(got) == K
+    assert got == want and len(got) == K + 1  # k+1 retained slots
 
 
 def test_write_stream_chunks_one_file_per_chunk(spark, tmp_path):
