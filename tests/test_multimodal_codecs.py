@@ -270,3 +270,98 @@ def test_sample_frames_rejects_unknown_container(spark):
 
     with _pytest.raises(NotImplementedError, match="ffmpeg"):
         kdsv_decode(b"\x00\x00\x00\x18ftypmp42...")
+
+
+def test_dhash_ahash_kernels_hand_derived():
+    """Perceptual-hash kernels against hand-derivable constructions:
+    a ±1-staircase image encodes an arbitrary target dHash exactly
+    (including bit 63 → signed bigint wrap); aHash of a half-bright
+    image sets exactly the bright half's bits; RGB luma and the
+    resample path are exercised by invariance checks."""
+    import numpy as np
+
+    from kamodo_dask_spark.operators.multimodal import (
+        ahash_bits,
+        dhash_bits,
+        png_decode,
+        png_encode,
+        to_grayscale,
+    )
+
+    def staircase(target: int) -> np.ndarray:
+        px = np.empty((8, 9), dtype=np.uint8)
+        px[:, 0] = 100
+        for r in range(8):
+            for c in range(8):
+                step = 1 if (target >> (r * 8 + c)) & 1 else -1
+                px[r, c + 1] = px[r, c] + step
+        return px
+
+    for target in (0, 1, 0x0123456789ABCDEF, (1 << 64) - 1, 1 << 63):
+        want = target - (1 << 64) if target >= 1 << 63 else target
+        assert dhash_bits(staircase(target)) == want
+        # PNG round trip is lossless, so the hash survives it
+        assert dhash_bits(png_decode(png_encode(staircase(target)))) == want
+
+    # aHash: top 4 rows dark, bottom 4 bright -> bits 32..63 set
+    half = np.zeros((8, 8), dtype=np.uint8)
+    half[4:, :] = 200
+    want = sum(1 << b for b in range(32, 64)) - (1 << 64)
+    assert ahash_bits(half) == want
+
+    # grayscale: pure-gray RGB maps to itself; luma weights integer-exact
+    rgb = np.stack([half] * 3, axis=-1)
+    assert (to_grayscale(rgb) == half).all()
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)
+    assert to_grayscale(px)[0, 0] == (299 * 255) // 1000
+
+    # scale invariance: nearest-neighbor 2x upscale preserves the dHash
+    big = staircase(0x0123456789ABCDEF).repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash_bits(big) == 0x0123456789ABCDEF
+
+    with __import__("pytest").raises(ValueError, match="fit in a 64-bit"):
+        dhash_bits(half, hash_size=9)
+    with __import__("pytest").raises(ValueError, match="fit in a 64-bit"):
+        ahash_bits(half, hash_size=9)
+
+
+def test_image_fingerprints_stage(spark):
+    """The Arrow-batched fingerprint stage returns one dHash per image
+    through the real PNG decode path, and rejects unknown methods and
+    missing columns."""
+    import numpy as np
+    import pytest
+
+    from kamodo_dask_spark.operators.multimodal import (
+        image_fingerprints,
+        png_encode,
+    )
+
+    def staircase(target: int) -> np.ndarray:
+        px = np.empty((8, 9), dtype=np.uint8)
+        px[:, 0] = 100
+        for r in range(8):
+            for c in range(8):
+                step = 1 if (target >> (r * 8 + c)) & 1 else -1
+                px[r, c + 1] = px[r, c] + step
+        return px
+
+    targets = {1: 7, 2: 0xFF00FF00, 3: (1 << 63) | 5}
+    df = spark.createDataFrame(
+        [(i, bytearray(png_encode(staircase(t)))) for i, t in targets.items()],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in image_fingerprints(df, "payload", "doc_id").collect()
+    }
+    want = {
+        i: (t - (1 << 64) if t >= 1 << 63 else t) for i, t in targets.items()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="unknown method"):
+        image_fingerprints(df, "payload", "doc_id", method="phash")
+    with pytest.raises(ValueError, match="lacks"):
+        image_fingerprints(df, "nope", "doc_id")

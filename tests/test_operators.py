@@ -4733,3 +4733,57 @@ def test_join_view_retract(spark):
     )
     with _pytest.raises(Exception, match="must be \\+1 or -1"):
         join_view_retract(view, a, b, bad, none_b, ["k"]).collect()
+
+
+def test_hamming_candidates_brute_force_complete(spark):
+    """The generic Hamming-pigeonhole join (shared by SimHash text
+    dedup and image dedup) against brute-force all-pairs ground truth
+    on a deterministic fingerprint corpus spanning the FULL signed
+    64-bit range — every pair within max_hamming found (pigeonhole
+    completeness with unsigned chunk shifts on negative fingerprints),
+    nothing beyond it, and the validation raises."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.dedup import hamming_candidates
+
+    # LCG corpus with planted near-dups: each base spawns variants at
+    # hamming 1..4 by flipping low/high bits (bit 63 included)
+    state, fps = 0xDEADBEEF, []
+    for i in range(40):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (
+            1 << 64
+        )
+        fps.append(state)
+    planted = []
+    for i, base in enumerate(list(fps)):
+        for d in (1, 2, 3, 4):
+            v = base
+            for b in range(d):
+                v ^= 1 << ((b * 21 + i) % 64)
+            planted.append(v)
+    fps.extend(planted)
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(i, signed(v)) for i, v in enumerate(fps)]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_candidates(
+            df, "id", "fp", bits=64, blocks=4, max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(fps):
+        for j in range(i + 1, len(fps)):
+            h = bin(a ^ fps[j]).count("1")
+            if h <= 3:
+                want[(i, j)] = h
+    assert want, "fixture must plant at least one near-dup pair"
+    assert got == want
+
+    with _pytest.raises(ValueError, match="divide bits"):
+        hamming_candidates(df, "id", "fp", bits=64, blocks=5)
+    with _pytest.raises(ValueError, match="pigeonhole requires"):
+        hamming_candidates(df, "id", "fp", blocks=4, max_hamming=4)
