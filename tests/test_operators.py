@@ -4787,3 +4787,45 @@ def test_hamming_candidates_brute_force_complete(spark):
         hamming_candidates(df, "id", "fp", bits=64, blocks=5)
     with _pytest.raises(ValueError, match="pigeonhole requires"):
         hamming_candidates(df, "id", "fp", blocks=4, max_hamming=4)
+
+
+def test_join_plan_sketch_decisions(spark):
+    """Sketch-mode join planning returns the right strategy on all
+    three shapes (small right -> broadcast; uniform keys -> shuffle;
+    one dominant key -> salted), exact-mode cardinalities under k, and
+    raises on a missing key column."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.skew import join_plan_sketch
+
+    uniform = spark.range(0, 5000, 1, 8).select(
+        (F.col("id") % 100).alias("k")
+    )
+    small = spark.range(50).select(F.col("id").alias("k"))
+    big = spark.range(0, 4000, 1, 8).select((F.col("id") % 200).alias("k"))
+    skewed = spark.range(0, 5000, 1, 8).select(
+        F.when(F.col("id") % 4 != 0, F.lit(0)).otherwise(F.col("id") % 100)
+        .cast("bigint")
+        .alias("k")
+    )
+
+    r1 = join_plan_sketch(uniform, small, "k", k=256, broadcast_max_rows=100).first()
+    assert (r1["strategy"], r1["broadcast_right"], r1["salt_left"]) == (
+        "broadcast", True, False,
+    )
+    # exact mode: 100 and 50 distinct keys, overlap 50, all under k
+    assert (r1["est_keys_l"], r1["est_keys_r"], r1["est_key_overlap"]) == (
+        100.0, 50.0, 50.0,
+    )
+    assert (r1["n_rows_l"], r1["n_rows_r"]) == (5000, 50)
+
+    r2 = join_plan_sketch(uniform, big, "k", k=256, broadcast_max_rows=100).first()
+    assert (r2["strategy"], r2["salt_left"]) == ("shuffle", False)
+
+    r3 = join_plan_sketch(skewed, big, "k", k=256, broadcast_max_rows=100).first()
+    # key 0 owns ~75% of 5000 rows over ~100 keys: far past 8x average
+    assert (r3["strategy"], r3["salt_left"]) == ("salted", True)
+    assert r3["top_key_count_lo"] >= 8 * r3["n_rows_l"] / r3["est_keys_l"]
+
+    with _pytest.raises(ValueError, match="lacks join key"):
+        join_plan_sketch(uniform.withColumnRenamed("k", "x"), small, "k")
