@@ -236,6 +236,10 @@ def join_plan_sketch(
     salt_left, strategy)`` — scalars computed driver-side from
     summary-sized relations (the metadata-collect contract) and
     returned as a literal row."""
+    from kamodo_dask_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        _unpersist_blocks,
+    )
     from kamodo_dask_spark.operators.profile import (
         heavy_hitters_sketch,
         kmv_distinct,
@@ -251,11 +255,6 @@ def join_plan_sketch(
     tagged = left.select(F.col(on).alias("_k"), F.lit("l").alias("_side")).unionByName(
         right.select(F.col(on).alias("_k"), F.lit("r").alias("_side"))
     )
-    from kamodo_dask_spark.operators.dedup import (
-        _tracked_local_checkpoint,
-        _unpersist_blocks,
-    )
-
     # two summary-sized consumers below; never resketch the corpus —
     # and free the checkpoint once both have collected (the
     # kmv_set_ops leak-discipline, advisor r11)

@@ -1088,3 +1088,53 @@ def test_bucketed_join_entry_no_join_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_join_view_retract_broadcasts_deltas(spark):
+    """join_view_retract: both signed deltas collapse to Z-sets and
+    BROADCAST into the base scans — the bases are never shuffled; the
+    ONLY hash exchange in the plan is the final view-sized merge
+    aggregation (plus its partial-agg pair), never a base-sized one."""
+    from pyspark.sql import functions as F
+
+    from kamodo_dask_spark.operators.maintenance import join_view_retract
+    from kamodo_dask_spark.plans.checks import executed_plan
+    from kamodo_dask_spark.queries import read_table
+
+    orders = read_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+    cust = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    a = orders.filter(F.col("orderkey") % 10 != 0)
+    b = cust.filter(F.col("custkey") % 10 != 0)
+    view = (
+        a.join(b, "custkey")
+        .groupBy("custkey", "orderkey", "segment")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    da = orders.filter(F.col("orderkey") % 10 == 0).withColumn(
+        "sign", F.lit(1)
+    )
+    db = cust.filter(F.col("custkey") % 10 == 0).withColumn(
+        "sign", F.lit(-1)
+    )
+    out = join_view_retract(view, a, b, da, db, ["custkey"])
+    plan = executed_plan(out)
+    # every join in the plan is broadcast (3 delta terms + the view
+    # build): a base is never the build side of a shuffle join
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # the remaining exchanges are AGGREGATION exchanges (delta Z-set
+    # collapse, view build, final merge) — all partition on the full
+    # row tuple, never a lone join-key base repartition
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]+?), \d+\)", plan):
+        keys = m.group(1)
+        n_keys = len(keys.split(", "))
+        assert n_keys >= 2, f"lone-key exchange (base shuffle?): {keys}\n{plan}"
