@@ -199,6 +199,19 @@ SF01_BUDGETS = {
     # rows), not scheduler swings.
     "streaming_quantile_sketch": 16.0,  # 8.4 s warm
     "streaming_theta_sketch": 13.0,  # 6.2 s warm
+    # r12 entries (budgets ~2x isolated-warm floors on this host):
+    # join_view_retract 2.1 s warm — catches a lost delta broadcast
+    # (base-sized shuffle joins read >10 s)
+    "join_view_retract": 5.0,
+    # image_near_dups 1.4 s warm — catches a lost pigeonhole (all-pairs
+    # candidate join) or a per-row (non-Arrow) decode path
+    "image_near_dups": 4.0,
+    # join_plan_sketch 8.6 s warm: ~19 driver-sequential summary jobs
+    # (1 sketch scan + 2 MG scans + per-pair set-ops + the exact side
+    # the oracle hashes) — job scheduling, not data; the budget catches
+    # a return of the per-pair resketch shape (was 20.5 s before the
+    # multi-pair amortization)
+    "join_plan_sketch": 17.0,
     # near_dup pair-finding + full CC over old + touched-only fold; the
     # budget catches the fold degrading to view-shuffling joins or the
     # contraction running on the full graph instead of super-edges

@@ -956,17 +956,40 @@ def kmv_sketch(
     summaries yields exactly the sketch of the union — the property
     the 1/4/32-partitioning pytest pins.
 
-    Plan shape (the Misra–Gries summarizer discipline): ONE corpus
-    scan through an Arrow-batched per-partition summarizer that folds
-    each batch's hashes into a running ≤k-array per group (vectorized
-    ``np.unique`` + truncation — state is O(groups × k) per task,
-    never the partition); the only exchange carries the
-    O(partitions × groups × k)-row summary relation, which a
-    partial-combined distinct plus a per-group ``row_number`` window
-    (sorting k·partitions rows per group, not the corpus) reduces to
-    the final ≤k rows per group. At 100 TB the corpus is scanned once
-    and never shuffled — the cost ``count(DISTINCT ...)`` pays (a
-    full distinct-key exchange) is exactly what this avoids.
+    Plan shape — WHOLE-STAGE-CODEGEN prefix filter, no Python anywhere
+    (r12: the original Arrow-batched per-partition summarizer paid a
+    Python+Arrow transfer of EVERY row; the k+1 minima are a PREFIX of
+    the hash order, so a row-local hash filter can discard the corpus
+    JVM-side first):
+
+    1. one grouped ``approx_count_distinct`` pass (HLL++, rsd 5%)
+       estimates each group's cardinality — the only full scan whose
+       output is exchanged, and it exchanges one HLL sketch per group
+       per task, never rows;
+    2. groups estimated over ``8·(k+1)`` get a cutoff at the
+       ``32·(k+1)/est_n`` quantile of the hash space (32x the needed
+       mass — a 5%-rsd misestimate cannot starve it); smaller groups
+       keep every hash. The cutoff relation is |groups|-sized and
+       broadcast (a 1-row literal in the global case — a scalar
+       crossJoin would plan the banned BroadcastNestedLoopJoin);
+    3. the filtered relation (expected ≤ 32·(k+1) rows per saturated
+       group + the FULL hash set of unsaturated ones) is partial-
+       combined distinct'd and window-ranked to the exact k+1 minima —
+       the only row exchange, O(groups × k), independent of corpus
+       size AND of partition count;
+    4. a summary-sized count check catches the astronomically-unlikely
+       starved group (cutoff kept < k+1 distinct hashes although the
+       group saturates the filter-free bound): those groups are
+       re-selected with NO cutoff in one extra broadcast-semi-join
+       pass, so the result is EXACT by construction, never by luck.
+
+    The filter keeps a PREFIX of the sorted hash domain, so if at
+    least k+1 distinct hashes survive it, the true k+1 minima all
+    survived — exactness needs no distributional assumption, the
+    cutoff only bounds the retry probability. At 100 TB: two JVM scans
+    and a summary exchange replace the old single scan that shipped
+    every row through Arrow into CPython — scan-bound either way, but
+    the per-row cost is whole-stage codegen, not serialization.
 
     Returns ``(by..., _h)`` — the per-group k+1 smallest distinct
     hashes. Groups with at most k distinct values carry their FULL
@@ -983,49 +1006,100 @@ def kmv_sketch(
         raise ValueError(
             "column name '_h' is reserved for the sketch hash — alias it"
         )
+    keep = k + 1
     hashed = df.filter(F.col(value_col).isNotNull()).select(
         *by, F.xxhash64(value_col).alias("_h")
     )
+
+    def _cutoff_long(est_n: int) -> "int | None":
+        """Hash-domain prefix cutoff for a group estimated at est_n
+        distinct hashes, or None to keep everything."""
+        if est_n <= 8 * keep:
+            return None
+        q = min(1.0, (32.0 * keep) / float(est_n))
+        if q >= 1.0:
+            return None
+        return min(2**63 - 1, _KMV_MIN + int(q * _KMV_SPAN))
+
+    def _select_minima(rel: DataFrame) -> DataFrame:
+        dedup = rel.select(*by, "_h").distinct()  # partial-combined
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
+        return (
+            dedup.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .drop("_r")
+        )
+
+    from kamodo_dask_spark.operators.dedup import _tracked_local_checkpoint
+
+    if not by:
+        est_n = hashed.agg(F.approx_count_distinct("_h", 0.05)).first()[0]
+        cut = _cutoff_long(int(est_n or 0))
+        if cut is None:
+            return _select_minima(hashed)
+        # checkpointed: the starvation check and the returned plan both
+        # read it (ContextCleaner reclaims — see the grouped case)
+        sel, _blocks = _tracked_local_checkpoint(
+            _select_minima(hashed.filter(F.col("_h") < cut))
+        )
+        # starvation check (summary-sized): retry filter-free if the
+        # prefix kept fewer than k+1 distinct hashes
+        if sel.count() >= keep:
+            return sel
+        return _select_minima(hashed)
+
+    ests = (
+        hashed.groupBy(*by)
+        .agg(F.approx_count_distinct("_h", 0.05).alias("_est"))
+        .collect()
+    )
+    # grouped case: |groups|-sized cutoff relation, broadcast equi-join.
+    # NULL-keyed groups never get a cutoff (an equi-join cannot reach
+    # them) — they flow through unfiltered, which is exact by itself.
+    spark = df.sparkSession
+    cuts = [
+        (*[r[c] for c in by], _cutoff_long(int(r["_est"] or 0)))
+        for r in ests
+        if all(r[c] is not None for c in by)
+    ]
+    if all(c[-1] is None for c in cuts):
+        return _select_minima(hashed)  # every group is small: no filter
     schema_parts = [
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by
     ]
-    out_schema = ", ".join([*schema_parts, "_h bigint"])
-
-    def summarize(batches):
-        import numpy as np
-        import pandas as pd
-
-        state: dict = {}
-        for pdf in batches:
-            if by:
-                for key, grp in pdf.groupby(by, dropna=False, sort=False):
-                    kk = key if isinstance(key, tuple) else (key,)
-                    merged = np.union1d(
-                        state.get(kk, np.array([], dtype="int64")),
-                        grp["_h"].to_numpy(),
-                    )
-                    state[kk] = merged[: k + 1]  # union1d sorts: k+1 smallest
-            else:
-                merged = np.union1d(
-                    state.get((), np.array([], dtype="int64")),
-                    pdf["_h"].to_numpy(),
-                )
-                state[()] = merged[: k + 1]
-        rows = [
-            pd.DataFrame(
-                {
-                    **{c: [kk[i]] * len(hs) for i, c in enumerate(by)},
-                    "_h": hs,
-                }
-            )
-            for kk, hs in state.items()
-            if len(hs)
-        ]
-        if rows:
-            yield pd.concat(rows, ignore_index=True)
-
-    parts = hashed.mapInPandas(summarize, out_schema)
-    return kmv_merge(parts, k, by)
+    cut_rel = spark.createDataFrame(
+        cuts, ", ".join([*schema_parts, "_cut bigint"])
+    )
+    pre = (
+        hashed.join(F.broadcast(cut_rel), by, "left")
+        .filter(F.col("_cut").isNull() | (F.col("_h") < F.col("_cut")))
+        .drop("_cut")
+    )
+    # eagerly checkpointed: the starvation check below and the returned
+    # plan both read it — without the mark, each consumer would rescan
+    # the corpus. Blocks are reclaimed by the ContextCleaner when the
+    # returned relation is garbage-collected (the key_skew_profile /
+    # bm25-postings precedent for returned checkpointed plans).
+    sel, _sel_blocks = _tracked_local_checkpoint(_select_minima(pre))
+    # starvation check: a FILTERED group that kept < k+1 distinct
+    # hashes might be saturated with an unlucky prefix — re-select it
+    # with no cutoff (astronomically rare at 32x margin; the check is
+    # summary-sized and the retry scan is confined to suspect groups)
+    filtered_keys = {c[:-1] for c in cuts if c[-1] is not None}
+    retained = {
+        tuple(r[c] for c in by): int(r["n"])
+        for r in sel.groupBy(*by).agg(F.count("*").alias("n")).collect()
+    }
+    suspects = [
+        key for key in filtered_keys if retained.get(key, 0) < keep
+    ]
+    if not suspects:
+        return sel
+    sus_rel = F.broadcast(
+        spark.createDataFrame(list(suspects), ", ".join(schema_parts))
+    )
+    full = _select_minima(hashed.join(sus_rel, by, "left_semi"))
+    return sel.join(sus_rel, by, "left_anti").unionByName(full)
 
 
 def kmv_merge(
@@ -1101,6 +1175,7 @@ def kmv_set_ops(
     group_a,
     group_b,
     k: int,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Union / intersection cardinality estimates between two groups of
     a :func:`kmv_sketch` relation — the query HLL cannot answer (HLL
@@ -1132,16 +1207,24 @@ def kmv_set_ops(
     est_inter, est_diff_ab, est_diff_ba, est_jaccard, theta)`` —
     differences and Jaccard fall out of the same theta sample (below
     theta both sketches are complete, so absence is genuine absence),
-    all exact when neither group saturated."""
+    all exact when neither group saturated.
+
+    ``checkpoint=False`` skips the internal materialization — for
+    callers that already hold the sketch relation eagerly checkpointed
+    (e.g. :func:`~kamodo_dask_spark.operators.skew.join_plan_sketch_multi`
+    evaluating several pairs off ONE stored sketch); it saves one job
+    per call and the caller owns the blocks' lifetime."""
     from kamodo_dask_spark.operators.dedup import (
         _tracked_local_checkpoint,
         _unpersist_blocks,
     )
 
     spark = sketch.sparkSession
-    sk, sk_blocks = _tracked_local_checkpoint(
-        sketch.filter(F.col(by).isin([group_a, group_b]))
-    )
+    filtered = sketch.filter(F.col(by).isin([group_a, group_b]))
+    if checkpoint:
+        sk, sk_blocks = _tracked_local_checkpoint(filtered)
+    else:
+        sk, sk_blocks = filtered, []
     stats = {
         r[0]: (int(r[1]), int(r[2]))
         for r in sk.groupBy(by)

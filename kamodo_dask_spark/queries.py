@@ -7829,8 +7829,12 @@ def join_plan_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     every boundary at every sf, so a sketch that drifts enough to flip
     a decision fails the driver hash. ``sketch_ok`` additionally pins
     the estimates to max(4, 10%) of exact (18% for the theta-sampled
-    overlap), deterministic because xxhash64 has no RNG."""
-    from kamodo_dask_spark.operators.skew import join_plan_sketch
+    overlap), deterministic because xxhash64 has no RNG. The three
+    pairs are planned by ONE ``join_plan_sketch_multi`` call — one
+    tagged-union sketch scan amortized across all pairs, the op's
+    whole point — and the exact side is one union-distinct aggregation
+    plus three metadata-sized overlap joins."""
+    from kamodo_dask_spark.operators.skew import join_plan_sketch_multi
 
     ev = read_table(spark, sf_dir, "events")
     el = ev.select(F.col("user_id").alias("k"))
@@ -7845,22 +7849,42 @@ def join_plan_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")
     )
+    rels = {"el": (el, "k"), "ek": (ek, "k"), "okk": (okk, "k"), "ck": (ck, "k")}
+    cases = {  # name -> (left, right, broadcast_max_rows)
+        "fact_dim": ("el", "ck", 200_000),
+        "fact_fact": ("el", "okk", 1_000),
+        "skewed": ("ek", "okk", 1_000),
+    }
+    plans = {
+        (r["left"], r["right"]): r
+        for r in join_plan_sketch_multi(
+            rels, [c for c in cases.values()], k=512
+        ).collect()
+    }
+    # exact side: one union-distinct aggregation for the four key sets
+    # + one metadata-sized overlap join per pair (distinct keys are
+    # 150-15k rows at every sf)
+    tagged = None
+    dedup = {}
+    for name, (df, key) in rels.items():
+        part = df.select(F.lit(name).alias("_side"), F.col(key))
+        tagged = part if tagged is None else tagged.unionByName(part)
+        dedup[name] = df.distinct()
+    keys_exact = {
+        r["_side"]: int(r["n"])
+        for r in tagged.distinct().groupBy("_side").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
 
     def tol_ok(est: float, exact: int, tol: float) -> bool:
         return abs(est - exact) <= max(4.0, tol * exact)
 
     rows = []
-    for pair, l, r, bmax in (
-        ("fact_dim", el, ck, 200_000),
-        ("fact_fact", el, okk, 1_000),
-        ("skewed", ek, okk, 1_000),
-    ):
-        plan = join_plan_sketch(
-            l, r, "k", k=512, broadcast_max_rows=bmax
-        ).first()
-        keys_l = l.distinct().count()
-        keys_r = r.distinct().count()
-        overlap = l.distinct().join(r.distinct(), "k").count()
+    for pair, (l_name, r_name, _bmax) in cases.items():
+        plan = plans[(l_name, r_name)]
+        keys_l, keys_r = keys_exact[l_name], keys_exact[r_name]
+        overlap = dedup[l_name].join(dedup[r_name], "k").count()
         ok = (
             tol_ok(plan["est_keys_l"], keys_l, 0.10)
             and tol_ok(plan["est_keys_r"], keys_r, 0.10)

@@ -1,27 +1,32 @@
 """Sketch-mode vs exact-mode join-planning probe (judge r11 ask #6's
 "probe comparing sketch-mode cost vs exact at >= 10M keys" criterion).
 
-Fixture: left = 20M rows over ~12M distinct keys plus ONE planted heavy
-key owning 25% of the rows; right = 12M rows over ~12M keys overlapping
-half of left's key space. Compared:
+Fixture: left = 20M rows over ~10M distinct keys plus ONE planted heavy
+key owning 25% of the rows; right = 12M rows over ~6M keys overlapping
+~4M of left's key space. Compared on BOTH axes that matter:
 
-- sketch mode: ``join_plan_sketch`` — one tagged-union scan for the
-  KMV cardinality/overlap estimates + one Misra-Gries scan for the
-  heavy-hitter bound. No distinct-key exchange anywhere.
-- exact mode: what the same decisions cost exactly — two
-  count(DISTINCT) aggregations, a distinct-distinct overlap join, and
-  a full per-key groupBy for the max key count (the
-  ``key_skew_profile`` shape).
-
-Expectation: the sketch wall is scan-bound and the exact wall pays the
-distinct-key shuffles; the gap widens with key cardinality. The probe
-also asserts the sketch DECISION matches the exact arithmetic's.
+- wall clock on local[32] — where the comparison is deliberately
+  UNFLATTERING to the sketch: the exact plan's distinct-key exchanges
+  are in-memory memcpy here, while the sketch pays real per-row compute
+  (HLL pass + prefix-filter pass + the Misra-Gries scan). On one box
+  the two are comparable; the sketch does NOT win on wall locally and
+  this probe does not claim it does.
+- SHUFFLE VOLUME (measured, not estimated, via the Spark status REST
+  API) — the axis that rules at 100 TB, where an exchange crosses a
+  network instead of a memory bus: the exact plan shuffles the distinct
+  key sets (tens of millions of records here, corpus-scale in
+  production); the sketch-mode plan exchanges only summaries (HLL
+  sketches, the prefix-filtered k-minima, Misra-Gries counters —
+  O(groups x k), independent of corpus size). The probe asserts a
+  >= 50x measured record-volume gap and identical decisions.
 
 Run AFTER a quiet-host check; results go to SCALE.md round 12.
 """
 import os
 import sys
 import time
+import urllib.request
+import json
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
@@ -38,8 +43,26 @@ KEYS = 16_000_000  # uniform key domain (left uses all, right the lower half)
 SKEW_FACTOR = 8.0
 BMAX = 1_000_000
 
-spark = get_spark("probe-join-plan", master="local[32]")
+spark = get_spark(
+    "probe-join-plan",
+    master="local[32]",
+    extra_conf={"spark.ui.enabled": "true"},  # shuffle metrics via REST
+)
 spark.sparkContext.setLogLevel("ERROR")
+_UI = "http://localhost:4040/api/v1"
+_APP = spark.sparkContext.applicationId
+
+
+def shuffle_totals() -> "tuple[int, int]":
+    """(shuffle write bytes, shuffle write records) summed over every
+    completed stage so far — deltas attribute volume to a phase."""
+    with urllib.request.urlopen(f"{_UI}/applications/{_APP}/stages") as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteRecords", 0) for s in stages),
+    )
+
 
 # left: 75% of rows uniform over [0, KEYS), 25% on the planted key -1
 left = spark.range(0, N_L, 1, 32).select(
@@ -52,13 +75,16 @@ right = spark.range(0, N_R, 1, 32).select(
     F.pmod(F.xxhash64(F.col("id") + 7), F.lit(KEYS // 2)).alias("k")
 )
 
+b0, r0 = shuffle_totals()
 t0 = time.perf_counter()
 plan = join_plan_sketch(
     left, right, "k", k=4096, broadcast_max_rows=BMAX, skew_factor=SKEW_FACTOR
 ).first()
 t_sketch = time.perf_counter() - t0
+b1, r1 = shuffle_totals()
 print(
-    f"sketch mode: {t_sketch:.1f}s  est_keys_l={plan['est_keys_l']:.3e} "
+    f"sketch mode: {t_sketch:.1f}s  shuffled {(b1 - b0) / 1e6:.1f} MB / "
+    f"{r1 - r0:,} records  est_keys_l={plan['est_keys_l']:.3e} "
     f"est_keys_r={plan['est_keys_r']:.3e} overlap={plan['est_key_overlap']:.3e} "
     f"strategy={plan['strategy']}"
 )
@@ -69,15 +95,17 @@ keys_r = right.distinct().count()
 overlap = left.distinct().join(right.distinct(), "k").count()
 top_n = left.groupBy("k").count().agg(F.max("count")).first()[0]
 t_exact = time.perf_counter() - t0
+b2, r2 = shuffle_totals()
+print(
+    f"exact mode:  {t_exact:.1f}s  shuffled {(b2 - b1) / 1e6:.1f} MB / "
+    f"{r2 - r1:,} records  keys_l={keys_l:.3e} keys_r={keys_r:.3e} "
+    f"overlap={overlap:.3e} top_n={top_n}"
+)
+
 exact_salt = (N_R > BMAX) and top_n >= SKEW_FACTOR * N_L / keys_l
 exact_strategy = (
     "broadcast" if N_R <= BMAX else ("salted" if exact_salt else "shuffle")
 )
-print(
-    f"exact mode:  {t_exact:.1f}s  keys_l={keys_l:.3e} keys_r={keys_r:.3e} "
-    f"overlap={overlap:.3e} top_n={top_n} strategy={exact_strategy}"
-)
-
 assert plan["strategy"] == exact_strategy, (plan["strategy"], exact_strategy)
 for est, exact in (
     (plan["est_keys_l"], keys_l),
@@ -87,4 +115,7 @@ for est, exact in (
     err = abs(est - exact) / exact
     print(f"  rel err {err:.4f}")
     assert err < 0.10, (est, exact)
-print(f"speedup: {t_exact / t_sketch:.2f}x")
+vol_ratio = (r2 - r1) / max(1, r1 - r0)
+print(f"wall ratio (exact/sketch): {t_exact / t_sketch:.2f}x")
+print(f"shuffle-record ratio (exact/sketch): {vol_ratio:.0f}x")
+assert vol_ratio >= 50, vol_ratio
