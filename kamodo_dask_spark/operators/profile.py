@@ -1056,7 +1056,6 @@ def kmv_sketch(
     # grouped case: |groups|-sized cutoff relation, broadcast equi-join.
     # NULL-keyed groups never get a cutoff (an equi-join cannot reach
     # them) — they flow through unfiltered, which is exact by itself.
-    spark = df.sparkSession
     cuts = [
         (*[r[c] for c in by], _cutoff_long(int(r["_est"] or 0)))
         for r in ests
@@ -1064,6 +1063,37 @@ def kmv_sketch(
     ]
     if all(c[-1] is None for c in cuts):
         return _select_minima(hashed)  # every group is small: no filter
+    return _kmv_grouped_select(df, hashed, by, cuts, keep)
+
+
+def _kmv_grouped_select(
+    df: DataFrame,
+    hashed: DataFrame,
+    by: "list[str]",
+    cuts: "list[tuple]",
+    keep: int,
+) -> DataFrame:
+    """Grouped prefix-filtered k-minima selection with the starvation
+    retry, factored out of :func:`kmv_sketch` so the retry path —
+    unreachable through the public API by construction (a 5%-rsd HLL
+    cannot overestimate 32×) — is testable with an injected
+    pathological cutoff. EXACTNESS is the prefix property: if at least
+    ``keep`` distinct hashes of a group survive a prefix filter, the
+    true ``keep`` minima all survived; any filtered group retaining
+    fewer is re-selected filter-free."""
+    from kamodo_dask_spark.operators.dedup import _tracked_local_checkpoint
+
+    spark = df.sparkSession
+
+    def _select_minima(rel: DataFrame) -> DataFrame:
+        dedup = rel.select(*by, "_h").distinct()  # partial-combined
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
+        return (
+            dedup.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .drop("_r")
+        )
+
     schema_parts = [
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by
     ]
@@ -1081,7 +1111,7 @@ def kmv_sketch(
     # returned relation is garbage-collected (the key_skew_profile /
     # bm25-postings precedent for returned checkpointed plans).
     sel, _sel_blocks = _tracked_local_checkpoint(_select_minima(pre))
-    # starvation check: a FILTERED group that kept < k+1 distinct
+    # starvation check: a FILTERED group that kept < keep distinct
     # hashes might be saturated with an unlucky prefix — re-select it
     # with no cutoff (astronomically rare at 32x margin; the check is
     # summary-sized and the retry scan is confined to suspect groups)

@@ -4829,3 +4829,91 @@ def test_join_plan_sketch_decisions(spark):
 
     with _pytest.raises(ValueError, match="lacks join key"):
         join_plan_sketch(uniform.withColumnRenamed("k", "x"), small, "k")
+
+
+def test_kmv_grouped_select_starvation_retry(spark):
+    """The prefix-filter starvation retry (unreachable through the
+    public API — a 5%-rsd HLL cannot overestimate 32x) restores
+    exactness under an injected pathological cutoff: a group whose
+    cutoff keeps fewer than k+1 distinct hashes is re-selected
+    filter-free and the result equals the unfiltered sketch."""
+    from kamodo_dask_spark.operators.profile import (
+        _kmv_grouped_select,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(500)] + [(i, "b") for i in range(500)],
+        "id bigint, seg string",
+    )
+    hashed = df.select("seg", F.xxhash64("id").alias("_h"))
+    keep = 17  # k = 16
+    want = sorted(
+        tuple(r) for r in kmv_sketch(df, "id", k=16, by=["seg"]).collect()
+    )
+    # pathological: group a's cutoff excludes EVERYTHING (LONG_MIN),
+    # group b unfiltered — a must go through the suspect retry
+    got = sorted(
+        tuple(r)
+        for r in _kmv_grouped_select(
+            df, hashed, ["seg"], [("a", -(2**63)), ("b", None)], keep
+        ).collect()
+    )
+    assert got == want
+    # borderline-pathological: a cutoff that keeps SOME but < keep
+    # distinct hashes — still retried, still exact
+    all_a = sorted(
+        r["_h"] for r in hashed.filter("seg = 'a'").distinct().collect()
+    )
+    cut_mid = all_a[5]  # keeps exactly 5 hashes < keep
+    got2 = sorted(
+        tuple(r)
+        for r in _kmv_grouped_select(
+            df, hashed, ["seg"], [("a", cut_mid), ("b", None)], keep
+        ).collect()
+    )
+    assert got2 == want
+
+
+def test_join_plan_sketch_multi_validation_and_amortization(spark):
+    """Multi-pair planning: one call answers several pairs with the
+    same decisions as the single-pair spelling, and validation raises
+    on empty inputs and unknown relation names."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.skew import (
+        join_plan_sketch,
+        join_plan_sketch_multi,
+    )
+
+    uniform = spark.range(0, 5000, 1, 8).select(
+        (F.col("id") % 100).alias("k")
+    )
+    small = spark.range(50).select(F.col("id").alias("k"))
+    big = spark.range(0, 4000, 1, 8).select((F.col("id") % 200).alias("k"))
+    rels = {"u": (uniform, "k"), "s": (small, "k"), "b": (big, "k")}
+    multi = {
+        (r["left"], r["right"]): r
+        for r in join_plan_sketch_multi(
+            rels, [("u", "s", 100), ("u", "b", 100)], k=256
+        ).collect()
+    }
+    assert multi[("u", "s")]["strategy"] == "broadcast"
+    assert multi[("u", "b")]["strategy"] == "shuffle"
+    single = join_plan_sketch(
+        uniform, big, "k", k=256, broadcast_max_rows=100
+    ).first()
+    m = multi[("u", "b")]
+    assert (
+        single["strategy"],
+        single["n_rows_l"],
+        single["est_keys_l"],
+        single["est_key_overlap"],
+    ) == (m["strategy"], m["n_rows_l"], m["est_keys_l"], m["est_key_overlap"])
+
+    with _pytest.raises(ValueError, match="at least one relation"):
+        join_plan_sketch_multi({}, [])
+    with _pytest.raises(ValueError, match="unknown relation"):
+        join_plan_sketch_multi(rels, [("u", "nope", 100)])
+    with _pytest.raises(ValueError, match="lacks join key"):
+        join_plan_sketch_multi({"u": (uniform, "zz")}, [("u", "u", 1)])
