@@ -648,6 +648,17 @@ def hamming_candidates(
             "would be silently missed — raise blocks or lower max_hamming"
         )
     width = bits // blocks
+
+    def _chunk(i: int):
+        # width == 64 (blocks=1 with 64-bit fingerprints, i.e. the exact-
+        # duplicate degenerate case) must skip the mask: (1 << 64) - 1
+        # overflows the BIGINT literal at plan time (advisor r12); the
+        # shift is 0 so the chunk IS the fingerprint.
+        shifted = F.shiftrightunsigned(F.col("_fp"), i * width)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     rel = fp.select(F.col(id_col), F.col(fp_col).alias("_fp"))
     chunks = rel.select(
         id_col,
@@ -657,9 +668,7 @@ def hamming_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("_fp"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
+                        _chunk(i).alias("chunk"),
                     )
                     for i in range(blocks)
                 ]

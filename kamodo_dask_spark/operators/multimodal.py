@@ -157,10 +157,38 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _sniff_container(payload: bytes) -> "str | None":
+    """Best-effort media-container identification by magic number, for
+    actionable missing-codec errors. Returns a human-readable name or
+    None when the signature is unrecognized."""
+    if payload[:2] == b"\xff\xd8":
+        return "JPEG"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "GIF"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "WebP"
+    if payload[:2] == b"BM":
+        return "BMP"
+    if payload[4:12] in (b"ftypisom", b"ftypmp42", b"ftypMSNV", b"ftypM4V "):
+        return "MP4"
+    return None
+
+
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG → uint8 array ``(h, w)`` or
     ``(h, w, channels)``. Pure stdlib (zlib) — no PIL."""
     if payload[:8] != _PNG_SIG:
+        # A RECOGNIZED non-PNG container is a missing-codec situation —
+        # NotImplementedError naming the dependency, the _decode_real
+        # contract (advisor r12) — while unrecognized bytes stay a
+        # plain data error.
+        sniffed = _sniff_container(payload)
+        if sniffed is not None:
+            raise NotImplementedError(
+                f"payload is {sniffed}, not PNG: decoding it needs PIL/"
+                "ffmpeg in a full deployment — only the stdlib PNG path "
+                "ships here"
+            )
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
     while pos + 8 <= len(payload):
@@ -547,9 +575,13 @@ def to_grayscale(pixels: np.ndarray) -> np.ndarray:
     """(h, w[, c]) uint8 → (h, w) uint8 luma. Integer ITU-R BT.601
     weights (299/587/114, floor division) so the result is bit-exact
     across platforms; an alpha channel is ignored (hashes describe the
-    color content, not transparency)."""
+    color content, not transparency). A 2-channel plane is PNG
+    gray+alpha (color type 4, a legitimate ``png_decode`` output —
+    advisor r12): channel 0 is already the luma."""
     if pixels.ndim == 2:
         return pixels
+    if pixels.shape[-1] < 3:
+        return pixels[..., 0]
     a = pixels.astype(np.int32)
     luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
     return luma.astype(np.uint8)

@@ -1185,6 +1185,16 @@ def kmv_distinct(
     covers groups with up to and including k distinct values.
     Summary-sized work only.
 
+    **Stored-sketch format break** (advisor r12): the k+1 retention is
+    an on-disk contract change. A sketch persisted by the pre-r12
+    k-row code (e.g. a ``CommittedState`` snapshot from an earlier
+    deployment) holds exactly k rows for a SATURATED group, which this
+    boundary rule misreads as exact_mode with est_n = k. Old snapshots
+    must be rebuilt from source, not restored — the shipped streaming
+    entries do this by construction (``st.reset()`` pairs every fresh
+    stream with a fresh state path); a long-lived deployment upgrading
+    in place must version its state path the same way.
+
     Returns ``(by..., est_n double, exact_mode boolean)``."""
     by = list(by or [])
     agg = sketch.groupBy(*by).agg(

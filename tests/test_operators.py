@@ -4917,3 +4917,29 @@ def test_join_plan_sketch_multi_validation_and_amortization(spark):
         join_plan_sketch_multi(rels, [("u", "nope", 100)])
     with _pytest.raises(ValueError, match="lacks join key"):
         join_plan_sketch_multi({"u": (uniform, "zz")}, [("u", "u", 1)])
+
+
+def test_hamming_candidates_single_block_exact_degenerate(spark):
+    """Advisor r12: blocks=1 with max_hamming=0 is the exact-duplicate
+    degenerate case — width 64 must skip the (1 << 64) - 1 mask (an
+    out-of-range BIGINT literal) and join directly on the fingerprint,
+    not fail at plan time."""
+    from kamodo_dask_spark.operators.dedup import hamming_candidates
+
+    fps = [
+        -1,  # all 64 bits set: exercises the full-width chunk
+        -1,
+        (1 << 62) | 5,
+        (1 << 62) | 5,
+        7,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "id long, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_candidates(
+            df, "id", "fp", bits=64, blocks=1, max_hamming=0
+        ).collect()
+    }
+    assert got == {(0, 1): 0, (2, 3): 0}
