@@ -1,0 +1,87 @@
+"""Scaling-decade measurement (judge r12 ask #5): run the most
+expensive catalog entries at sf0.1 AND sf1 (10x rows, constant per-key
+densities — see tools/gen_sf1.py) on the same idle host, and report the
+wall-vs-sf slope per entry as log10(t_sf1 / t_sf0.1) — 1.0 = perfectly
+linear, < 1 = sublinear (fixed overheads amortizing), > 1 = superlinear
+(needs a documented reason or a plan audit).
+
+Timing mirrors bench.py: noop sink forces full execution without driver
+collect; best-of-N per (entry, sf) so codegen warmup and scheduler
+jitter don't masquerade as scaling.
+
+Usage: python tools/scaling_decade.py [entry ...]  (default: the r12
+verdict's ten) — writes /tmp/scaling_decade.json and prints the table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+DEFAULT_ENTRIES = [
+    "join_plan_sketch",
+    "planned_join_exec",
+    "prefix_jaccard_pairs",
+    "cc_incremental",
+    "pagerank",
+    "cluster_representatives",
+    "dedup_clusters",
+    "pca_power_iteration",
+    "substring_removal",
+    "sessionization",
+    "interp_4d_corner",
+]
+
+SF_DIRS = {0.1: "/root/testdata/sf0.1", 1.0: os.environ.get("SF1_DIR", "/tmp/sf1")}
+RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+
+
+def main() -> None:
+    from kamodo_dask_spark.queries import QUERIES
+    from kamodo_dask_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_ENTRIES
+    spark = get_spark(
+        "scaling-decade",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        row: dict = {}
+        for sf, d in SF_DIRS.items():
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[f"t_sf{sf}"] = round(best, 3)
+        row["ratio"] = round(row["t_sf1.0"] / row["t_sf0.1"], 2)
+        row["slope"] = round(math.log10(row["t_sf1.0"] / row["t_sf0.1"]), 2)
+        results[name] = row
+        print(
+            f"{name:28s} sf0.1={row['t_sf0.1']:8.3f}s sf1={row['t_sf1.0']:8.3f}s "
+            f"ratio={row['ratio']:6.2f} slope={row['slope']:5.2f}",
+            flush=True,
+        )
+
+    try:
+        results["_loadavg_15m"] = round(os.getloadavg()[2], 1)
+    except OSError:
+        pass
+    with open("/tmp/scaling_decade.json", "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print("written /tmp/scaling_decade.json")
+
+
+if __name__ == "__main__":
+    main()
