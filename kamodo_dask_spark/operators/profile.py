@@ -1037,10 +1037,11 @@ def kmv_sketch(
         cut = _cutoff_long(int(est_n or 0))
         if cut is None:
             return _select_minima(hashed)
-        # checkpointed: the starvation check and the returned plan both
-        # read it (ContextCleaner reclaims — see the grouped case)
+        # lazily checkpointed: the starvation-check count below is the
+        # materializing action — mark and check share one job
+        # (ContextCleaner reclaims — see the grouped case)
         sel, _blocks = _tracked_local_checkpoint(
-            _select_minima(hashed.filter(F.col("_h") < cut))
+            _select_minima(hashed.filter(F.col("_h") < cut)), eager=False
         )
         # starvation check (summary-sized): retry filter-free if the
         # prefix kept fewer than k+1 distinct hashes
@@ -1105,12 +1106,17 @@ def _kmv_grouped_select(
         .filter(F.col("_cut").isNull() | (F.col("_h") < F.col("_cut")))
         .drop("_cut")
     )
-    # eagerly checkpointed: the starvation check below and the returned
-    # plan both read it — without the mark, each consumer would rescan
-    # the corpus. Blocks are reclaimed by the ContextCleaner when the
-    # returned relation is garbage-collected (the key_skew_profile /
-    # bm25-postings precedent for returned checkpointed plans).
-    sel, _sel_blocks = _tracked_local_checkpoint(_select_minima(pre))
+    # LAZILY checkpointed: the starvation-check count below is the
+    # materializing action, so the mark and the check share ONE job
+    # (r13 — every job is a fixed scheduler quantum; the theta entry's
+    # wall was pure job count at every sf). The returned plan then
+    # reads the materialized blocks; without the mark, each consumer
+    # would rescan the corpus. Blocks are reclaimed by the
+    # ContextCleaner when the returned relation is garbage-collected
+    # (the key_skew_profile / bm25-postings precedent).
+    sel, _sel_blocks = _tracked_local_checkpoint(
+        _select_minima(pre), eager=False
+    )
     # starvation check: a FILTERED group that kept < keep distinct
     # hashes might be saturated with an unlucky prefix — re-select it
     # with no cutoff (astronomically rare at 32x margin; the check is
@@ -1234,48 +1240,43 @@ def kmv_set_ops(
     and both degrade to EXACT counts when neither group saturated
     (exact mode now covers groups with up to AND INCLUDING k distinct
     values — the k+1 retention makes the boundary decidable; advisor
-    r11). Everything here is sketch-relation-sized: theta comes off a
-    ≤2-row aggregate collected as two scalars and inlined as literals
-    (the metadata-collect contract — a scalar crossJoin would plan the
-    banned BroadcastNestedLoopJoin), and every count comes from ONE
-    aggregation over the per-hash membership-flag relation — no joins
-    at all. The one-row result is realized EAGERLY so the filtered
-    sketch's checkpoint blocks can be dropped before returning
-    (advisor r11: per-call ≤2(k+1)-row blocks otherwise accumulate
-    for the session lifetime across catalog runs — the `_cc_star`
-    leak class). Returns one row: ``(est_a, est_b, est_union,
-    est_inter, est_diff_ab, est_diff_ba, est_jaccard, theta)`` —
-    differences and Jaccard fall out of the same theta sample (below
-    theta both sketches are complete, so absence is genuine absence),
-    all exact when neither group saturated.
+    r11). Returns one row: ``(est_a, est_b, est_union, est_inter,
+    est_diff_ab, est_diff_ba, est_jaccard, theta)`` — differences and
+    Jaccard fall out of the same theta sample (below theta both
+    sketches are complete, so absence is genuine absence), all exact
+    when neither group saturated.
 
-    ``checkpoint=False`` skips the internal materialization — for
-    callers that already hold the sketch relation eagerly checkpointed
-    (e.g. :func:`~kamodo_dask_spark.operators.skew.join_plan_sketch_multi`
-    evaluating several pairs off ONE stored sketch); it saves one job
-    per call and the caller owns the blocks' lifetime."""
-    from kamodo_dask_spark.operators.dedup import (
-        _tracked_local_checkpoint,
-        _unpersist_blocks,
-    )
+    Plumbing (r13): the two groups' sketch rows are at most
+    ``2·(k+1)`` — metadata-sized BY CONSTRUCTION, independent of the
+    corpus — so the whole relation is collected ONCE and the set
+    arithmetic runs driver-side on plain Python sets (the Datasketches
+    pattern: a theta sketch exists precisely to be summary-sized and
+    driver-mergeable). This replaces the r11-r12 plan — checkpoint +
+    stats collect + membership-flag aggregation, three jobs per call —
+    with one job, which matters because every job costs a fixed
+    scheduler quantum: the batch theta entry's wall was 18 jobs ×
+    sched_job_s at every sf (SCALE.md round-13 note). It also retires
+    the checkpoint-block lifetime discipline this function previously
+    needed (advisor r11): nothing is persisted, so nothing can leak.
 
+    ``checkpoint`` is kept for API compatibility and ignored — there
+    is no internal materialization left to skip."""
+    del checkpoint  # no internal materialization since the r13 rewrite
     spark = sketch.sparkSession
-    filtered = sketch.filter(F.col(by).isin([group_a, group_b]))
-    if checkpoint:
-        sk, sk_blocks = _tracked_local_checkpoint(filtered)
-    else:
-        sk, sk_blocks = filtered, []
-    stats = {
-        r[0]: (int(r[1]), int(r[2]))
-        for r in sk.groupBy(by)
-        .agg(F.count("*").alias("n"), F.max("_h").alias("hk"))
+    rows = (
+        sketch.filter(F.col(by).isin([group_a, group_b]))
+        .select(by, "_h")
         .collect()
-    }  # <= 2 rows: metadata-sized by construction
+    )  # <= 2(k+1) rows: metadata-sized by construction
+    groups: "dict[object, set[int]]" = {group_a: set(), group_b: set()}
+    for r in rows:
+        groups[r[0]].add(int(r[1]))
     thetas = {}
     cuts = {}  # group -> exact int64 strict-below cut, or None (theta=1)
     for g in (group_a, group_b):
-        cnt, hk = stats.get(g, (0, None))
-        if cnt > k:  # all k+1 slots filled -> saturated
+        hs = groups[g]
+        if len(hs) > k:  # all k+1 slots filled -> saturated
+            hk = max(hs)
             thetas[g] = (float(hk) - _KMV_MIN + 1.0) / _KMV_SPAN
             cuts[g] = hk
         else:  # cnt <= k: the sketch IS the group's full hash set
@@ -1291,41 +1292,38 @@ def kmv_set_ops(
     cut_long = min(
         (c for c in cuts.values() if c is not None), default=None
     )
-    below = sk if cut_long is None else sk.filter(F.col("_h") < cut_long)
-    flags = (
-        below.groupBy("_h")
-        .agg(
-            F.max(F.col(by) == F.lit(group_a)).alias("_ia"),
-            F.max(F.col(by) == F.lit(group_b)).alias("_ib"),
-        )
+    a_below = (
+        groups[group_a]
+        if cut_long is None
+        else {h for h in groups[group_a] if h < cut_long}
     )
-    inv = F.lit(1.0 / theta)
-    zero = F.lit(0)  # empty-group sums are NULL; the estimate is 0
-
-    def _cnt(cond: Column) -> Column:
-        return F.coalesce(F.sum(cond.cast("long")), zero)
-
-    n_inter = _cnt(F.col("_ia") & F.col("_ib"))
-    n_union = F.count("*")
+    b_below = (
+        groups[group_b]
+        if cut_long is None
+        else {h for h in groups[group_b] if h < cut_long}
+    )
     # below theta BOTH sketches are complete samples of their sets
     # (theta <= each group's own k-th minimum), so difference and
-    # Jaccard come from the same membership flags: a sampled member of
+    # Jaccard come from the same membership sets: a sampled member of
     # A absent from B's sketch is genuinely absent from B below theta.
     # Jaccard is the count RATIO — theta cancels, no division by it.
-    res = flags.agg(
-        (_cnt(F.col("_ia")) * inv).alias("est_a"),
-        (_cnt(F.col("_ib")) * inv).alias("est_b"),
-        (n_union * inv).alias("est_union"),
-        (n_inter * inv).alias("est_inter"),
-        (_cnt(F.col("_ia") & ~F.col("_ib")) * inv).alias("est_diff_ab"),
-        (_cnt(F.col("_ib") & ~F.col("_ia")) * inv).alias("est_diff_ba"),
-        F.when(n_union > 0, n_inter / n_union)
-        .otherwise(F.lit(0.0))
-        .alias("est_jaccard"),
-        F.lit(float(theta)).alias("theta"),
+    inv = 1.0 / theta
+    n_inter = len(a_below & b_below)
+    n_union = len(a_below | b_below)
+    return spark.createDataFrame(
+        [
+            (
+                len(a_below) * inv,
+                len(b_below) * inv,
+                n_union * inv,
+                n_inter * inv,
+                len(a_below - b_below) * inv,
+                len(b_below - a_below) * inv,
+                (n_inter / n_union) if n_union > 0 else 0.0,
+                float(theta),
+            )
+        ],
+        "est_a double, est_b double, est_union double, est_inter double, "
+        "est_diff_ab double, est_diff_ba double, est_jaccard double, "
+        "theta double",
     )
-    # realize the single summary row, then free the checkpointed sketch
-    # blocks — the returned relation carries no lineage back to them
-    rows = res.collect()
-    _unpersist_blocks(spark, sk_blocks)
-    return spark.createDataFrame(rows, res.schema)
