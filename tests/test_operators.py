@@ -4943,3 +4943,39 @@ def test_hamming_candidates_single_block_exact_degenerate(spark):
         ).collect()
     }
     assert got == {(0, 1): 0, (2, 3): 0}
+
+
+def test_execute_join_strategy_edge_cases(spark):
+    """The executor half of planned_join: unknown strategies fail
+    loudly; a salted decision with an outer shape the salted rewrite
+    cannot express (right/full) falls back to the plain join with
+    identical rows."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.skew import execute_join_strategy
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    right = spark.createDataFrame([(1, 10), (3, 30)], "k long, w long")
+
+    with _pytest.raises(ValueError, match="unknown join strategy"):
+        execute_join_strategy(left, right, "k", "zigzag")
+
+    plain = {
+        tuple(r) for r in left.join(right, "k", "full").collect()
+    }
+    got = {
+        tuple(r)
+        for r in execute_join_strategy(
+            left, right, "k", "salted", how="full"
+        ).collect()
+    }
+    assert got == plain
+
+    # left-outer under the salted rewrite keeps unmatched left rows
+    lgot = {
+        tuple(r)
+        for r in execute_join_strategy(
+            left, right, "k", "salted", how="left"
+        ).collect()
+    }
+    assert lgot == {tuple(r) for r in left.join(right, "k", "left").collect()}
