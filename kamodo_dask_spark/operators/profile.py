@@ -1270,6 +1270,19 @@ def kmv_set_ops(
     )  # <= 2(k+1) rows: metadata-sized by construction
     groups: "dict[object, set[int]]" = {group_a: set(), group_b: set()}
     for r in rows:
+        if r[0] not in groups:
+            # ``isin`` matched under SQL equality but the collected key
+            # is not dict-equal to the passed literal (float NaN keys,
+            # Decimal-vs-float coercions) — name the mismatch instead of
+            # the opaque KeyError the plain indexing would raise
+            # (advisor r13).
+            raise ValueError(
+                f"kmv_set_ops: collected group key {r[0]!r} "
+                f"({type(r[0]).__name__}) matched the isin filter but "
+                f"equals neither group_a={group_a!r} nor "
+                f"group_b={group_b!r} under Python equality — pass "
+                "group literals of the column's exact type"
+            )
         groups[r[0]].add(int(r[1]))
     thetas = {}
     cuts = {}  # group -> exact int64 strict-below cut, or None (theta=1)

@@ -8366,18 +8366,27 @@ DRIVER_WINDOW = 50
 #: cell joins moved to integer axis-index keys), sessionization +
 #: streaming_interp (streaming checkpoint/conf optimization pass).
 PINNED_THIS_ROUND = [
-    # Round-13 pins: entries whose operator machinery changed this round.
-    # The r12 pins are cleared — both theta entries went driver-green in
-    # CORRECTNESS_r12.
-    # CommittedState snapshots moved to epoch-scoped data dirs named by
-    # the commit marker (judge r12 ask #4) — the streaming entries that
-    # persist state through it need fresh driver rows under the new
-    # layout (one per state shape: the KMV fold and the IVM view fold):
-    "streaming_theta_sketch",
+    # Round-14 pins: entries whose operator machinery changed this round.
+    # The r13 pins are cleared — all three went driver-green in
+    # CORRECTNESS_r13.
+    # kmv_set_ops was rewritten driver-side in r13 but its direct batch
+    # consumers never got a fresh driver row under the rewrite (advisor
+    # r13) — pin both:
+    "theta_sketch_setops",
+    "join_plan_sketch",
+    # planned_join/execute_join_strategy now dispatch through
+    # effective_join_strategy and the decision row gained
+    # effective_strategy (judge r13 "what's wrong" #2):
+    "planned_join_exec",
+    # CommittedState commit markers became epoch-suffixed with
+    # newest-epoch-wins reads (advisor r13 closed the marker-overwrite
+    # residual) — every entry that persists state through it needs a
+    # fresh driver row under the new marker layout:
     "streaming_view_maintenance",
-    # image fingerprinting gained the gray+alpha decode path and the
-    # container sniffer (advisor r12) — re-pin the consuming entry:
-    "image_near_dups",
+    "streaming_dau_sketch",
+    "streaming_heavy_hitters",
+    "streaming_quantile_sketch",
+    "streaming_theta_sketch",
 ]
 
 #: A parked entry's last driver-green row may be at most this many rounds

@@ -663,7 +663,7 @@ def test_committed_state_commit_window_fence(spark, tmp_path):
     # marker and ITS epoch-scoped data dir stand untouched — the data
     # dirs never collided, so the clobber scenario cannot arise
     assert not fs.exists(z._jpath(f"b=1/data-e{z._epoch}"))
-    assert fs.exists(z._jpath("b=1/meta.json"))
+    assert fs.exists(z._jpath(f"b=1/meta-e{survivor_box['s']._epoch}.json"))
 
     # the survivor itself is unaffected: its cache still carries its
     # own post-commit state, and further commits proceed
@@ -675,6 +675,102 @@ def test_committed_state_commit_window_fence(spark, tmp_path):
     fresh = CommittedState(spark, path, ddl)
     df2, _ = fresh.state()
     assert {(r["key"], r["n"]) for r in df2.collect()} == {("a", 3)}
+
+
+def test_committed_state_zombie_marker_cannot_mask_survivor(spark, tmp_path):
+    """Advisor r13: the last residual of the commit-window fence was the
+    marker write itself — a zombie that passes the post-snapshot
+    re-verify JUST BEFORE the survivor acquires its epoch could, under
+    the single shared meta.json, overwrite the survivor's marker for
+    the same batch with one endorsing its stale dir. Epoch-suffixed
+    markers close it: the zombie's late marker is a DIFFERENT file,
+    newest-epoch-wins reads shadow it, and every reader restores the
+    survivor's state."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.streaming.state import CommittedState
+
+    path = str(tmp_path / "marker_state")
+    ddl = "key string, n bigint"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, ddl)
+
+    z = CommittedState(spark, path, ddl)  # the eventual zombie
+    z.commit(0, frame([("a", 1)]))
+
+    survivor_box = {}
+    real_check = z._check_fence
+
+    def interleaved_check(op):
+        real_check(op)  # the zombie passes every check for real...
+        if op == "commit marker" and "s" not in survivor_box:
+            # ...and the failover lands IN the re-verify-to-marker gap:
+            # the survivor takes over and commits the same batch before
+            # the zombie's (already-endorsed) marker write executes
+            s = CommittedState(spark, path, ddl)
+            s.commit(1, frame([("a", 2)]))
+            survivor_box["s"] = s
+
+    z._check_fence = interleaved_check
+    # the zombie's marker write goes through (it cannot know yet), but
+    # the NEXT fence check — prune — catches it loudly
+    with _pytest.raises(RuntimeError, match="fenced"):
+        z.commit(1, frame([("a", -99)]))
+
+    s = survivor_box["s"]
+    fs = z._fs()
+    # both markers exist: different files, no overwrite happened —
+    # the old shared-meta.json layout would have left ONE marker here,
+    # the zombie's, endorsing the stale dir
+    assert fs.exists(z._jpath(f"b=1/meta-e{z._epoch}.json"))
+    assert fs.exists(z._jpath(f"b=1/meta-e{s._epoch}.json"))
+    assert z._epoch < s._epoch
+
+    # newest-epoch-wins: every reader restores the SURVIVOR's state
+    assert z._read_meta(1)["data_dir"] == f"data-e{s._epoch}"
+    fresh = CommittedState(spark, path, ddl)
+    df, _ = fresh.state()
+    assert {(r["key"], r["n"]) for r in df.collect()} == {("a", 2)}
+
+    # the survivor's next commit garbage-collects the shadowed zombie
+    # marker and dir, restoring the one-marker-per-batch footprint
+    s2 = CommittedState(spark, path, ddl)
+    s2.ensure(2)
+    s2.commit(1, frame([("a", 5)]))
+    assert not fs.exists(z._jpath(f"b=1/meta-e{z._epoch}.json"))
+    assert not fs.exists(z._jpath(f"b=1/data-e{z._epoch}"))
+    df2, _ = CommittedState(spark, path, ddl).state()
+    assert {(r["key"], r["n"]) for r in df2.collect()} == {("a", 5)}
+
+
+def test_committed_state_legacy_meta_json_reads_as_epoch_zero(spark, tmp_path):
+    """Snapshots written by the pre-r14 layout (single meta.json, no
+    epoch suffix) stay readable: meta.json parses as epoch 0, so an
+    upgraded deployment restores its last committed state and its next
+    commit supersedes + collects the legacy files."""
+    import json as _json
+
+    from kamodo_dask_spark.streaming.state import CommittedState
+
+    path = str(tmp_path / "legacy_state")
+    ddl = "key string, n bigint"
+    st = CommittedState(spark, path, ddl)
+
+    # hand-write a legacy-layout snapshot: b=0/data + b=0/meta.json
+    spark.createDataFrame([("a", 7)], ddl).write.parquet(f"{path}/b=0/data")
+    fs = st._fs()
+    out = fs.create(st._jpath("b=0/meta.json"), True)
+    out.writeUTF(_json.dumps({"batch_id": 0}))
+    out.close()
+
+    df, _ = st.ensure(1)
+    assert {(r["key"], r["n"]) for r in df.collect()} == {("a", 7)}
+    st.commit(0, spark.createDataFrame([("a", 8)], ddl))
+    assert not fs.exists(st._jpath("b=0/meta.json"))  # superseded + GC'd
+    assert not fs.exists(st._jpath("b=0/data"))
+    df2, _ = CommittedState(spark, path, ddl).state()
+    assert {(r["key"], r["n"]) for r in df2.collect()} == {("a", 8)}
 
 
 def test_committed_state_reset_carries_epoch(spark, tmp_path):

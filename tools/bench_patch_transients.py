@@ -106,7 +106,7 @@ def main() -> None:
         if (
             t > allowed * bench.REGRESSION_FACTOR
             and t - prev[name] > bench.REGRESSION_ABS_FLOOR_S
-        ):
+        ) or t >= allowed * bench.REGRESSION_HARD_FACTOR:
             regressions[name] = {
                 "prev": prev[name],
                 "now": t,
