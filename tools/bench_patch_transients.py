@@ -103,10 +103,7 @@ def main() -> None:
             continue
         n_jobs = sec["jobs"].get(name, baseline.get("jobs", {}).get(name, 1))
         allowed = bench._normalized_allowance(prev[name], n_jobs, cal_prev, cal_now)
-        if (
-            t > allowed * bench.REGRESSION_FACTOR
-            and t - prev[name] > bench.REGRESSION_ABS_FLOOR_S
-        ) or t >= allowed * bench.REGRESSION_HARD_FACTOR:
+        if bench._is_regression(t, prev[name], allowed):
             regressions[name] = {
                 "prev": prev[name],
                 "now": t,

@@ -1,0 +1,158 @@
+"""Memory-pressure / spill probe (judge r13 ask #5): run shuffle-heavy
+catalog entries at sf1 in a session whose JVM heap is CONSTRAINED
+(spark.driver.memory=2g in local mode = the executor heap too) with few
+shuffle partitions, so per-task sorts/aggregations exceed the execution-
+memory pool and UnsafeExternalSorter actually spills — then verify the
+results STILL match the DuckDB oracle (the same rows+schema+values
+compare as tests/test_oracle_parity.py) and record the spill bytes from
+the Spark REST status API. Every 100 TB claim assumes spill-to-disk
+preserves results; the 128 GiB sandbox never exercised it until now.
+
+Must run in a FRESH process (driver memory is a JVM launch option, not a
+runtime conf) with no other Spark JVM up.
+
+Usage: python tools/spill_probe.py [entry ...]
+       writes /tmp/spill_probe.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF1_DIR = os.environ.get("SF1_DIR", "/tmp/sf1")
+os.environ["PARITY_SF_DIR"] = SF1_DIR  # the parity module reads it at import
+
+#: Shuffle-heavy defaults: large-relation sorts/aggregations/joins whose
+#: per-task working set at sf1 with 4 shuffle partitions exceeds a 2 GiB
+#: heap's execution pool.
+DEFAULT_ENTRIES = [
+    "window_rank",
+    "sessionization",
+    "substring_removal",
+    "dedup_clusters",
+    "interp_4d_corner",
+]
+
+DRIVER_MEMORY = os.environ.get("SPILL_DRIVER_MEMORY", "2g")
+SHUFFLE_PARTITIONS = os.environ.get("SPILL_SHUFFLE_PARTITIONS", "4")
+
+
+def _spill_bytes(spark) -> "tuple[int, int]":
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all completed
+    stages, via the REST status API of the live UI."""
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as resp:
+        stages = json.load(resp)
+    mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    return mem, disk
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from kamodo_dask_spark.session import get_spark
+    from kamodo_dask_spark.sources.parquet import TABLES
+    from test_oracle_parity import (
+        STRICT_DEFAULT_ENTRIES,
+        assert_frames_match,
+    )
+
+    names = sys.argv[1:] or DEFAULT_ENTRIES
+    spark = get_spark(
+        "spill-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.driver.memory": DRIVER_MEMORY,
+            "spark.sql.shuffle.partitions": SHUFFLE_PARTITIONS,
+            "spark.ui.enabled": "true",  # the REST API is the metric source
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    heap_mb = (
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        // (1024 * 1024)
+    )
+    print(f"JVM max heap: {heap_mb} MiB (requested {DRIVER_MEMORY})")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF1_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results: "dict[str, dict]" = {}
+    mem0, disk0 = _spill_bytes(spark)
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = queries[name](spark, SF1_DIR).toPandas()
+            oracle = oracles.get(name)
+            check = "rows_only"
+            if oracle is not None:
+                duck_pdf = con.sql(oracle).df()
+                assert_frames_match(
+                    name,
+                    spark_pdf,
+                    duck_pdf,
+                    strict=name in STRICT_DEFAULT_ENTRIES,
+                )
+                check = "rows+schema+values"
+            mem1, disk1 = _spill_bytes(spark)
+            results[name] = {
+                "status": "ok",
+                "check": check,
+                "spark_rows": int(len(spark_pdf)),
+                "sec": round(time.perf_counter() - t0, 2),
+                "memory_spilled_mb": round((mem1 - mem0) / 2**20, 1),
+                "disk_spilled_mb": round((disk1 - disk0) / 2**20, 1),
+            }
+            mem0, disk0 = mem1, disk1
+            print(
+                f"{name:28s} OK  {results[name]['spark_rows']} rows  "
+                f"{results[name]['sec']}s  "
+                f"spill mem={results[name]['memory_spilled_mb']} MiB "
+                f"disk={results[name]['disk_spilled_mb']} MiB",
+                flush=True,
+            )
+        except Exception as exc:
+            results[name] = {
+                "status": "fail",
+                "error": f"{type(exc).__name__}: {exc}"[:2000],
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            print(f"{name:28s} FAIL {type(exc).__name__}", flush=True)
+
+    out = {
+        "_meta": {
+            "sf_dir": SF1_DIR,
+            "driver_memory": DRIVER_MEMORY,
+            "jvm_max_heap_mb": int(heap_mb),
+            "shuffle_partitions": SHUFFLE_PARTITIONS,
+            "compare": "tests/test_oracle_parity.py assert_frames_match",
+        },
+        "entries": results,
+    }
+    with open("/tmp/spill_probe.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print("written /tmp/spill_probe.json")
+
+
+if __name__ == "__main__":
+    main()
