@@ -44,6 +44,13 @@ DEFAULT_ENTRIES = [
 
 DRIVER_MEMORY = os.environ.get("SPILL_DRIVER_MEMORY", "2g")
 SHUFFLE_PARTITIONS = os.environ.get("SPILL_SHUFFLE_PARTITIONS", "4")
+#: The execution+storage pool share of (heap - 300 MB). Spark's default
+#: 0.6 on a 2 GiB heap still leaves ~1 GiB for 4 concurrent sort tasks;
+#: shrinking the POOL (not just the heap) is what actually drives
+#: UnsafeExternalSorter over its acquisition failures into spill files
+#: without risking driver OOM in local mode (the driver JVM also hosts
+#: the block manager and the Py4J bridge).
+MEMORY_FRACTION = os.environ.get("SPILL_MEMORY_FRACTION", "0.6")
 
 
 def _spill_bytes(spark) -> "tuple[int, int]":
@@ -78,6 +85,7 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": DRIVER_MEMORY,
             "spark.sql.shuffle.partitions": SHUFFLE_PARTITIONS,
+            "spark.memory.fraction": MEMORY_FRACTION,
             "spark.ui.enabled": "true",  # the REST API is the metric source
         },
     )
@@ -145,6 +153,7 @@ def main() -> None:
             "driver_memory": DRIVER_MEMORY,
             "jvm_max_heap_mb": int(heap_mb),
             "shuffle_partitions": SHUFFLE_PARTITIONS,
+            "memory_fraction": MEMORY_FRACTION,
             "compare": "tests/test_oracle_parity.py assert_frames_match",
         },
         "entries": results,
