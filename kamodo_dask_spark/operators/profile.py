@@ -618,9 +618,39 @@ def heavy_hitters_sketch(
             f"key_col {key_col!r} collides with a reserved summary "
             "column (_est/_d/_n) — alias it before sketching"
         )
+    parts = _mg_partition_summary(df, key_col, int(k_counters))
+    # O(partitions x k) rows from here on — everything below is
+    # summary-sized, never corpus-sized. The checkpoint is LAZY (r14):
+    # the (D, N) scalar collect right below is the action that
+    # materializes it, so the sketch costs ONE job up front instead of
+    # two — every job is a fixed scheduler quantum (the r13 kmv_set_ops
+    # lesson applied to the MG path).
+    summary = parts.localCheckpoint(eager=False)
+    d_total, n_total = summary.agg(F.sum("_d"), F.sum("_n")).first()
+    d_total, n_total = int(d_total or 0), int(n_total or 0)
+    merged = (
+        summary.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("_est").alias("est_count"))
+    )
+    return merged.filter(
+        F.col("est_count") + F.lit(d_total)
+        >= F.lit(float(threshold) * n_total)
+    ).select(
+        key_col,
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") + F.lit(d_total)).cast("bigint").alias("max_count"),
+    )
+
+
+def _mg_partition_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The Misra–Gries per-partition summary relation shared by
+    :func:`heavy_hitters_sketch` and :func:`mg_top_bound`: ≤k surviving
+    ``(key, est)`` rows per partition plus ONE metadata row carrying the
+    exact ``(d_p, n_p)`` — O(partitions × k) rows total, never the
+    corpus (see :func:`heavy_hitters_sketch` for the guarantees)."""
     key_t = df.schema[key_col].dataType.simpleString()
     out_schema = f"`{key_col}` {key_t}, _est long, _d long, _n long"
-    k = int(k_counters)
 
     def mg_partition(batches):
         import pandas as pd
@@ -646,25 +676,58 @@ def heavy_hitters_sketch(
         rows.append((None, 0, decremented, n_rows))  # partition metadata
         yield pd.DataFrame(rows, columns=[key_col, "_est", "_d", "_n"])
 
-    parts = df.select(key_col).mapInPandas(mg_partition, out_schema)
-    # O(partitions x k) rows from here on — everything below is
-    # summary-sized, never corpus-sized
-    summary = parts.localCheckpoint(eager=True)
-    d_total, n_total = summary.agg(F.sum("_d"), F.sum("_n")).first()
-    d_total, n_total = int(d_total or 0), int(n_total or 0)
-    merged = (
-        summary.filter(F.col(key_col).isNotNull())
-        .groupBy(key_col)
-        .agg(F.sum("_est").alias("est_count"))
+    return df.select(key_col).mapInPandas(mg_partition, out_schema)
+
+
+def mg_top_bound(
+    df: DataFrame,
+    key_col: str,
+    threshold: float,
+    k_counters: int = 64,
+) -> int:
+    """Lower bound on the heaviest key's count — the ONLY number the
+    sketch-mode join planner needs from the Misra–Gries pass — in ONE
+    Spark job (r14: :func:`heavy_hitters_sketch` + a max-aggregation
+    consumer costs three driver-sequential jobs; at the scheduler's
+    fixed per-job quantum the extra two were most of the planner's MG
+    wall at every sf).
+
+    Equivalent by monotonicity to
+    ``heavy_hitters_sketch(...).agg(max(est_count))``: the candidate
+    filter ``S(x) + D >= threshold·N`` admits the maximum merged
+    estimate iff it admits any key, so the answer is ``max_est`` when
+    ``max_est + D >= threshold·N`` and 0 otherwise — one two-level
+    aggregation over the summary relation (per-key merge, then the
+    scalar max alongside the exact D/N totals), pipelined into a single
+    action. Returns 0 for an empty/all-NULL input."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if k_counters < 1:
+        raise ValueError(f"k_counters must be >= 1, got {k_counters}")
+    if key_col not in df.columns:
+        raise ValueError(f"input lacks column {key_col!r}")
+    if key_col in {"_est", "_d", "_n"}:
+        raise ValueError(
+            f"key_col {key_col!r} collides with a reserved summary "
+            "column (_est/_d/_n) — alias it before sketching"
+        )
+    summary = _mg_partition_summary(df, key_col, int(k_counters))
+    # metadata rows (NULL key) group by themselves and carry D/N; data
+    # rows merge per key — one shuffle of the O(partitions × k) summary,
+    # then a scalar aggregate, all inside the .first() action
+    merged = summary.groupBy(key_col).agg(
+        F.sum("_est").alias("_e"),
+        F.sum("_d").alias("_dd"),
+        F.sum("_n").alias("_nn"),
     )
-    return merged.filter(
-        F.col("est_count") + F.lit(d_total)
-        >= F.lit(float(threshold) * n_total)
-    ).select(
-        key_col,
-        F.col("est_count").cast("bigint").alias("est_count"),
-        (F.col("est_count") + F.lit(d_total)).cast("bigint").alias("max_count"),
-    )
+    row = merged.agg(
+        F.max(F.when(F.col(key_col).isNotNull(), F.col("_e"))).alias("top"),
+        F.sum("_dd").alias("d"),
+        F.sum("_nn").alias("n"),
+    ).first()
+    top = int(row["top"] or 0)
+    d_total, n_total = int(row["d"] or 0), int(row["n"] or 0)
+    return top if top + d_total >= float(threshold) * n_total else 0
 
 
 def quantile_summary(
@@ -1012,23 +1075,10 @@ def kmv_sketch(
     )
 
     def _cutoff_long(est_n: int) -> "int | None":
-        """Hash-domain prefix cutoff for a group estimated at est_n
-        distinct hashes, or None to keep everything."""
-        if est_n <= 8 * keep:
-            return None
-        q = min(1.0, (32.0 * keep) / float(est_n))
-        if q >= 1.0:
-            return None
-        return min(2**63 - 1, _KMV_MIN + int(q * _KMV_SPAN))
+        return _kmv_cutoff_long(est_n, keep)
 
     def _select_minima(rel: DataFrame) -> DataFrame:
-        dedup = rel.select(*by, "_h").distinct()  # partial-combined
-        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
-        return (
-            dedup.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= keep)
-            .drop("_r")
-        )
+        return _kmv_select_minima(rel, by, keep)
 
     from kamodo_dask_spark.operators.dedup import _tracked_local_checkpoint
 
@@ -1087,13 +1137,7 @@ def _kmv_grouped_select(
     spark = df.sparkSession
 
     def _select_minima(rel: DataFrame) -> DataFrame:
-        dedup = rel.select(*by, "_h").distinct()  # partial-combined
-        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
-        return (
-            dedup.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= keep)
-            .drop("_r")
-        )
+        return _kmv_select_minima(rel, by, keep)
 
     schema_parts = [
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by
@@ -1173,6 +1217,48 @@ def _kmv_u(col: Column) -> Column:
     return (col.cast("double") - F.lit(float(_KMV_MIN)) + F.lit(1.0)) / F.lit(
         _KMV_SPAN
     )
+
+
+def _kmv_cutoff_long(est_n: int, keep: int) -> "int | None":
+    """Hash-domain prefix cutoff for a group estimated at ``est_n``
+    distinct hashes under a ``keep``-minima sketch, or None to keep
+    everything (see :func:`kmv_sketch` step 2)."""
+    if est_n <= 8 * keep:
+        return None
+    q = min(1.0, (32.0 * keep) / float(est_n))
+    if q >= 1.0:
+        return None
+    return min(2**63 - 1, _KMV_MIN + int(q * _KMV_SPAN))
+
+
+def _kmv_select_minima(
+    rel: DataFrame, by: "list[str]", keep: int
+) -> DataFrame:
+    """Per-group ``keep`` smallest distinct hashes of a ``(by..., _h)``
+    relation — :func:`kmv_sketch` step 3 (partial-combined distinct +
+    window rank), factored so the sketch-mode join planner can drive the
+    same selection without the sketch function's own action jobs."""
+    dedup = rel.select(*by, "_h").distinct()  # partial-combined
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("_h")
+    return (
+        dedup.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= keep)
+        .drop("_r")
+    )
+
+
+def _kmv_est_py(hashes: "set[int]", k: int) -> float:
+    """Driver-side mirror of :func:`kmv_distinct` for ONE collected
+    group: exact count at or below k distinct hashes, else the KMV
+    ``k / u_{k+1}`` estimator — the arithmetic replays the SQL
+    expression operation-for-operation (same IEEE-754 sequence), so a
+    caller that collected the summary-sized sketch rows gets the
+    identical estimate without another Spark job."""
+    cnt = len(hashes)
+    if cnt <= k:
+        return float(cnt)
+    u = (float(max(hashes)) - float(_KMV_MIN) + 1.0) / _KMV_SPAN
+    return float(k) / u
 
 
 def kmv_distinct(
@@ -1284,6 +1370,24 @@ def kmv_set_ops(
                 "group literals of the column's exact type"
             )
         groups[r[0]].add(int(r[1]))
+    return spark.createDataFrame(
+        [_kmv_set_ops_py(groups, group_a, group_b, k)],
+        "est_a double, est_b double, est_union double, est_inter double, "
+        "est_diff_ab double, est_diff_ba double, est_jaccard double, "
+        "theta double",
+    )
+
+
+def _kmv_set_ops_py(
+    groups: "dict[object, set[int]]", group_a, group_b, k: int
+) -> tuple:
+    """The driver-side theta set arithmetic of :func:`kmv_set_ops` over
+    two ALREADY-COLLECTED hash sets — factored (r14) so a caller holding
+    the summary rows (the multi-pair join planner collects the whole
+    tagged sketch once) answers every pair with zero further Spark jobs.
+    Returns the same eight values in :func:`kmv_set_ops` column order:
+    ``(est_a, est_b, est_union, est_inter, est_diff_ab, est_diff_ba,
+    est_jaccard, theta)``."""
     thetas = {}
     cuts = {}  # group -> exact int64 strict-below cut, or None (theta=1)
     for g in (group_a, group_b):
@@ -1323,20 +1427,13 @@ def kmv_set_ops(
     inv = 1.0 / theta
     n_inter = len(a_below & b_below)
     n_union = len(a_below | b_below)
-    return spark.createDataFrame(
-        [
-            (
-                len(a_below) * inv,
-                len(b_below) * inv,
-                n_union * inv,
-                n_inter * inv,
-                len(a_below - b_below) * inv,
-                len(b_below - a_below) * inv,
-                (n_inter / n_union) if n_union > 0 else 0.0,
-                float(theta),
-            )
-        ],
-        "est_a double, est_b double, est_union double, est_inter double, "
-        "est_diff_ab double, est_diff_ba double, est_jaccard double, "
-        "theta double",
+    return (
+        len(a_below) * inv,
+        len(b_below) * inv,
+        n_union * inv,
+        n_inter * inv,
+        len(a_below - b_below) * inv,
+        len(b_below - a_below) * inv,
+        (n_inter / n_union) if n_union > 0 else 0.0,
+        float(theta),
     )

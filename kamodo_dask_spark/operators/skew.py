@@ -204,20 +204,29 @@ def join_plan_sketch_multi(
     m x (two exact distincts + an overlap join + a full per-key
     groupBy).
 
-    Machinery (all mergeable sketches from ``operators/profile.py``):
+    Machinery (all mergeable sketches from ``operators/profile.py``;
+    r14 — the whole pass is TWO full-scan jobs plus one single-job MG
+    pass per distinct salt-deciding left, because at every sf the
+    planner's wall was driver-sequential job count × the scheduler
+    quantum, not data):
 
-    - KMV/theta: one ``kmv_sketch`` over the union tagged by relation
-      name. Per-relation key cardinality from ``kmv_distinct`` (exact
-      under k, RSE ~ 1/sqrt(k-1) saturated); per-pair key overlap and
-      Jaccard from ``kmv_set_ops`` on the stored (k+1)-row summaries —
-      the pre-shuffle answer to "how many keys collide" that HLL
-      cannot give (no intersection). The set-ops' own per-side
+    - KMV/theta: exact row counts and the HLL++ cutoff estimates come
+      from ONE fused aggregation over the union tagged by relation
+      name; the k+1 minima per relation (``kmv_sketch``'s selection,
+      driven directly so the sketch function's own action jobs are not
+      paid) are collected ONCE — O(|relations| × k) rows BY
+      CONSTRUCTION — and per-relation key cardinality
+      (``kmv_distinct``'s arithmetic via ``_kmv_est_py``) plus every
+      pair's key overlap and Jaccard (``kmv_set_ops``'s arithmetic via
+      ``_kmv_set_ops_py``) are answered driver-side with zero further
+      jobs — the pre-shuffle answer to "how many keys collide" that
+      HLL cannot give (no intersection). The set-ops' own per-side
       estimates are NOT used for cardinality: they are theta-rate
       samples, strictly looser than the single-set estimator whenever
       the OTHER side saturates first.
-    - Misra-Gries: ``heavy_hitters_sketch`` bounds the heaviest left
-      key's frequency, once per DISTINCT left relation that still
-      needs a salt decision (broadcast pairs skip it). The salt
+    - Misra-Gries: ``mg_top_bound`` bounds the heaviest left
+      key's frequency in ONE job, once per DISTINCT left relation that
+      still needs a salt decision (broadcast pairs skip it). The salt
       trigger uses the LOWER bound (``est_count <= f``): a detected
       hitter is genuinely heavy, and a uniform key set — whose upper
       bound carries the full decrement slack D ~ N/(counters+1) —
@@ -240,15 +249,12 @@ def join_plan_sketch_multi(
     top_key_count_lo, broadcast_right, salt_left, strategy)`` —
     scalars computed driver-side from summary-sized relations (the
     metadata-collect contract) and returned as literal rows."""
-    from kamodo_dask_spark.operators.dedup import (
-        _tracked_local_checkpoint,
-        _unpersist_blocks,
-    )
     from kamodo_dask_spark.operators.profile import (
-        heavy_hitters_sketch,
-        kmv_distinct,
-        kmv_set_ops,
-        kmv_sketch,
+        _kmv_cutoff_long,
+        _kmv_est_py,
+        _kmv_select_minima,
+        _kmv_set_ops_py,
+        mg_top_bound,
     )
 
     if not relations or not pairs:
@@ -266,24 +272,80 @@ def join_plan_sketch_multi(
     for name, (df, key) in relations.items():
         part = df.select(F.col(key).alias("_k"), F.lit(name).alias("_side"))
         tagged = part if tagged is None else tagged.unionByName(part)
-    # exact row counts for every relation in ONE job (summary-sized
-    # exchange: |relations| rows)
-    n_rows = {
-        r["_side"]: int(r["n"])
-        for r in tagged.groupBy("_side").agg(F.count("*").alias("n")).collect()
-    }
-    # ONE sketch scan for all relations; consumers below are
-    # summary-sized and read the stored checkpoint (freed at the end —
-    # the kmv_set_ops leak discipline, advisor r11)
-    sk, sk_blocks = _tracked_local_checkpoint(
-        kmv_sketch(tagged, "_k", k=k, by=["_side"])
+    # JOB 1 — exact row counts AND the HLL++ key-cardinality estimates
+    # (the prefix-cutoff input kmv_sketch would otherwise spend its own
+    # full-scan job on) for every relation, fused into ONE grouped
+    # aggregation over the tagged union (r14: the planner's wall was
+    # driver-sequential job count x the scheduler quantum at every sf,
+    # not data — same hashes, same rsd, so the cutoffs are identical
+    # to the unfused spelling's).
+    keep = k + 1
+    stats = (
+        tagged.groupBy("_side")
+        .agg(
+            F.count("*").alias("_n"),
+            F.approx_count_distinct(
+                F.when(F.col("_k").isNotNull(), F.xxhash64("_k")), 0.05
+            ).alias("_est"),
+        )
+        .collect()
     )
-    est_keys = {
-        r["_side"]: float(r["est_n"])
-        for r in kmv_distinct(sk, k, ["_side"]).collect()
+    n_rows = {r["_side"]: int(r["_n"]) for r in stats}
+    cuts = {
+        r["_side"]: _kmv_cutoff_long(int(r["_est"] or 0), keep)
+        for r in stats
     }
+    # JOB 2 — the k+1 minima of every relation, collected DRIVER-SIDE:
+    # the sketch is O(|relations| x k) rows BY CONSTRUCTION, so the
+    # cardinality estimates (kmv_distinct's arithmetic) and every
+    # pair's set ops (kmv_set_ops' arithmetic) run on plain Python sets
+    # with zero further jobs — the r13 kmv_set_ops driver-side rewrite
+    # carried to its conclusion. No checkpoint: nothing re-reads the
+    # distributed sketch, so there is nothing to persist or leak.
+    hashed = tagged.filter(F.col("_k").isNotNull()).select(
+        "_side", F.xxhash64("_k").alias("_h")
+    )
+    if any(c is not None for c in cuts.values()):
+        cut_rel = spark.createDataFrame(
+            [(s, c) for s, c in cuts.items()],
+            "_side string, _cut bigint",
+        )
+        pre = (
+            hashed.join(F.broadcast(cut_rel), ["_side"], "left")
+            .filter(F.col("_cut").isNull() | (F.col("_h") < F.col("_cut")))
+            .drop("_cut")
+        )
+    else:
+        pre = hashed
+    sel_rows = _kmv_select_minima(pre, ["_side"], keep).collect()
+    sketches: "dict[str, set[int]]" = {}
+    for r in sel_rows:
+        sketches.setdefault(r["_side"], set()).add(int(r["_h"]))
+    # starvation check (kmv_sketch step 4), now a driver-side count of
+    # the collected rows: any FILTERED group retaining < k+1 distinct
+    # hashes is re-selected filter-free (astronomically rare at the 32x
+    # cutoff margin; exactness by construction, never by luck)
+    suspects = sorted(
+        s
+        for s, c in cuts.items()
+        if c is not None and len(sketches.get(s, ())) < keep
+    )
+    if suspects:
+        sus_rel = F.broadcast(
+            spark.createDataFrame([(s,) for s in suspects], "_side string")
+        )
+        full_rows = _kmv_select_minima(
+            hashed.join(sus_rel, ["_side"], "left_semi"), ["_side"], keep
+        ).collect()
+        for s in suspects:
+            sketches[s] = set()
+        for r in full_rows:
+            sketches.setdefault(r["_side"], set()).add(int(r["_h"]))
+    est_keys = {s: _kmv_est_py(hs, k) for s, hs in sketches.items()}
 
-    # one MG pass per DISTINCT left relation that needs a salt decision
+    # one MG pass per DISTINCT left relation that needs a salt decision —
+    # ONE job each via mg_top_bound (was three: eager checkpoint + D/N
+    # scalar collect + the max-aggregation consumer)
     mg_lefts = {
         l_name
         for l_name, r_name, bmax in pairs
@@ -295,21 +357,25 @@ def join_plan_sketch_multi(
     for name in sorted(mg_lefts):
         df, key = relations[name]
         cut = skew_factor * n_rows[name] / est_keys[name]
-        hh = heavy_hitters_sketch(
+        top_lo[name] = mg_top_bound(
             df.select(key),
             key,
             threshold=min(0.5, cut / n_rows[name]),
             k_counters=mg_counters,
         )
-        top = hh.agg(F.max("est_count")).first()[0]
-        top_lo[name] = int(top or 0)
 
     rows = []
     for l_name, r_name, bmax in pairs:
         n_l, n_r = n_rows.get(l_name, 0), n_rows.get(r_name, 0)
-        ops = kmv_set_ops(
-            sk, "_side", l_name, r_name, k, checkpoint=False
-        ).first()
+        ops = _kmv_set_ops_py(
+            {
+                l_name: sketches.get(l_name, set()),
+                r_name: sketches.get(r_name, set()),
+            },
+            l_name,
+            r_name,
+            k,
+        )
         broadcast_right = n_r <= bmax
         lo = top_lo.get(l_name, 0)
         salt_left = (
@@ -330,15 +396,14 @@ def join_plan_sketch_multi(
                 n_r,
                 est_keys.get(l_name, 0.0),
                 est_keys.get(r_name, 0.0),
-                float(ops["est_inter"]),
-                float(ops["est_jaccard"]),
+                float(ops[3]),  # est_inter
+                float(ops[6]),  # est_jaccard
                 lo,
                 bool(broadcast_right),
                 bool(salt_left),
                 strategy,
             )
         )
-    _unpersist_blocks(spark, sk_blocks)
     return spark.createDataFrame(
         rows,
         "left string, right string, n_rows_l bigint, n_rows_r bigint, "

@@ -7832,8 +7832,9 @@ def join_plan_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap), deterministic because xxhash64 has no RNG. The three
     pairs are planned by ONE ``join_plan_sketch_multi`` call — one
     tagged-union sketch scan amortized across all pairs, the op's
-    whole point — and the exact side is one union-distinct aggregation
-    plus three metadata-sized overlap joins."""
+    whole point — and the exact side is ONE flag-product aggregation
+    over the tagged union (every side's distinct-key count and every
+    pair's overlap in a single job; r14)."""
     from kamodo_dask_spark.operators.skew import join_plan_sketch_multi
 
     ev = read_table(spark, sf_dir, "events")
@@ -7861,21 +7862,35 @@ def join_plan_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             rels, [c for c in cases.values()], k=512
         ).collect()
     }
-    # exact side: one union-distinct aggregation for the four key sets
-    # + one metadata-sized overlap join per pair (distinct keys are
-    # 150-15k rows at every sf)
+    # exact side in ONE job (r14 — was one union-distinct aggregation
+    # plus one overlap join per pair, each a separate full-scan action):
+    # per-key side-membership flags from the tagged union, then every
+    # side's distinct-key count AND every pair's key overlap as sums of
+    # flag products in a single two-level aggregation. Distinct-count
+    # semantics match the old ``df.distinct()`` spelling exactly — a
+    # NULL key counts toward a side's key count (it is a distinct row)
+    # but toward NO overlap (an equi-join never matches NULL).
     tagged = None
-    dedup = {}
     for name, (df, key) in rels.items():
         part = df.select(F.lit(name).alias("_side"), F.col(key))
         tagged = part if tagged is None else tagged.unionByName(part)
-        dedup[name] = df.distinct()
-    keys_exact = {
-        r["_side"]: int(r["n"])
-        for r in tagged.distinct().groupBy("_side").agg(
-            F.count("*").alias("n")
-        ).collect()
-    }
+    flags = tagged.groupBy("k").agg(
+        *[
+            F.max(F.when(F.col("_side") == s, 1).otherwise(0)).alias(s)
+            for s in rels
+        ]
+    )
+    nn = F.col("k").isNotNull()
+    exact_row = flags.agg(
+        *[F.sum(s).alias(f"_keys_{s}") for s in rels],
+        *[
+            F.sum(
+                F.when(nn, F.col(l) * F.col(r)).otherwise(0)
+            ).alias(f"_ov_{pair}")
+            for pair, (l, r, _b) in cases.items()
+        ],
+    ).first()
+    keys_exact = {s: int(exact_row[f"_keys_{s}"]) for s in rels}
 
     def tol_ok(est: float, exact: int, tol: float) -> bool:
         return abs(est - exact) <= max(4.0, tol * exact)
@@ -7884,7 +7899,7 @@ def join_plan_sketch_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pair, (l_name, r_name, _bmax) in cases.items():
         plan = plans[(l_name, r_name)]
         keys_l, keys_r = keys_exact[l_name], keys_exact[r_name]
-        overlap = dedup[l_name].join(dedup[r_name], "k").count()
+        overlap = int(exact_row[f"_ov_{pair}"])
         ok = (
             tol_ok(plan["est_keys_l"], keys_l, 0.10)
             and tol_ok(plan["est_keys_r"], keys_r, 0.10)
@@ -8011,25 +8026,35 @@ def planned_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             rels, [c for c in cases.values()], k=512
         ).collect()
     }
-    rows = []
+    # Each pair's join EXECUTES under its decided strategy, but the three
+    # per-pair aggregates are UNIONED into one plan so a single action
+    # materializes them (r14: three sequential .first() calls cost three
+    # scheduler-quantum jobs AND serialized the joins; one union runs the
+    # three independent subtrees concurrently across the cluster — guide
+    # §2.6's overlap-independent-jobs point, expressed in-plan).
+    per_pair = []
     for pair, (l_name, r_name, _bmax) in cases.items():
         strategy = plans[(l_name, r_name)]["strategy"]
         joined = execute_join_strategy(
             rels[l_name][0], rels[r_name][0], "k", strategy
         )
-        agg = joined.agg(
-            F.count("*").cast("bigint").alias("n_out"),
-            F.sum("k").cast("bigint").alias("sum_k"),
-            F.countDistinct("k").cast("bigint").alias("n_keys"),
-        ).first()
-        rows.append(
-            (pair, strategy, agg["n_out"], agg["sum_k"], agg["n_keys"])
+        per_pair.append(
+            joined.agg(
+                F.count("*").cast("bigint").alias("n_out"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+                F.countDistinct("k").cast("bigint").alias("n_keys"),
+            ).select(
+                F.lit(pair).alias("pair"),
+                F.lit(strategy).alias("strategy"),
+                "n_out",
+                "sum_k",
+                "n_keys",
+            )
         )
-    return spark.createDataFrame(
-        rows,
-        "pair string, strategy string, n_out bigint, sum_k bigint, "
-        "n_keys bigint",
-    )
+    out = per_pair[0]
+    for p in per_pair[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(

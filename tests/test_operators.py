@@ -4635,6 +4635,72 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         kmv_sketch(df.withColumnRenamed("id", "_h"), "_h")
 
 
+def test_kmv_and_mg_driver_side_mirrors_match_dataframe_spellings(spark):
+    """r14 job-count optimization: the driver-side mirrors the multi-pair
+    join planner runs on collected sketch rows must reproduce the
+    DataFrame spellings EXACTLY — ``_kmv_est_py`` vs ``kmv_distinct``
+    (same IEEE-754 sequence, bit-equal doubles), ``_kmv_set_ops_py`` vs
+    ``kmv_set_ops``, and the one-job ``mg_top_bound`` vs
+    ``heavy_hitters_sketch`` + max-over-candidates (including the
+    below-threshold → 0 branch)."""
+    from kamodo_dask_spark.operators.profile import (
+        _kmv_est_py,
+        _kmv_set_ops_py,
+        heavy_hitters_sketch,
+        kmv_distinct,
+        kmv_set_ops,
+        kmv_sketch,
+        mg_top_bound,
+    )
+
+    k = 16
+    # seg a: 200 distinct ids (saturates k=16); seg b: 12 (exact mode);
+    # overlap through the shared low id range
+    df = (
+        spark.range(0, 200, 1, 4)
+        .selectExpr("id", "'a' as seg")
+        .unionByName(spark.range(0, 12, 1, 2).selectExpr("id", "'b' as seg"))
+    )
+    sk = kmv_sketch(df, "id", k=k, by=["seg"])
+    rows = sk.collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["seg"], set()).add(int(r["_h"]))
+
+    sql_est = {
+        r["seg"]: float(r["est_n"])
+        for r in kmv_distinct(sk, k, ["seg"]).collect()
+    }
+    for seg, hs in groups.items():
+        assert _kmv_est_py(hs, k) == sql_est[seg]  # bit-exact
+
+    ops_df = kmv_set_ops(sk, "seg", "a", "b", k).first()
+    ops_py = _kmv_set_ops_py(
+        {"a": groups["a"], "b": groups["b"]}, "a", "b", k
+    )
+    assert tuple(ops_df) == ops_py  # same eight values, same order
+
+    # MG: skewed key set — 'h' owns 40% of rows, so it must be the top
+    # bound under a 0.2 threshold; a 0.99 threshold admits nothing
+    mg_rows = [("h",)] * 400 + [(f"c{i % 50}",) for i in range(600)]
+    mdf = spark.createDataFrame(mg_rows, "k string").repartition(4)
+    hh = heavy_hitters_sketch(mdf, "k", threshold=0.2, k_counters=8)
+    expected = max(
+        (int(r["est_count"]) for r in hh.collect()), default=0
+    )
+    assert mg_top_bound(mdf, "k", threshold=0.2, k_counters=8) == expected
+    assert mg_top_bound(mdf, "k", threshold=0.99, k_counters=8) == 0
+    # validation parity with heavy_hitters_sketch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        mg_top_bound(mdf, "k", threshold=0.0)
+    with _pytest.raises(ValueError, match="k_counters"):
+        mg_top_bound(mdf, "k", threshold=0.1, k_counters=0)
+    with _pytest.raises(ValueError, match="lacks"):
+        mg_top_bound(mdf, "nope", threshold=0.1)
+
+
 def test_join_view_retract(spark):
     """Deletion-capable join-view IVM (judge r11 ask #3): the stored
     view is a Z-set (row -> multiplicity); signed deltas on BOTH sides
