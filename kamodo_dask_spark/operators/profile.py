@@ -864,7 +864,9 @@ def quantiles_from_summary(
     (summary fresh from one scan) and the streaming twin (summary folded
     across micro-batches via :func:`compress_summary`). See
     :func:`quantile_sketch` for the guarantee."""
-    summary = summary.localCheckpoint(eager=True)
+    # lazy: the (E, N) scalar collect is the materializing action — one
+    # job instead of two (r14)
+    summary = summary.localCheckpoint(eager=False)
     e_total, n_total = summary.agg(F.sum("_err"), F.sum("_n")).first()
     e_total, n_total = int(e_total or 0), int(n_total or 0)
     if n_total == 0:
@@ -945,7 +947,10 @@ def compress_summary(
         summary.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.sum("_w").cast("bigint").alias("_w"))
-        .localCheckpoint(eager=True)
+        # lazy: the W collect right below materializes it — one job per
+        # compression instead of two (r14; the fold step pays this once
+        # per micro-batch)
+        .localCheckpoint(eager=False)
     )
     w_total = grouped.agg(F.sum("_w")).first()[0]
     if not w_total:
@@ -1180,6 +1185,72 @@ def _kmv_grouped_select(
     )
     full = _select_minima(hashed.join(sus_rel, by, "left_semi"))
     return sel.join(sus_rel, by, "left_anti").unionByName(full)
+
+
+def kmv_fold(
+    state: DataFrame,
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    by: "list[str] | None" = None,
+) -> DataFrame:
+    """Fold a RAW batch into a stored :func:`kmv_sketch` state relation
+    in one pass — the streaming twin's per-commit step, r14: the old
+    spelling (sketch the batch with :func:`kmv_sketch`, then
+    :func:`kmv_merge` the two summaries) paid the sketch function's own
+    HLL-estimate action per micro-batch. This replaces the HLL-derived
+    prefix cutoff with a STATE-DERIVED one that needs no job at all:
+
+    For a group whose stored sketch is saturated (>= k+1 rows), the
+    stored maximum M is the (k+1)-th smallest hash seen so far, and the
+    merged sketch is the k+1 smallest distinct of (state ∪ batch) — a
+    batch hash strictly above M can never enter it (k+1 state hashes
+    already sit at or below M). Filtering batch hashes to ``h <= M``
+    before the distinct is therefore EXACT, and tighter than the HLL
+    cutoff ever was: the exchange carries ~k x |batch|/|history| rows
+    at steady state instead of 32·(k+1) per group. Unsaturated (or
+    absent) groups take no filter — their sketch is the full hash set
+    and every batch hash is a candidate.
+
+    Returns the merged ``(by..., _h)`` summary (k+1 retention), equal
+    by construction to ``kmv_merge(state ∪ kmv_sketch(batch))`` and to
+    ``kmv_sketch`` over the whole history."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by or [])
+    for c in [value_col, *by]:
+        if c not in df.columns:
+            raise ValueError(f"input lacks column {c!r}")
+    keep = k + 1
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.xxhash64(value_col).alias("_h")
+    )
+    bounds = (
+        state.groupBy(*by)
+        .agg(F.count("*").alias("_n"), F.max("_h").alias("_mx"))
+        .filter(F.col("_n") >= keep)
+        .select(*by, "_mx")
+    )
+    if by:
+        pre = (
+            hashed.join(F.broadcast(bounds), by, "left")
+            .filter(F.col("_mx").isNull() | (F.col("_h") <= F.col("_mx")))
+            .drop("_mx")
+        )
+    else:
+        # global sketch: the single bound is a scalar — inline it via a
+        # broadcast single-row join on a constant key (no BNLJ)
+        pre = (
+            hashed.withColumn("_j", F.lit(1))
+            .join(
+                F.broadcast(bounds.withColumn("_j", F.lit(1))), ["_j"], "left"
+            )
+            .filter(F.col("_mx").isNull() | (F.col("_h") <= F.col("_mx")))
+            .drop("_mx", "_j")
+        )
+    return _kmv_select_minima(
+        state.select(*by, "_h").unionByName(pre), by, keep
+    )
 
 
 def kmv_merge(

@@ -8133,7 +8133,10 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.unionByName(bc)
             .groupBy("key")
             .agg(F.sum("est").cast("bigint").alias("est"))
-            .localCheckpoint(eager=True)
+            # lazy: the (k+1)-row trim collect right below is the
+            # action that materializes it — one job per commit where
+            # the eager form ran two (r14)
+            .localCheckpoint(eager=False)
         )
         # trim to K_COUNTERS survivors: subtract the (k+1)-th largest
         # estimate from everyone (the mergeable-summaries reduction) —
@@ -8308,11 +8311,7 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan: a dropped batch, a broken merge, or unrestored state
     moves an estimate outside its tolerance band and fails the
     driver hash."""
-    from kamodo_dask_spark.operators.profile import (
-        kmv_merge,
-        kmv_set_ops,
-        kmv_sketch,
-    )
+    from kamodo_dask_spark.operators.profile import kmv_fold, kmv_set_ops, kmv_sketch
     from kamodo_dask_spark.session import scoped_conf
     from kamodo_dask_spark.streaming.state import CommittedState
 
@@ -8328,14 +8327,19 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     st.reset()  # fresh stream (fresh checkpoint): batch ids restart at 0
 
     def fold(batch_df, batch_id):
-        bs = kmv_sketch(batch_df, "id", k=_THETA_K, by=["seg"])
         if batch_id == 0:
             # empty prior state by protocol; the batch sketch IS the
             # merged state — skip the identity merge's distinct+window
-            st.commit(batch_id, bs)
+            st.commit(batch_id, kmv_sketch(batch_df, "id", k=_THETA_K, by=["seg"]))
             return
         cur, _ = st.ensure(batch_id)
-        st.commit(batch_id, kmv_merge(cur.unionByName(bs), _THETA_K, ["seg"]))
+        # kmv_fold (r14): one pass per commit — batch hashes prefiltered
+        # by the STORED sketch's per-group (k+1)-th minimum (exact by
+        # the k-minima property, tighter than the HLL cutoff, and no
+        # per-batch estimate job), then one distinct+rank merge
+        st.commit(
+            batch_id, kmv_fold(cur, batch_df, "id", _THETA_K, ["seg"])
+        )
 
     stream = (
         spark.readStream.schema("id bigint, seg string")

@@ -298,7 +298,18 @@ class CommittedState:
         # endorses, and everything else under b=<bid> is orphan noise.
         data_dir = f"data-e{self._epoch}"
         data_path = f"{self._path}/b={bid}/{data_dir}"
-        df.write.mode("overwrite").parquet(data_path)
+        # ONE output file (r14): the state relation is metadata-sized by
+        # contract (k counters / slots / view keys — see the class
+        # docstring), so a shuffle-partition-count parquet write pays
+        # task-launch and file-open overhead per commit for nothing, and
+        # every subsequent ensure/read scans that many files. Guide §6
+        # small-files discipline applied to the snapshot. repartition,
+        # NOT coalesce: coalesce(1) propagates the single-task constraint
+        # through every shuffle-free ancestor (a mapInPandas batch
+        # summary would run its whole scan on one core — measured 3.5x
+        # wall on the streaming quantile fold); the round-robin exchange
+        # costs one state-sized shuffle, which is the cheap direction.
+        df.repartition(1).write.mode("overwrite").parquet(data_path)
         full = {n: 0 for n in self._scalar_names}
         full.update({k: int(v) for k, v in scalars.items()})
         fs = self._fs()

@@ -4635,6 +4635,66 @@ def test_kmv_sketch_mergeable_exact_and_estimates(spark):
         kmv_sketch(df.withColumnRenamed("id", "_h"), "_h")
 
 
+def test_kmv_fold_equals_sketch_then_merge(spark):
+    """r14 streaming-fold optimization: ``kmv_fold`` (state-bounded
+    prefilter + one distinct/rank merge, zero per-batch estimate jobs)
+    must return EXACTLY the same summary as the old two-step spelling
+    ``kmv_merge(state ∪ kmv_sketch(batch))`` — saturated state (the
+    filter actually prunes), unsaturated state, a group absent from the
+    state, and the global (no ``by``) shape."""
+    from kamodo_dask_spark.operators.profile import (
+        kmv_fold,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 8
+    # state history: seg a saturated (100 ids), seg b unsaturated (4)
+    hist = (
+        spark.range(0, 100, 1, 4)
+        .selectExpr("id", "'a' as seg")
+        .unionByName(spark.range(0, 4, 1, 1).selectExpr("id", "'b' as seg"))
+    )
+    state = kmv_sketch(hist, "id", k=k, by=["seg"])
+    # batch: overlaps a, extends b, introduces seg c; includes NULLs
+    batch = (
+        spark.range(50, 180, 1, 4)
+        .selectExpr("id", "'a' as seg")
+        .unionByName(spark.range(2, 30, 1, 2).selectExpr("id", "'b' as seg"))
+        .unionByName(spark.range(0, 20, 1, 1).selectExpr("id", "'c' as seg"))
+        .unionByName(
+            spark.sql("select cast(null as bigint) id, 'a' as seg")
+        )
+    )
+    old = kmv_merge(
+        state.unionByName(kmv_sketch(batch, "id", k=k, by=["seg"])),
+        k,
+        ["seg"],
+    )
+    new = kmv_fold(state, batch, "id", k, ["seg"])
+    as_sets = lambda df: {
+        (r["seg"], r["_h"]) for r in df.collect()
+    }  # noqa: E731
+    assert as_sets(new) == as_sets(old)
+
+    # global (no by): same equivalence
+    gstate = kmv_sketch(hist.select("id"), "id", k=k)
+    gold = kmv_merge(
+        gstate.unionByName(kmv_sketch(batch.select("id"), "id", k=k)), k
+    )
+    gnew = kmv_fold(gstate, batch.select("id"), "id", k)
+    assert {r["_h"] for r in gnew.collect()} == {
+        r["_h"] for r in gold.collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_fold(state, batch, "id", 1, ["seg"])
+    with _pytest.raises(ValueError, match="lacks"):
+        kmv_fold(state, batch, "nope", k, ["seg"])
+
+
 def test_kmv_and_mg_driver_side_mirrors_match_dataframe_spellings(spark):
     """r14 job-count optimization: the driver-side mirrors the multi-pair
     join planner runs on collected sketch rows must reproduce the
