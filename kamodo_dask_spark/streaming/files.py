@@ -119,16 +119,36 @@ class SlabRefresher:
         self.retention_seconds = retention_seconds
         self.time_col = time_col
 
+    def _store_files(self, spark) -> "frozenset[str]":
+        """Data-file names currently in the slab store — one filesystem
+        metadata call (works wherever the store lives: local disk, HDFS,
+        object stores), never a Spark job."""
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(self.store_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return frozenset()
+        return frozenset(
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if not st.getPath().getName().startswith("_")
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # A micro-batch DataFrame is only valid within its batch — append it
         # to the durable slab store, then rebuild the registry from the store.
         from kamodo_dask_spark.grid.registry import KamodoSpark
 
         self.batches_seen += 1
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("append").parquet(self.store_dir)
         spark = batch_df.sparkSession
+        # Emptiness is decided from the store's file-listing delta around
+        # the append — a filesystem metadata op — instead of a per-batch
+        # ``isEmpty()`` action: the old guard paid one extra Spark job
+        # (scan + schedule) per NON-empty batch to protect the rare empty
+        # one, the wrong side of the trade on a hot fold path (r14).
+        before = self._store_files(spark)
+        batch_df.write.mode("append").parquet(self.store_dir)
+        if self._store_files(spark) == before:
+            return  # empty batch: nothing appended, registry stays current
         slab = spark.read.parquet(self.store_dir)
         if self.retention_seconds is not None:
             tnum = F.col(self.time_col).cast("double")
