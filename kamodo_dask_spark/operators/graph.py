@@ -253,15 +253,21 @@ def k_hop_reachability(
     CURRENT FRONTIER to the edge relation and anti-joins the visited set,
     so a node is expanded exactly once at its minimum hop and the work
     per round is |frontier ⋈ edges|, never the number of paths (which is
-    exponential). Rounds are lineage-truncated with eager local
-    checkpoints (the ``connected_components`` discipline) so the plan
-    does not deepen with ``k``.
+    exponential). Rounds are lineage-truncated with local checkpoints
+    (the ``connected_components`` discipline) so the plan does not
+    deepen with ``k``.
 
     100 TB shape: per round one hash-uniform equi-join on the frontier
     keys + one anti-join against visited (both node-id keyed); visited
     state is one row per reached node, distributed. ``k`` is a hard
     bound, so the loop terminates in ``k`` rounds or earlier when a
-    frontier empties.
+    frontier empties. The visited set is the UNION of the per-round
+    checkpointed frontier layers — never re-checkpointed per round —
+    and the frontier's emptiness probe is the ``count`` that
+    materializes its lazy checkpoint, so each round costs exactly ONE
+    driver-blocking action (r14, guide §2.1: the old
+    eager-checkpoint + ``isEmpty`` + visited-checkpoint spelling paid
+    three scheduler round-trips per hop for the same shuffled bytes).
 
     Returns ``(node, hop)`` with ``hop`` = min distance (seeds at 0).
     """
@@ -275,27 +281,35 @@ def k_hop_reachability(
     )
     adj = adj.filter(F.col("_from") != F.col("_to")).distinct()
     adj = adj.localCheckpoint(eager=True)
-    visited = (
+    seed_layer = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("bigint").alias("hop"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    layers = [seed_layer]
+    frontier = seed_layer.select("node")
     for h in range(1, k + 1):
+        visited_nodes = layers[0].select("node")
+        for layer in layers[1:]:
+            visited_nodes = visited_nodes.unionByName(layer.select("node"))
+        # eager=False: the emptiness count below is the action that
+        # materializes the checkpoint — one job per round, not three
         nxt = (
             frontier.join(adj, frontier["node"] == adj["_from"])
             .select(F.col("_to").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited_nodes, "node", "left_anti")
+            .select("node", F.lit(h).cast("bigint").alias("hop"))
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(h).cast("bigint").alias("hop"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+        layers.append(nxt)
+        frontier = nxt.select("node")
+    visited = layers[0]
+    for layer in layers[1:]:
+        visited = visited.unionByName(layer)
     return visited
 
 
@@ -330,11 +344,17 @@ def weighted_sssp(
     100 TB shape: per round ONE hash-uniform equi-join of the frontier
     against the edge relation (node-id keyed) + a partial-combined
     min per destination + one view-sized left join against the distance
-    state to keep genuine improvements; state and rounds are
-    lineage-truncated with eager local checkpoints (the
-    ``connected_components`` discipline) so the plan never deepens with
-    the round count. Work per round is ∝ |frontier ⋈ edges|, never path
-    counts.
+    state to keep genuine improvements; rounds are lineage-truncated
+    with local checkpoints (the ``connected_components`` discipline) so
+    the plan never deepens with the round count. Work per round is
+    ∝ |frontier ⋈ edges|, never path counts. The distance state is the
+    per-node MIN over the checkpointed improvement layers (improvements
+    per node strictly decrease, so min = latest) — rebuilt lazily per
+    round instead of re-checkpointed, and the improvement set's
+    emptiness probe is the ``count`` that materializes its lazy
+    checkpoint: each round costs exactly ONE driver-blocking action
+    (r14, guide §2.1 — was three: eager checkpoint + ``isEmpty`` +
+    state checkpoint — for the same shuffled bytes).
 
     Returns ``(node, dist)`` for every node reachable within
     ``max_hops`` edges (seeds included at 0).
@@ -360,13 +380,21 @@ def weighted_sssp(
         .agg(F.min("_w").alias("_w"))
         .localCheckpoint(eager=True)
     )
-    dist = (
+    seed_layer = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist
+    layers = [seed_layer]
+    frontier = seed_layer
+
+    def _dist_view() -> DataFrame:
+        acc = layers[0]
+        for layer in layers[1:]:
+            acc = acc.unionByName(layer)
+        return acc.groupBy("node").agg(F.min("dist").alias("dist"))
+
     for _ in range(max_hops):
         cand = (
             frontier.join(adj, frontier["node"] == adj["_from"])
@@ -377,18 +405,16 @@ def weighted_sssp(
             .groupBy("node")
             .agg(F.min("_nd").alias("_nd"))
         )
+        # eager=False: the emptiness count below materializes the
+        # checkpoint — one job per round, not three
         improved = (
-            cand.join(dist, "node", "left")
+            cand.join(_dist_view(), "node", "left")
             .filter(F.col("dist").isNull() | (F.col("_nd") < F.col("dist")))
             .select("node", F.col("_nd").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
-        dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
+        layers.append(improved)
         frontier = improved
-    return dist
+    return _dist_view()
