@@ -863,21 +863,24 @@ def quantiles_from_summary(
     :func:`quantile_summary`'s schema — shared by :func:`quantile_sketch`
     (summary fresh from one scan) and the streaming twin (summary folded
     across micro-batches via :func:`compress_summary`). See
-    :func:`quantile_sketch` for the guarantee."""
-    # lazy: the (E, N) scalar collect is the materializing action — one
-    # job instead of two (r14)
-    summary = summary.localCheckpoint(eager=False)
-    e_total, n_total = summary.agg(F.sum("_err"), F.sum("_n")).first()
-    e_total, n_total = int(e_total or 0), int(n_total or 0)
-    if n_total == 0:
-        return summary.sparkSession.createDataFrame(
-            [],
-            f"q_pct bigint, value "
-            f"{summary.schema[value_col].dataType.simpleString()},"
-            " est_rank bigint, err_bound bigint, n_total bigint",
-        )
+    :func:`quantile_sketch` for the guarantee.
+
+    The (E, N) totals ride IN-PLAN as unpartitioned-window sums over the
+    summary relation (r14, guide §2.1): the old spelling collected them
+    as a driver scalar and inlined literals, which cost one extra job
+    (plus a lineage checkpoint) per call — per MICRO-BATCH on the
+    streaming path. The window is a single task over an O(1/eps)-row
+    relation; the arithmetic is the same integer sum, so every output
+    row is byte-identical. An empty/meta-only summary (N = 0) yields the
+    same empty typed relation the early-exit produced."""
+    # total-column names must not collide with _w/_n under Spark's
+    # case-INSENSITIVE resolution (``_W`` would silently REPLACE ``_w``)
+    wall = Window.partitionBy()
+    full = summary.withColumn(
+        "_etot", F.sum("_err").over(wall)
+    ).withColumn("_ntot", F.sum("_n").over(wall))
     cum = (
-        summary.filter(F.col(value_col).isNotNull())
+        full.filter(F.col(value_col).isNotNull())
         .withColumn(
             "_cumw",
             F.sum("_w").over(
@@ -893,13 +896,18 @@ def quantiles_from_summary(
     )
     # target rank: t = ceil(pct * N / 100), all-integer arithmetic so the
     # oracle reproduces it exactly
-    t = F.floor((F.col("q_pct") * F.lit(n_total) + F.lit(99)) / F.lit(100))
+    t = F.floor((F.col("q_pct") * F.col("_ntot") + F.lit(99)) / F.lit(100))
     picked = (
-        cum.filter(F.col("_cumw") >= t)
+        cum.filter((F.col("_ntot") > 0) & (F.col("_cumw") >= t))
         .groupBy("q_pct")
         .agg(
             F.min_by(
-                F.struct(F.col(value_col).alias("value"), F.col("_cumw")),
+                F.struct(
+                    F.col(value_col).alias("value"),
+                    F.col("_cumw"),
+                    F.col("_etot"),
+                    F.col("_ntot"),
+                ),
                 F.col(value_col),
             ).alias("_pick")
         )
@@ -908,8 +916,8 @@ def quantiles_from_summary(
         F.col("q_pct").cast("bigint").alias("q_pct"),
         F.col("_pick.value").alias("value"),
         F.col("_pick._cumw").cast("bigint").alias("est_rank"),
-        F.lit(e_total).cast("bigint").alias("err_bound"),
-        F.lit(n_total).cast("bigint").alias("n_total"),
+        F.col("_pick._etot").cast("bigint").alias("err_bound"),
+        F.col("_pick._ntot").cast("bigint").alias("n_total"),
     )
 
 
@@ -936,10 +944,22 @@ def compress_summary(
     as one extra metadata row (NULL value, ``_err = s - 1``); existing
     metadata rows pass through untouched, so ``sum(_err)`` remains the
     TOTAL exact bound and ``sum(_n)`` the true row count. Everything is
-    summary-sized; the corpus is never touched."""
+    summary-sized; the corpus is never touched.
+
+    The block size ``s = max(1, floor(eps * W))`` rides IN-PLAN (r14,
+    guide §2.1): W is an unpartitioned-window sum over the grouped
+    relation (one task, O(1/eps) rows) instead of a per-call driver
+    scalar collect — on the streaming fold that collect was one extra
+    job per MICRO-BATCH. The compression-cost metadata row derives from
+    the same aggregate (and vanishes when the data side is empty,
+    matching the old early-exit), so the output relation is
+    byte-identical; ``floor(eps * W)`` is the same double product the
+    driver computed. The grouped subtree is referenced by both the data
+    path and the cost row, but both sit above the SAME grouping
+    exchange, so exchange reuse computes the upstream (state read +
+    batch summary) once."""
     if not 0.0 < eps <= 0.5:
         raise ValueError(f"eps must be in (0, 0.5], got {eps}")
-    spark = summary.sparkSession
     metas = summary.filter(F.col(value_col).isNull()).select(
         value_col, "_w", "_err", "_n"
     )
@@ -947,23 +967,27 @@ def compress_summary(
         summary.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.sum("_w").cast("bigint").alias("_w"))
-        # lazy: the W collect right below materializes it — one job per
-        # compression instead of two (r14; the fold step pays this once
-        # per micro-batch)
-        .localCheckpoint(eager=False)
     )
-    w_total = grouped.agg(F.sum("_w")).first()[0]
-    if not w_total:
-        return metas
-    s = max(1, int(float(eps) * int(w_total)))
-    cum = grouped.withColumn(
-        "_cumw",
-        F.sum("_w").over(
-            Window.orderBy(value_col).rangeBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    ).withColumn("_blk", F.floor((F.col("_cumw") - 1) / F.lit(s)))
+    val_t = grouped.schema[value_col].dataType.simpleString()
+    s_of = lambda w: F.greatest(  # noqa: E731 — shared by both branches
+        F.lit(1).cast("bigint"),
+        F.floor(F.lit(float(eps)) * F.col(w)).cast("bigint"),
+    )
+    cum = (
+        grouped.withColumn(
+            "_wtot", F.sum("_w").over(Window.partitionBy())
+        )
+        .withColumn("_s", s_of("_wtot"))
+        .withColumn(
+            "_cumw",
+            F.sum("_w").over(
+                Window.orderBy(value_col).rangeBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .withColumn("_blk", F.floor((F.col("_cumw") - 1) / F.col("_s")))
+    )
     kept = (
         cum.groupBy("_blk")
         .agg(
@@ -985,10 +1009,19 @@ def compress_summary(
             )
         ).cast("bigint"),
     ).select(value_col, "_w", F.lit(0).alias("_err"), F.lit(0).alias("_n"))
-    cost = spark.createDataFrame(
-        [(None, 0, s - 1, 0)],
-        f"{value_col} {grouped.schema[value_col].dataType.simpleString()},"
-        " _w long, _err long, _n long",
+    # one (NULL, 0, s-1, 0) accounting row, derived from the same grouped
+    # relation; the filter reproduces the old "empty data side → metas
+    # only" early exit in-plan
+    cost = (
+        grouped.groupBy()
+        .agg(F.sum("_w").alias("_wtot"))
+        .filter(F.col("_wtot").isNotNull() & (F.col("_wtot") > 0))
+        .select(
+            F.lit(None).cast(val_t).alias(value_col),
+            F.lit(0).cast("bigint").alias("_w"),
+            (s_of("_wtot") - F.lit(1)).cast("bigint").alias("_err"),
+            F.lit(0).cast("bigint").alias("_n"),
+        )
     )
     return reweighted.select(value_col, "_w", "_err", "_n").unionByName(
         metas.unionByName(cost)
