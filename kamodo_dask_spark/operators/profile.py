@@ -597,9 +597,9 @@ def heavy_hitters_sketch(
 
     100 TB shape: one corpus scan, no corpus shuffle (the only exchange
     carries ≤ partitions × (k+1) summary rows); the two scalar totals
-    (D, N) are collected off the checkpointed summary — two bigints,
-    the repo's metadata-collect contract — and inlined as literals (a
-    scalar crossJoin would plan the banned BroadcastNestedLoopJoin).
+    (D, N) ride IN-PLAN as unpartitioned-window sums over the summary
+    relation — one task over summary rows, never a driver collect or a
+    crossJoin (which would plan the banned BroadcastNestedLoopJoin).
     Estimate VALUES depend on row order within partitions (inherent to
     MG), but candidate COMPLETENESS does not — pin results on the
     bounds, not on ``est_count``.
@@ -620,26 +620,32 @@ def heavy_hitters_sketch(
         )
     parts = _mg_partition_summary(df, key_col, int(k_counters))
     # O(partitions x k) rows from here on — everything below is
-    # summary-sized, never corpus-sized. The checkpoint is LAZY (r14):
-    # the (D, N) scalar collect right below is the action that
-    # materializes it, so the sketch costs ONE job up front instead of
-    # two — every job is a fixed scheduler quantum (the r13 kmv_set_ops
-    # lesson applied to the MG path).
-    summary = parts.localCheckpoint(eager=False)
-    d_total, n_total = summary.agg(F.sum("_d"), F.sum("_n")).first()
-    d_total, n_total = int(d_total or 0), int(n_total or 0)
+    # summary-sized, never corpus-sized. The (D, N) totals ride IN-PLAN
+    # as unpartitioned-window sums over the summary relation (r14, guide
+    # §2.1: the old driver-scalar collect was a whole extra job — a
+    # fixed scheduler quantum — per sketch; the window is one task over
+    # O(partitions x k) rows). Total-column names avoid _D/_N, which
+    # Spark's case-insensitive resolution would merge with _d/_n.
+    wall = Window.partitionBy()
+    summary = parts.withColumn("_dtot", F.sum("_d").over(wall)).withColumn(
+        "_ntot", F.sum("_n").over(wall)
+    )
     merged = (
         summary.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
-        .agg(F.sum("_est").alias("est_count"))
+        .agg(
+            F.sum("_est").alias("est_count"),
+            F.max("_dtot").alias("_dtot"),
+            F.max("_ntot").alias("_ntot"),
+        )
     )
     return merged.filter(
-        F.col("est_count") + F.lit(d_total)
-        >= F.lit(float(threshold) * n_total)
+        F.col("est_count") + F.col("_dtot")
+        >= F.lit(float(threshold)) * F.col("_ntot")
     ).select(
         key_col,
         F.col("est_count").cast("bigint").alias("est_count"),
-        (F.col("est_count") + F.lit(d_total)).cast("bigint").alias("max_count"),
+        (F.col("est_count") + F.col("_dtot")).cast("bigint").alias("max_count"),
     )
 
 
@@ -839,10 +845,10 @@ def quantile_sketch(
     Returns one row per requested percentile:
     ``(q_pct, value, est_rank, err_bound, n_total)`` with ``est_rank``
     the summary's exact cumulative weight at the estimate and
-    ``err_bound = E``. The two scalar totals (E, N) are collected off
-    the checkpointed summary — two bigints, the repo's metadata-collect
-    contract — and inlined as literals (a scalar crossJoin would plan
-    the banned BroadcastNestedLoopJoin); the percentile list is a
+    ``err_bound = E``. The two scalar totals (E, N) ride IN-PLAN as
+    unpartitioned-window sums over the summary relation — one task over
+    summary rows, never a driver collect or a crossJoin (which would
+    plan the banned BroadcastNestedLoopJoin); the percentile list is a
     row-local literal explode, never a join.
     """
     if not q_pcts:
