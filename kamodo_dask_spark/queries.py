@@ -7286,7 +7286,13 @@ def _quantile_exact_with_check(
                 )
             ),
         )
-        .localCheckpoint(eager=True)
+        # LAZY (r14): both consumers (exact percentiles + the estimate
+        # rank lookup) sit in the ONE final action, which computes the
+        # marked RDD once and checkpoints it as a side effect — the
+        # eager form spent a whole extra job materializing up front.
+        # No scoped_conf is active in either caller, so deferring
+        # execution to the entry's sink is safe.
+        .localCheckpoint(eager=False)
     )
     t = F.floor(
         (F.col("q_pct") * F.lit(n_total) + F.lit(99)) / F.lit(100)
