@@ -6970,13 +6970,13 @@ def streaming_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = trailing_distinct_users(
         ev.select("user_id", "day"), "user_id", "day", 1
     ).select("slot", F.col("n_users").alias("dau"))
-    sketches = st.state()[0]
-    if sketches.isEmpty():  # no batches delivered: vacuously exact
+    if not st.committed():  # no batches delivered: vacuously exact
         return exact.select(
             F.col("slot").cast("bigint").alias("slot"),
             "dau",
             F.lit(True).alias("sketch_ok"),
         )
+    sketches = st.state()[0]
     approx = sketches.select(
         F.col("day").alias("slot"),
         F.hll_sketch_estimate("_sk").cast("bigint").alias("_approx"),
@@ -8185,9 +8185,9 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = exact.agg(F.sum("n")).first()[0] or 0
     hh = exact.filter(F.col("n") >= F.lit(0.05 * int(total)))
-    mg, scalars = st.state()
-    if mg.isEmpty():  # no batches delivered: nothing to verify
+    if not st.committed():  # no batches delivered: nothing to verify
         return hh.select("key", "n", F.lit(True).alias("sketch_ok"))
+    mg, scalars = st.state()
     d_total = int(scalars["d"])
     cand = mg.filter(
         F.col("est") + F.lit(d_total) >= F.lit(0.05 * int(total))
@@ -8368,11 +8368,10 @@ def streaming_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             query.awaitTermination()
 
-    sk, _ = st.state()
     est = (
-        None
-        if sk.isEmpty()  # no batches delivered: nothing to verify
-        else kmv_set_ops(sk, "seg", "a", "b", _THETA_K).first()
+        kmv_set_ops(st.state()[0], "seg", "a", "b", _THETA_K).first()
+        if st.committed()  # else: no batches delivered, nothing to verify
+        else None
     )
     return _theta_exact_with_check(ev, est)
 

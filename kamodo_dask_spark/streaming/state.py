@@ -395,6 +395,15 @@ class CommittedState:
             if sib_epoch < self._epoch:
                 fs.delete(self._jpath(f"b={bid}/{name}"), True)
 
+    def committed(self) -> bool:
+        """Whether ANY batch has been committed — the "did the stream
+        deliver batches" probe, answered from the in-process cache or
+        the commit markers (one filesystem listing, never a Spark job;
+        r14: the entries' previous ``state()[0].isEmpty()`` spelling
+        paid a scan job to learn what the commit protocol already
+        records as metadata)."""
+        return self._cache is not None or bool(self._committed_ids())
+
     def state(self) -> "tuple[DataFrame, dict]":
         """The newest state (for reading results after the stream
         finishes): cache if live, else the newest committed snapshot,

@@ -309,12 +309,15 @@ def test_committed_state_protocol(spark, tmp_path):
         spark, path, "k string, v long", scalar_names=("d",)
     )
 
-    # before any commit: empty initial state, zero scalars
+    # before any commit: empty initial state, zero scalars, nothing
+    # committed (the entries' no-batches-delivered probe)
     df0, sc0 = st.ensure(0)
     assert df0.count() == 0 and sc0 == {"d": 0}
+    assert not st.committed()
 
     st.commit(0, spark.createDataFrame([("a", 1)], "k string, v long"), d=5)
     st.commit(1, spark.createDataFrame([("a", 3)], "k string, v long"), d=9)
+    assert st.committed()
 
     # a NEW instance (simulated driver restart) restores batch 1's state
     # when batch 2 arrives...
@@ -341,6 +344,9 @@ def test_committed_state_protocol(spark, tmp_path):
     st4 = CommittedState(
         spark, path, "k string, v long", scalar_names=("d",)
     )
+    # committed() sees the markers (b=0/b=1), not the marker-less b=2
+    # orphan, and needs no cache on a fresh instance
+    assert st4.committed()
     df, sc = st4.ensure(3)
     assert [(r["k"], r["v"]) for r in df.collect()] == [("a", 3)]
     assert sc == {"d": 9}
@@ -356,6 +362,7 @@ def test_committed_state_protocol(spark, tmp_path):
     assert sc == {"d": 12}
     st4.reset()
     assert st4._committed_ids() == []
+    assert not st4.committed()
     assert st4.state()[0].count() == 0
 
     with pytest.raises(ValueError, match="undeclared"):
