@@ -948,31 +948,38 @@ def compress_summary(
     cumulative weight is EXACTLY its pre-compression cumulative weight,
     and any rank query moved by at most ``s - 1``. That cost is emitted
     as one extra metadata row (NULL value, ``_err = s - 1``); existing
-    metadata rows pass through untouched, so ``sum(_err)`` remains the
-    TOTAL exact bound and ``sum(_n)`` the true row count. Everything is
-    summary-sized; the corpus is never touched.
+    metadata rows MERGE into one (NULL value, summed ``_err``/``_n``) —
+    ``sum(_err)`` remains the TOTAL exact bound and ``sum(_n)`` the true
+    row count, which are the ONLY invariants any consumer reads (the
+    percentile answer, the fold's next round, the sketch_ok sandwich all
+    aggregate the metadata). Everything is summary-sized; the corpus is
+    never touched.
 
-    The block size ``s = max(1, floor(eps * W))`` rides IN-PLAN (r14,
-    guide §2.1): W is an unpartitioned-window sum over the grouped
+    Plan shape (r14, guide §2.1/§2.4): ONE grouping exchange over the
+    summary feeds every branch. Metadata rows are the NULL-value group
+    of the SAME aggregation the data rows flow through — the previous
+    pass-through spelling scanned the un-exchanged summary a second
+    time, which on the streaming fold re-executed the batch's
+    ``quantile_summary`` ``mapInPandas`` (the delta scan) once per
+    commit for nothing. The block size ``s = max(1, floor(eps * W))``
+    rides IN-PLAN as an unpartitioned-window sum over the grouped
     relation (one task, O(1/eps) rows) instead of a per-call driver
-    scalar collect — on the streaming fold that collect was one extra
-    job per MICRO-BATCH. The compression-cost metadata row derives from
-    the same aggregate (and vanishes when the data side is empty,
-    matching the old early-exit), so the output relation is
-    byte-identical; ``floor(eps * W)`` is the same double product the
-    driver computed. The grouped subtree is referenced by both the data
-    path and the cost row, but both sit above the SAME grouping
-    exchange, so exchange reuse computes the upstream (state read +
-    batch summary) once."""
+    scalar collect — that collect was one extra job per MICRO-BATCH;
+    ``floor(eps * W)`` is the same double product the driver computed,
+    and the cost row derives from the same aggregate (vanishing when
+    the data side is empty, matching the old early-exit)."""
     if not 0.0 < eps <= 0.5:
         raise ValueError(f"eps must be in (0, 0.5], got {eps}")
-    metas = summary.filter(F.col(value_col).isNull()).select(
+    grouped_all = summary.groupBy(value_col).agg(
+        F.sum("_w").cast("bigint").alias("_w"),
+        F.sum("_err").cast("bigint").alias("_err"),
+        F.sum("_n").cast("bigint").alias("_n"),
+    )
+    metas = grouped_all.filter(F.col(value_col).isNull()).select(
         value_col, "_w", "_err", "_n"
     )
-    grouped = (
-        summary.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col)
-        .agg(F.sum("_w").cast("bigint").alias("_w"))
+    grouped = grouped_all.filter(F.col(value_col).isNotNull()).select(
+        value_col, "_w"
     )
     val_t = grouped.schema[value_col].dataType.simpleString()
     s_of = lambda w: F.greatest(  # noqa: E731 — shared by both branches
