@@ -32,6 +32,13 @@ _HASH_HEX_DIGITS = 12
 #: them.
 MINHASH_PRIME = (1 << 31) - 1
 
+#: Document-frequency saturation cap for the prefix-filter token order
+#: (:func:`prefix_jaccard_join`): df occupies the 15 bits above the 48-bit
+#: hash in one packed int64 (32767·2^48 + 2^48−1 = 2^63−1, the signed
+#: bigint max). Saturation only coarsens the ORDER among ultra-common
+#: tokens; the exact verify keeps the output independent of the order.
+_DF_PACK_CAP = (1 << 15) - 1
+
 
 def _tracked_local_checkpoint(
     df: DataFrame, eager: bool = True
@@ -1470,35 +1477,37 @@ def prefix_jaccard_join(
         id_col, "_size", hash48(F.col("_g")).alias("_h")
     )
     dfreq = tok.groupBy("_h").agg(F.count("*").alias("_df"))
+    # (df, h) PACKED into one int64: df saturated at 2^15-1 in the top 15
+    # bits over the 48-bit hash (32767·2^48 + 2^48−1 = 2^63−1, the signed
+    # max). Ordering by the packed value IS ordering by (min(df, cap), h)
+    # — still one deterministic global total order over tokens (same
+    # token ⇒ same df ⇒ same packed value in every document), which is
+    # all the prefix-filter theorem needs; candidate sets may differ from
+    # the struct ordering where df saturates, but the exact verify makes
+    # the OUTPUT identical either way (pinned by the cap=1 property
+    # test). Wins: the per-doc re-agg shuffles 8-byte longs instead of
+    # 16-byte (df, h) structs, array_sort compares primitives, and
+    # array_intersect in the verify runs on the packed longs directly —
+    # packed is injective in h, so intersection counts are unchanged.
+    packed = F.shiftleft(F.least(F.col("_df"), F.lit(_DF_PACK_CAP)), 48) + F.col("_h")
     docs = (
         tok.join(dfreq, "_h")
         .groupBy(id_col, "_size")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("_h")))
-            ).alias("_arr")
-        )
-        .select(
-            id_col,
-            "_size",
-            # rare-first prefix: the |s| - ceil(t*s) + 1 first tokens
-            F.transform(
-                F.slice(
-                    F.col("_arr"),
-                    F.lit(1),
-                    (
-                        F.col("_size")
-                        - F.ceil(F.lit(threshold) * F.col("_size"))
-                        + F.lit(1)
-                    ).cast("int"),
-                ),
-                lambda s: s["_h"],
-            ).alias("_prefix"),
-            F.transform(F.col("_arr"), lambda s: s["_h"]).alias("_toks"),
-        )
+        .agg(F.array_sort(F.collect_list(packed)).alias("_toks"))
         .localCheckpoint(eager=True)  # prefix index + both verify sides
     )
-    pre = docs.select(id_col, "_size", F.explode("_prefix").alias("_h"))
+    # rare-first prefix: the |s| - ceil(t*s) + 1 first tokens (sliced
+    # lazily from the checkpointed array — not stored twice)
+    plen = (
+        F.col("_size")
+        - F.ceil(F.lit(threshold) * F.col("_size"))
+        + F.lit(1)
+    ).cast("int")
+    pre = docs.select(
+        id_col,
+        "_size",
+        F.explode(F.slice(F.col("_toks"), F.lit(1), plen)).alias("_h"),
+    )
     grouped = pre.groupBy("_h").agg(
         F.array_sort(F.collect_list(F.struct(id_col, "_size"))).alias("_ds")
     )

@@ -13,6 +13,19 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
+def _default_shuffle_partitions(env: dict | None = None) -> str:
+    """Shuffle parallelism follows the session's core budget instead of a
+    constant tuned to one host shape (guide §2: scale-adaptive, with AQE
+    coalescing absorbing overshoot). Local default = the harness's core
+    count (32 when unset — byte-identical to the previous constant);
+    SPARK_GRAFT_SHUFFLE_PARTITIONS overrides independently. At cluster
+    scale set it explicitly to ~2-3x total cores (SCALE.md §tuning)."""
+    env = os.environ if env is None else env
+    return env.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", env.get("SPARK_GRAFT_CPUS", "32")
+    )
+
+
 # Tuned for correctness-at-scale first: AQE on (runtime re-plan, skew-join
 # splitting, partition coalescing — subsumes the reference's manual
 # repartition(partition_size='200MB'), kamodo_dask.py:239-244), UTC session tz
@@ -33,7 +46,7 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     # NOTE: spark.sql.requireAllClusterKeysForCoPartition=false is NOT set
     # here although the cell interpolation strategy depends on it — its
     # blast radius is every join in the session (any relation already

@@ -657,6 +657,53 @@ def test_prefix_jaccard_join_matches_brute_force(spark, seed):
         assert got == want, (t, texts)
 
 
+def test_prefix_jaccard_join_output_invariant_to_df_saturation(spark):
+    """r14 packing: the (df, h) token order rides one packed int64 with
+    df SATURATED at ``_DF_PACK_CAP``. Forcing the cap to 1 collapses the
+    order to hash-only (every df saturates) — the candidate set changes,
+    but the exact verify must keep the OUTPUT identical to brute force,
+    which is the property that makes the packed order safe."""
+    from kamodo_dask_spark.operators import dedup
+
+    texts = [
+        "aa bb cc aa bb cc",  # aa/bb/cc are corpus-wide stop shingles
+        "aa bb cc aa bb dd",
+        "aa bb cc",
+        "ee ee ee",
+        "aa bb cc aa bb cc",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def gram_set(t, n=3):
+        ws = t.lower().split()
+        if not ws:
+            return {""}
+        m = max(len(ws) - (n - 1), 1)
+        return {" ".join(ws[i:i + n]) for i in range(m)}
+
+    sets = [gram_set(t) for t in texts]
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= 0.5:
+                want.add((i, j, round(jac, 6)))
+    old_cap = dedup._DF_PACK_CAP
+    dedup._DF_PACK_CAP = 1
+    try:
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.prefix_jaccard_join(df, threshold=0.5).collect()
+        }
+    finally:
+        dedup._DF_PACK_CAP = old_cap
+    assert got == want, texts
+
+
 @given(seed=st.integers(0, 2**32 - 1), hops=st.integers(0, 4))
 @settings(max_examples=8, deadline=None)
 def test_weighted_sssp_matches_bellman_ford(spark, seed, hops):

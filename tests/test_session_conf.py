@@ -9,10 +9,23 @@ configuration, where the lazily-created S3A filesystem client reads them.
 from __future__ import annotations
 
 from kamodo_dask_spark.session import (
+    _default_shuffle_partitions,
     _external_master_configured,
     apply_s3a_conf,
     s3a_conf,
 )
+
+
+def test_default_shuffle_partitions_follows_core_budget():
+    """r14: shuffle parallelism derives from the harness core count (the
+    driver benches at several core counts — a constant tuned to one host
+    shape would mis-tune every other leg), with an independent override
+    and the historical 32 as the no-env fallback."""
+    assert _default_shuffle_partitions({}) == "32"
+    assert _default_shuffle_partitions({"SPARK_GRAFT_CPUS": "8"}) == "8"
+    assert _default_shuffle_partitions(
+        {"SPARK_GRAFT_CPUS": "8", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "96"}
+    ) == "96"
 
 
 def test_s3a_conf_defaults_match_reference_pooling():
