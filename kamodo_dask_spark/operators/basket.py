@@ -67,7 +67,8 @@ def association_rules(
         .filter(F.col("_w") <= max_basket)
         .select("_b")
     )
-    bi = bi.join(width_ok, "_b", "left_semi").localCheckpoint(eager=True)
+    # eager=False: the basket-count scalar below materializes it (r14)
+    bi = bi.join(width_ok, "_b", "left_semi").localCheckpoint(eager=False)
     n_baskets = bi.select("_b").distinct().count()  # scalar, inlined
 
     a, b = bi.alias("a"), bi.alias("b")

@@ -122,7 +122,8 @@ def chi_square_cells(
     obs = (
         df.groupBy(a.alias("a"), b.alias("b"))
         .agg(F.count("*").cast("bigint").alias("obs"))
-        .localCheckpoint(eager=True)
+        # eager=False: the N scalar below materializes it (r14)
+        .localCheckpoint(eager=False)
     )
     row = obs.groupBy("a").agg(F.sum("obs").alias("_ra"))
     col = obs.groupBy("b").agg(F.sum("obs").alias("_cb"))

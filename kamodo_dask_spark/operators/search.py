@@ -59,11 +59,14 @@ def bm25_topk(
     match = F.filter(ws, lambda t: t.isin(*terms)) if terms else F.array().cast(
         "array<string>"
     )
+    # eager=False: the corpus-stats scalar immediately below is a FULL
+    # aggregate over this relation, so its job materializes the checkpoint
+    # — one job instead of two, and one less driver-blocking sync (r14)
     exploded = docs.select(
         F.col(id_col),
         F.size(ws).alias("_dl"),
         F.posexplode_outer(match).alias("_pos", "term"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # corpus stats: N docs, average doc length — a 2-scalar driver value
     # inlined as literals (metadata-sized, like axis collects). Each doc

@@ -162,7 +162,8 @@ def key_skew_profile(
     counts = (
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        # eager=False: the profile scalars below materialize it (r14)
+        .localCheckpoint(eager=False)
     )
     n_groups, total_rows, max_n = counts.agg(
         F.count(F.lit(1)),

@@ -393,9 +393,10 @@ def corpus_vocabulary(
     Returns ``(term, df, idf)`` with ``idf = ln((N+1)/(df+1))`` rounded
     to 6 (cross-engine convention).
     """
+    # eager=False: the count below is the job that materializes it (r14)
     base = df.select(
         F.array_distinct(words(F.col(text_col))).alias("_terms")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_docs = base.count()
     tok = base.select(F.explode("_terms").alias("term"))
     out = tok.groupBy("term").agg(F.count("*").alias("df"))
@@ -502,9 +503,11 @@ def unigram_logprob(
     to 6 (cross-engine convention; ln of a count ratio is transcendental,
     so rounding ties have measure zero).
     """
+    # eager=False: the n_total scalar below aggregates over this relation's
+    # full lineage, so its job materializes the checkpoint (r14)
     tok = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cnt = tok.groupBy("term").agg(F.count("*").alias("_c"))
     n_total = cnt.agg(F.sum("_c")).first()[0]
     if not n_total:
@@ -568,8 +571,12 @@ def bigram_logprob(
         .localCheckpoint(eager=True)
     )
     tok = df.select(F.explode(ws).alias("term"))
+    # eager=False: the n_total scalar below materializes it (r14); `big`
+    # above stays EAGER — no scalar guards it, and its downstream join
+    # sides would otherwise race two concurrent stages over the
+    # un-materialized RDD (double tokenize)
     c1 = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_c1")).localCheckpoint(
-        eager=True
+        eager=False
     )
     n_total = c1.agg(F.sum("_c1")).first()[0]
     if not n_total:
@@ -1003,7 +1010,9 @@ def pmi_collocations(
         .select("_p.prev", "_p.cur")
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
-        .localCheckpoint(eager=True)  # marginals + N + candidates share it
+        # marginals + N + candidates share it; eager=False — the N scalar
+        # below is the job that materializes it (r14)
+        .localCheckpoint(eager=False)
     )
     n_total = c2.agg(F.sum("n_pair")).first()[0]
     if not n_total:

@@ -363,9 +363,10 @@ def trailing_distinct_users(
             F.count("*").cast("bigint").alias("n_users")
         )
     # the max-slot bound needs a driver value; materialize the distinct
-    # relation ONCE (eager checkpoint) so the bounds job and the returned
-    # plan share one input scan instead of recomputing `us` twice
-    us = us.localCheckpoint(eager=True)
+    # relation ONCE so the bounds job and the returned plan share one
+    # input scan instead of recomputing `us` twice. eager=False: the
+    # bounds scalar below IS the materializing job (r14)
+    us = us.localCheckpoint(eager=False)
     mx = us.agg(F.max("_s")).first()[0]
     if mx is None:
         return us.select(
@@ -411,8 +412,9 @@ def _trailing_distinct_sketch(
             F.hll_sketch_estimate("_sk").cast("bigint").alias("n_users"),
         )
     # slots-sized: checkpoint so the bounds job and the merge share one
-    # sketch build instead of rescanning the corpus twice
-    sk = sk.localCheckpoint(eager=True)
+    # sketch build instead of rescanning the corpus twice. eager=False:
+    # the bounds scalar below IS the materializing job (r14)
+    sk = sk.localCheckpoint(eager=False)
     mx = sk.agg(F.max("_s")).first()[0]
     if mx is None:
         return sk.select(
