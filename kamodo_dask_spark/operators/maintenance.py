@@ -245,12 +245,16 @@ def upsert_history(
             F.col(valid_from).alias("_m_from"),
             *[F.col(a).alias(f"_m_{a}") for a in attrs],
         )
-        # eager localCheckpoint (like the sibling operators) instead of
+        # localCheckpoint (like the sibling operators) instead of
         # persist(): materializes the delta-sized relation once and lets
         # the context cleaner reclaim the blocks when the DataFrame goes
         # out of scope — persist() leaked cached blocks across repeated
-        # upsert_history calls in long-lived sessions.
-        .localCheckpoint(eager=True)
+        # upsert_history calls in long-lived sessions. Under validate the
+        # out-of-order count scalar just below is a full probe-side scan
+        # of this relation, so it is the materializing job (eager=False,
+        # r14); without that scalar the first consumers are concurrent
+        # downstream stages, so materialize eagerly.
+        .localCheckpoint(eager=not validate)
     )
     if validate:
         # a no-op update (attrs equal) at eff == valid_from is legal (the
