@@ -17,12 +17,14 @@ from kamodo_dask_spark.session import (
 
 
 def test_default_shuffle_partitions_follows_core_budget():
-    """r14: shuffle parallelism derives from the harness core count (the
-    driver benches at several core counts — a constant tuned to one host
-    shape would mis-tune every other leg), with an independent override
-    and the historical 32 as the no-env fallback."""
+    """r14: shuffle parallelism scales UP with the harness core count but
+    never below the historical 32 (measured: 8 partitions at 8 cores
+    loses the tasks-per-core straggler smoothing, 3x slower on the Q5
+    shape), with an independent override and 32 as the no-env fallback."""
     assert _default_shuffle_partitions({}) == "32"
-    assert _default_shuffle_partitions({"SPARK_GRAFT_CPUS": "8"}) == "8"
+    assert _default_shuffle_partitions({"SPARK_GRAFT_CPUS": "8"}) == "32"
+    assert _default_shuffle_partitions({"SPARK_GRAFT_CPUS": "128"}) == "128"
+    assert _default_shuffle_partitions({"SPARK_GRAFT_CPUS": "oops"}) == "32"
     assert _default_shuffle_partitions(
         {"SPARK_GRAFT_CPUS": "8", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "96"}
     ) == "96"
