@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline query catalog at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+final JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. A SECOND, earlier stdout line
+("metric": "catalog_wall_clock_full") carries the complete per-entry
+seconds + job-count map (additions-only, judge r14 ask #2); the summary
+line always prints LAST so a tail-window capture keeps it intact — see
+``_emit``.
 
 Each query is forced end-to-end with a noop sink (no driver collect — the
 timing measures the distributed plan, not result transfer).
@@ -824,16 +828,27 @@ def run() -> dict:
 
 
 def _emit(out: dict) -> str:
-    """The driver keeps the last ~2000 chars of stdout, so a one-line dump
-    of all ~90 timings can NEVER parse whole (r4 and r5 both recorded
-    "parsed": null, losing the headline total). Persist the complete result
-    to BENCH_LOCAL.json in the repo — the durable artifact — and print a
-    summary line guaranteed to fit the tail window: total + trackers + the
-    slowest 15 queries inline, with "queries_full" pointing at the file.
+    """The driver keeps the last ~2000 chars of stdout (measured: every
+    BENCH_r*.json tail is exactly 2000 chars), so a one-line dump of all
+    ~165 timings can NEVER parse whole as the FINAL line (r4 and r5 both
+    recorded "parsed": null, losing the headline total). Three sinks,
+    additions-only (judge r14 ask #2 — the round-over-round comparison
+    needs the full per-entry map, not the top-15 window):
 
-    BENCH_LOCAL.json is keyed by SF (a dev run at sf0.001 must not clobber
-    the driver's sf0.1 record) and doubles as the regression tracker's
-    baseline via _previous_record."""
+    - BENCH_LOCAL.json in the repo — the durable complete artifact,
+      keyed by SF (a dev run at sf0.001 must not clobber the driver's
+      sf0.1 record); doubles as the regression tracker's baseline via
+      _previous_record;
+    - a FULL-map stdout line (``"metric": "catalog_wall_clock_full"``,
+      every entry's seconds + statusTracker job count) printed BEFORE
+      the summary line: a full-stdout capture parses all ~165 entries,
+      while a tail-window capture clips it from the HEAD and still
+      keeps the intact summary as the last line — the full map can
+      never displace the headline record (r15; putting it ON the final
+      line would re-create the r4/r5 parse failure at 5x the size);
+    - the returned summary line (printed LAST by __main__): total +
+      trackers + the slowest 15 queries inline, guaranteed to fit the
+      tail window, with "queries_full" pointing at the artifacts."""
     path = os.path.join(_REPO, "BENCH_LOCAL.json")
     try:
         with open(path) as f:
@@ -843,6 +858,21 @@ def _emit(out: dict) -> str:
     doc[f"sf{out['sf']}"] = out
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock_full",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "n_queries": len(out["queries"]),
+                "queries": out["queries"],
+                "jobs": out["jobs"],
+            },
+            separators=(",", ":"),
+        )
+    )
 
     line_out = dict(out)
     line_out.pop("jobs", None)  # BENCH_LOCAL-only (next round's tracker input)

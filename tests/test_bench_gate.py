@@ -43,3 +43,51 @@ def test_constants_are_what_the_docs_claim():
     assert bench.REGRESSION_FACTOR == 1.5
     assert bench.REGRESSION_HARD_FACTOR == 2.0
     assert bench.REGRESSION_ABS_FLOOR_S == 0.75
+
+
+def test_emit_prints_full_map_before_an_intact_summary(
+    tmp_path, monkeypatch, capsys
+):
+    """r15 (judge r14 ask #2): the complete per-entry seconds+jobs map
+    rides an EARLIER stdout line; the final line stays the summary and
+    must fit the driver's measured 2000-char tail window even with a
+    catalog-sized queries map (165 long-named entries), so the full map
+    can never clip the headline record back into the r4/r5
+    "parsed: null" failure."""
+    import json
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    queries = {f"some_catalog_entry_name_{i:03d}": i / 7.0 for i in range(165)}
+    out = {
+        "metric": "catalog_wall_clock",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "jobs": {k: 7 for k in queries},
+        "sf": 0.1,
+        "calibration": {"py_spin_s": 0.3, "spark_sum_s": 0.2, "sched_job_s": 0.1},
+        "regressions": {
+            f"some_catalog_entry_name_{i:03d}": {
+                "prev": 1.0, "now": 3.0, "factor": 3.0, "norm_factor": 2.5
+            }
+            for i in range(12)
+        },
+    }
+    summary_line = bench._emit(out)
+    printed = capsys.readouterr().out.strip().splitlines()
+    # the full map printed FIRST (chronologically before the summary the
+    # caller prints last): every entry's seconds AND job count present
+    full = json.loads(printed[0])
+    assert full["metric"] == "catalog_wall_clock_full"
+    assert full["n_queries"] == 165
+    assert set(full["queries"]) == set(queries)
+    assert set(full["jobs"]) == set(queries)
+    # the returned summary line parses alone and fits the tail window
+    assert len(summary_line) < 1900
+    summary = json.loads(summary_line)
+    assert summary["metric"] == "catalog_wall_clock"
+    assert summary["value"] == out["value"]
+    assert len(summary["queries"]) <= 15
+    # durable artifact written, keyed by SF
+    local = json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
+    assert set(local["sf0.1"]["queries"]) == set(queries)

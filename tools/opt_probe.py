@@ -2,7 +2,8 @@
 entries with EXACTLY the bench methodology (noop sink, per-run job group,
 statusTracker job count, best-of-N) so an optimization loop can iterate
 on one entry without paying a full catalog run. Optionally dumps
-``explain("formatted")`` to plans/r14/<entry>_<tag>.txt.
+``explain("formatted")`` to plans/$PROBE_PLANS_DIR/<entry>_<tag>.txt
+(default plans/r15).
 
 Usage:
     python tools/opt_probe.py entry1 entry2 ...
@@ -58,11 +59,12 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         if explain_tag:
-            os.makedirs(os.path.join(_REPO, "plans", "r14"), exist_ok=True)
+            plans_dir = os.environ.get("PROBE_PLANS_DIR", "r15")
+            os.makedirs(os.path.join(_REPO, "plans", plans_dir), exist_ok=True)
             df = fn(spark, sf_dir)
             with open(
                 os.path.join(
-                    _REPO, "plans", "r14", f"{name}_{explain_tag}.txt"
+                    _REPO, "plans", plans_dir, f"{name}_{explain_tag}.txt"
                 ),
                 "w",
             ) as f:
