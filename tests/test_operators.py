@@ -4806,6 +4806,52 @@ def test_kmv_and_mg_driver_side_mirrors_match_dataframe_spellings(spark):
         mg_top_bound(mdf, "nope", threshold=0.1)
 
 
+def test_mg_top_bound_multi_matches_separate_passes(spark):
+    """r15: the planner's fused one-job MG pass must reproduce each
+    relation's ``mg_top_bound`` EXACTLY — the tagged union concatenates
+    child partitions, so every per-partition fold (counters, decrements,
+    totals) is the standalone pass's. Covers skewed/uniform/empty sides,
+    per-side thresholds, mixed key types, and validation parity."""
+    import pytest as _pytest
+
+    from kamodo_dask_spark.operators.profile import (
+        mg_top_bound,
+        mg_top_bound_multi,
+    )
+
+    skewed = spark.createDataFrame(
+        [("h",)] * 400 + [(f"c{i % 50}",) for i in range(600)], "k string"
+    ).repartition(4)
+    uniform = spark.createDataFrame(
+        [(f"u{i % 97}",) for i in range(500)], "k string"
+    ).repartition(3)
+    empty = spark.createDataFrame([], "k string")
+    longs = spark.range(0, 300, 1, 2).select(
+        (F.col("id") % 5).alias("kk")
+    )  # different key TYPE -> exercises the per-type grouping
+
+    inputs = {
+        "skewed": (skewed, "k", 0.2),
+        "uniform": (uniform, "k", 0.2),
+        "hopeless": (skewed, "k", 0.99),
+        "empty": (empty, "k", 0.5),
+        "longs": (longs, "kk", 0.1),
+    }
+    fused = mg_top_bound_multi(inputs, k_counters=8)
+    for name, (df, key, thr) in inputs.items():
+        assert fused[name] == mg_top_bound(
+            df.select(key), key, threshold=thr, k_counters=8
+        ), name
+
+    assert mg_top_bound_multi({}, k_counters=8) == {}
+    with _pytest.raises(ValueError, match="threshold"):
+        mg_top_bound_multi({"x": (skewed, "k", 0.0)})
+    with _pytest.raises(ValueError, match="lacks"):
+        mg_top_bound_multi({"x": (skewed, "nope", 0.1)})
+    with _pytest.raises(ValueError, match="k_counters"):
+        mg_top_bound_multi({"x": (skewed, "k", 0.1)}, k_counters=0)
+
+
 def test_join_view_retract(spark):
     """Deletion-capable join-view IVM (judge r11 ask #3): the stored
     view is a Z-set (row -> multiplicity); signed deltas on BOTH sides
