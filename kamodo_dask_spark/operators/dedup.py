@@ -962,10 +962,7 @@ def _cc_star(
     # typically the expensive part (dedup_clusters feeds the whole
     # MinHash-LSH candidate pipeline in here — recomputing it per
     # derivation tripled the entry's wall before this checkpoint).
-    import os
-    from contextlib import nullcontext
-
-    from kamodo_dask_spark.session import scoped_conf
+    from kamodo_dask_spark.session import static_plan_ctx
 
     spark = pairs.sparkSession
     base, base_blocks = _tracked_local_checkpoint(
@@ -1009,22 +1006,18 @@ def _cc_star(
     # graph). AQE's genuine value here is skew-splitting a hub node's
     # join partition, which by its own thresholds
     # (skewedPartitionThresholdInBytes, 256 MB default) CANNOT fire
-    # once the whole iterate is below ~1M edge rows (~tens of MB) — so
+    # once the whole iterate is below the skew floor (the
+    # ``static_plan_ctx`` default, 4M narrow rows ≲ 128 MB) — so
     # rounds whose measured input is under the cutoff run with AQE
     # scoped OFF (one job per round instead of ~6), and data-sized
     # rounds keep AQE and its skew protection. The iterate's row count
     # rides the convergence-check aggregation for free, so the decision
     # re-arms every round as the contraction shrinks the graph; the
-    # cutoff is env-tunable for cluster shapes.
-    static_below = int(
-        os.environ.get("SPARK_GRAFT_CC_STATIC_EDGE_ROWS", "1000000")
-    )
-
+    # cutoff is env-tunable for cluster shapes
+    # (``session.static_plan_ctx`` — the shared size-adaptive rule).
     def _round_ctx(n_rows: int):
-        return (
-            scoped_conf(spark, **{"spark.sql.adaptive.enabled": "false"})
-            if n_rows <= static_below
-            else nullcontext()
+        return static_plan_ctx(
+            spark, n_rows, env="SPARK_GRAFT_CC_STATIC_EDGE_ROWS"
         )
 
     def _star_forest_check(rel: DataFrame) -> "tuple[bool, int]":

@@ -75,20 +75,35 @@ def pagerank(
     parallel edge carries its share) — deduplicate upstream if the input
     may repeat.
     """
+    from kamodo_dask_spark.session import static_plan_ctx
+
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    spark = edges.sparkSession
+    # eager=False: the edge count below is the action that materializes
+    # the checkpoint — the same one job the eager form paid, and the
+    # count it returns drives the size-adaptive execution of every
+    # downstream action (r15; see static_plan_ctx — an iteration is a
+    # fixed plan shape, and below the AQE-skew-split floor its AQE
+    # stage-jobs are pure driver round-trips)
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
+    ).localCheckpoint(eager=False)
+    m = e.count()
+
+    def _ctx():
+        return static_plan_ctx(spark, m)
+
+    with _ctx():
+        nodes = (
+            e.select(F.col("_src").alias("node"))
+            .unionByName(e.select(F.col("_dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pr")).limit(0)
     out_deg = e.groupBy(F.col("_src").alias("node")).agg(
@@ -96,15 +111,16 @@ def pagerank(
     )
     # ranks ⟕ out-degree, carried through every iteration (out(u) = 0 for
     # dangling nodes; NULL after the left join → flagged, not divided by)
-    state = (
-        nodes.join(out_deg, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("_out"), F.lit(0)).alias("_out"),
-            F.round(F.lit(1.0 / n), round_digits).alias("pr"),
+    with _ctx():
+        state = (
+            nodes.join(out_deg, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_out"), F.lit(0)).alias("_out"),
+                F.round(F.lit(1.0 / n), round_digits).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         dangling = (
@@ -122,25 +138,26 @@ def pagerank(
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("_out")).alias("_in"))
         )
-        state = (
-            state.select("node", "_out", F.lit(1).alias("_k"))
-            .join(contrib, "node", "left")
-            .join(F.broadcast(dangling), "_k")
-            .select(
-                "node",
-                "_out",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
-                    ),
-                    round_digits,
-                ).alias("pr"),
+        with _ctx():
+            state = (
+                state.select("node", "_out", F.lit(1).alias("_k"))
+                .join(contrib, "node", "left")
+                .join(F.broadcast(dangling), "_k")
+                .select(
+                    "node",
+                    "_out",
+                    F.round(
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_in"), F.lit(0.0))
+                            + F.col("_dang") / F.lit(float(n))
+                        ),
+                        round_digits,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     return state.select("node", "pr")
 
 
@@ -176,9 +193,15 @@ def triangle_counts(
     triangle-free nodes), ``triangles`` = number of distinct triangles
     the node belongs to — the local clustering coefficient's numerator.
     """
+    from kamodo_dask_spark.session import static_plan_ctx
+
+    spark = edges.sparkSession
     lo, hi = F.least(F.col("_a"), F.col("_b")), F.greatest(
         F.col("_a"), F.col("_b")
     )
+    # eager=False: the edge count below materializes the checkpoint (the
+    # same one job the eager form paid) and sizes every downstream action
+    # for the adaptive/static choice (r15, static_plan_ctx)
     und = (
         edges.select(
             F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
@@ -186,33 +209,40 @@ def triangle_counts(
         .filter(F.col("_a") != F.col("_b"))
         .select(lo.alias("_u"), hi.alias("_v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    deg = (
-        und.select(F.col("_u").alias("node"))
-        .unionByName(und.select(F.col("_v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("_deg"))
-        .localCheckpoint(eager=True)
-    )
+    m = und.count()
+
+    def _ctx():
+        return static_plan_ctx(spark, m)
+
+    with _ctx():
+        deg = (
+            und.select(F.col("_u").alias("node"))
+            .unionByName(und.select(F.col("_v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+            .localCheckpoint(eager=True)
+        )
     # orient each canonical edge low-rank -> high-rank, rank = (deg, id)
     du = deg.select(F.col("node").alias("_u"), F.col("_deg").alias("_du"))
     dv = deg.select(F.col("node").alias("_v"), F.col("_deg").alias("_dv"))
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
     )
-    oriented = (
-        und.join(du, "_u")
-        .join(dv, "_v")
-        .select(
-            F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
-            F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
-            # carry the rank of the head so wedge pairing can order the
-            # two out-neighbors without re-joining degrees
-            F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_rt"),
+    with _ctx():
+        oriented = (
+            und.join(du, "_u")
+            .join(dv, "_v")
+            .select(
+                F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+                F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+                # carry the rank of the head so wedge pairing can order the
+                # two out-neighbors without re-joining degrees
+                F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_rt"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     e1 = oriented.select(
         F.col("_s"), F.col("_t").alias("_b"), F.col("_rt").alias("_rb")
     )
@@ -230,6 +260,10 @@ def triangle_counts(
         .filter(b_first)
         .select("_s", F.col("_b").alias("_w1"), F.col("_c").alias("_w2"))
     )
+    # the wedge intermediate is O(sum of out-degrees squared) = up to
+    # O(m^1.5) rows — NOT bounded by the measured edge count — so this
+    # action deliberately keeps AQE (skew split / coalescing can be
+    # load-bearing here even when m itself is small)
     tri = wedges.join(
         oriented.select(
             F.col("_s").alias("_w1"), F.col("_t").alias("_w2")
@@ -286,8 +320,11 @@ def k_hop_reachability(
 
     Returns ``(node, hop)`` with ``hop`` = min distance (seeds at 0).
     """
+    from kamodo_dask_spark.session import static_plan_ctx
+
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    spark = edges.sparkSession
     fwd = edges.select(
         F.col(src_col).alias("_from"), F.col(dst_col).alias("_to")
     )
@@ -295,7 +332,17 @@ def k_hop_reachability(
         fwd.select(F.col("_to").alias("_from"), F.col("_from").alias("_to"))
     )
     adj = adj.filter(F.col("_from") != F.col("_to")).distinct()
-    adj = adj.localCheckpoint(eager=True)
+    # eager=False: the adjacency count below materializes the checkpoint
+    # (same one job as the eager form) and sizes the per-round actions —
+    # every round's relations (frontier, visited, expansion) are bounded
+    # by O(|adj|), so a sub-threshold adjacency makes the whole loop
+    # safely static (r15, static_plan_ctx)
+    adj = adj.localCheckpoint(eager=False)
+    m = adj.count()
+
+    def _ctx():
+        return static_plan_ctx(spark, m)
+
     seed_layer = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -318,7 +365,9 @@ def k_hop_reachability(
             .select("node", F.lit(h).cast("bigint").alias("hop"))
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        with _ctx():
+            n_new = nxt.count()
+        if n_new == 0:
             break
         layers.append(nxt)
         frontier = nxt.select("node")
@@ -383,8 +432,11 @@ def weighted_sssp(
     Returns ``(node, dist)`` for every node reachable within
     ``max_hops`` edges (seeds included at 0).
     """
+    from kamodo_dask_spark.session import static_plan_ctx
+
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
     fwd = edges.select(
         F.col(src_col).alias("_from"),
         F.col(dst_col).alias("_to"),
@@ -397,13 +449,23 @@ def weighted_sssp(
             F.col("_w"),
         )
     )
-    # parallel edges keep only the lightest; self-loops never improve
+    # parallel edges keep only the lightest; self-loops never improve.
+    # eager=False: the adjacency count below materializes the checkpoint
+    # (same one job as the eager form) and sizes the relaxation rounds —
+    # candidates/improvements/distance state are all O(|adj|)-bounded,
+    # so a sub-threshold adjacency makes the rounds safely static (r15,
+    # static_plan_ctx)
     adj = (
         adj.filter(F.col("_from") != F.col("_to"))
         .groupBy("_from", "_to")
         .agg(F.min("_w").alias("_w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    m = adj.count()
+
+    def _ctx():
+        return static_plan_ctx(spark, m)
+
     seed_layer = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -437,7 +499,9 @@ def weighted_sssp(
             .select("node", F.col("_nd").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        if improved.count() == 0:
+        with _ctx():
+            n_improved = improved.count()
+        if n_improved == 0:
             break
         layers.append(improved)
         frontier = improved

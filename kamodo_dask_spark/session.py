@@ -170,6 +170,46 @@ def scoped_conf(spark: SparkSession, **confs: str):
                 pass
 
 
+def static_plan_ctx(
+    spark: SparkSession,
+    n_rows: int,
+    env: str = "SPARK_GRAFT_STATIC_PLAN_ROWS",
+    default_threshold: int = 4_000_000,
+):
+    """Context manager for ONE action over a relation whose row count was
+    MEASURED at ``n_rows``: below the threshold, plan it statically (AQE
+    scoped off); at or above, leave AQE on.
+
+    Rationale (r15, guide §1.2/§2.1): AQE materializes every exchange as
+    its own driver-sequential stage-job. AQE's genuine levers cannot
+    engage below the skew-split floor — splitting requires ONE partition
+    past ``spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes``
+    (256 MB default), which is impossible when the WHOLE relation is
+    smaller than that, and partition coalescing only saves empty-task
+    launches — so every stage-job is a pure driver round-trip, on a real
+    cluster as much as locally. The callers pass counts of NARROW
+    relations (2-3 int64 columns, ≲32 B/row shuffled), so the 4M-row
+    default is ≲128 MB total — half the skew floor. Iterative operators
+    (star contraction, PageRank/BFS/Bellman-Ford rounds) learn their
+    relation sizes for free from the counts they already run, so their
+    small-input (or contracted-tail) actions run statically while
+    data-sized actions keep AQE and its protections. The threshold is
+    env-tunable (``env``) for cluster shapes; this is a size-adaptive
+    rule, never a constant tuned to one host."""
+    threshold = default_threshold
+    raw = os.environ.get(env)
+    if raw is not None:
+        try:
+            threshold = int(raw)
+        except ValueError:
+            pass
+    if int(n_rows) <= threshold:
+        return scoped_conf(spark, **{"spark.sql.adaptive.enabled": "false"})
+    from contextlib import nullcontext
+
+    return nullcontext()
+
+
 def ensure_session_conf(spark: SparkSession) -> None:
     """Best-effort apply engine-critical runtime confs to a foreign session.
 
