@@ -142,9 +142,12 @@ def bpe_train_merges(
     slices (no posexplode join), the count is one partial-combined
     aggregation whose exchange carries (pair, partial) rows, the winner is
     a ``TakeOrderedAndProject`` limit-1, and the merge application is a
-    row-local fold. The vocab is eagerly checkpointed per round (lineage
-    truncation — the connected-components discipline). Driver state: one
-    (pair, count) per round.
+    row-local fold. The vocab is checkpointed per round (lineage
+    truncation — the connected-components discipline), LAZILY: the next
+    round's winner collect is its first consumer and materializes it, so
+    each round costs one driver-blocking action, and the per-round corpus
+    totals are answered in one deferred union action over the checkpointed
+    iterates (r15). Driver state: one (pair, count) per round.
 
     Returns ``[(left, right, pair_count, corpus_tokens_after), ...]``,
     stopping early when the best pair's count falls below ``min_count``
@@ -155,6 +158,12 @@ def bpe_train_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     freq = F.col(freq_col).cast("bigint")
+    # eager=False throughout the loop (r15): the driver loop is strictly
+    # sequential, and each round's winner collect is the FIRST consumer
+    # of the current iterate — it materializes the lazy checkpoint, so
+    # every round costs ONE driver-blocking action (was three: eager
+    # checkpoint + winner collect + corpus-total collect; the totals are
+    # deferred below).
     cur = vocab.select(
         freq.alias("_freq"),
         # per-character split; regexp_extract_all('.') has no zero-width
@@ -162,8 +171,9 @@ def bpe_train_merges(
         F.regexp_extract_all(F.col(word_col), F.lit("."), F.lit(0)).alias(
             "_syms"
         ),
-    ).localCheckpoint(eager=True)
-    merges: list[tuple[str, str, int, int]] = []
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    iterates: list[DataFrame] = []
     for _ in range(n_merges):
         syms = F.col("_syms")
         n = F.size(syms)
@@ -185,14 +195,32 @@ def bpe_train_merges(
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         cur = cur.select(
             F.col("_freq"), _apply_merge(syms, left, right).alias("_syms")
-        ).localCheckpoint(eager=True)
-        total = int(
-            cur.agg(
-                F.sum(F.size(F.col("_syms")) * F.col("_freq")).cast("bigint")
-            ).first()[0]
+        ).localCheckpoint(eager=False)
+        merges.append((left, right, cnt))
+        iterates.append(cur)
+    if not merges:
+        return []
+    # the per-round corpus token totals, deferred to ONE action: each
+    # applied round's iterate is checkpointed, so the totals are the
+    # same numbers the old per-round collect returned, computed as a
+    # union of per-iterate aggregates whose independent subtrees run
+    # concurrently (guide §2.6 expressed in-plan). The LAST iterate's
+    # aggregate also materializes its checkpoint for callers that keep
+    # training.
+    totals_df = None
+    for i, it in enumerate(iterates):
+        t = it.agg(
+            F.lit(i).alias("_i"),
+            F.sum(F.size(F.col("_syms")) * F.col("_freq"))
+            .cast("bigint")
+            .alias("_t"),
         )
-        merges.append((left, right, cnt, total))
-    return merges
+        totals_df = t if totals_df is None else totals_df.unionByName(t)
+    totals = {int(r["_i"]): int(r["_t"]) for r in totals_df.collect()}
+    return [
+        (left, right, cnt, totals[i])
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
 
 
 def with_bpe_token_count(

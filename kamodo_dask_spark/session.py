@@ -210,6 +210,23 @@ def static_plan_ctx(
     return nullcontext()
 
 
+def summary_agg_ctx(spark: SparkSession):
+    """Context manager for ONE action that is a pure AGGREGATION whose
+    every exchange carries post-partial-aggregation SUMMARY-sized data BY
+    CONSTRUCTION (a k x d centroid matrix, d per-dimension means, a
+    |relations|-row stats row) and whose plan contains no join.
+
+    For such a plan AQE has nothing to decide at ANY input scale — there
+    is no join to re-strategize, skew-splitting does not apply to
+    aggregations, and coalescing a summary-sized exchange only saves
+    empty-task launches — while it still materializes each exchange as
+    its own driver-sequential stage-job. Scoping AQE off turns the
+    action back into one job (r15; the join planner's profiling actions
+    established the pattern). Use ONLY where the summary-sized-exchange
+    property is structural, never merely observed."""
+    return scoped_conf(spark, **{"spark.sql.adaptive.enabled": "false"})
+
+
 def ensure_session_conf(spark: SparkSession) -> None:
     """Best-effort apply engine-critical runtime confs to a foreign session.
 
